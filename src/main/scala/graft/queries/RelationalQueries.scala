@@ -1,0 +1,636 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.sources.Catalog
+
+/** SURVEY §2.1–§2.4 / §2.6–§2.8 operator inventory, each expressed as a
+  * deterministic query over the driver fixtures with a DuckDB oracle.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *   - money sums go through decimal(18,2) so both engines sum exactly;
+  *   - float aggregates are rounded (half-up on positives == C round);
+  *   - every query ends in a total ordering (keys break all ties);
+  *   - arrays are sorted then stringified (no list-hash ambiguity).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact money sum: decimal in, double out — bit-identical across engines. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  val queries: Map[String, Q] = Map(
+    // S1/S2: full scan with projection + filter — Catalyst pushes both to
+    // the parquet reader (reference: HogHBaseRDD.scala:248-268 hand-built
+    // scans; here PushedFilters/ReadSchema do it declaratively).
+    "s1_scan_project" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .filter($"l_quantity" > 45)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // S3/T4: time-range filtered scan (the retention-purge predicate,
+    // HogPrepare.scala:87-139, expressed as survivor selection; at scale
+    // this is partition pruning on the date column).
+    "s3_time_filter" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1995-06-01").cast(TimestampType))
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate".cast(DateType).as("ship_date"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // P1: projection with null defaulting (HogDNS.scala:143-149 missing→"0"/"-1").
+    "p1_null_default" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.orders(s, dir)
+        .select(
+          $"o_orderkey",
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("UNK")).as("status_filled"),
+          coalesce(when($"o_totalprice" > 200000, $"o_totalprice"), lit(-1.0)).as("price_or_default"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // P3: protocol/port/time-style predicates (isin + range, HogDNS.scala:155-159).
+    "p3_pred_filter" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.lineitem(s, dir)
+        .filter($"l_returnflag".isin("A", "R") && $"l_quantity".between(10, 20) && $"l_linestatus" === "F")
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // P4+A1: direction/status inference (chained when/otherwise,
+    // HogSFlow.scala:811-866) then the 5-tuple-style rollup where
+    // `direction` is SUMMED as a majority vote (HogSFlow.scala:877-882).
+    "p4_direction_vote" -> ((s, dir) => {
+      import s.implicits._
+      val dir_ = when($"event_type" === "click", 1)
+        .when($"event_type" === "view", 1)
+        .when($"event_type" === "purchase", 2)
+        .when($"event_type" === "signup", 0)
+        .otherwise(-1)
+      Catalog.events(s, dir)
+        .withColumn("direction", dir_)
+        .withColumn("status", when($"value" > 10, 1).otherwise(0))
+        .groupBy($"user_id")
+        .agg(
+          sum($"direction").as("direction_vote"),
+          sum($"status").as("status_sum"),
+          count(lit(1)).as("n"),
+          unix_millis(min($"ts")).as("t_min_ms"),
+          unix_millis(max($"ts")).as("t_max_ms"),
+          round(avg($"value"), 6).as("v_avg"))
+        .orderBy($"user_id")
+    }),
+
+    // P6: 3-way training-label assignment (HogSnort.scala:103-109).
+    "p6_label_assign" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.orders(s, dir)
+        .withColumn("label",
+          when($"o_orderstatus" === "F", 1)
+            .when($"o_orderstatus" === "O", 0)
+            .otherwise(-1))
+        .groupBy($"label").agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"label")
+    }),
+
+    // P7: string hygiene (stripAccents/truncate/replace, HogAuth.scala:299-312).
+    "p7_string_hygiene" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.customer(s, dir)
+        .select(
+          $"c_custkey",
+          regexp_replace(upper(trim($"c_name")), "CUSTOMER#", "C").as("name_clean"),
+          substring($"c_mktsegment", 1, 5).as("seg5"))
+        .orderBy($"c_custkey")
+    }),
+
+    // J1: prefix (range) semi-join against a small broadcast list
+    // (isMyIP, HogSFlow.scala:725-731) — LIKE-prefix semantics.
+    "j1_prefix_semijoin" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Catalog.documents(s, dir)
+      val prefixes = docs.filter($"source" === "src0")
+        .select(substring($"text", 1, 8).as("pfx")).distinct()
+      docs.join(broadcast(prefixes), $"text".startsWith($"pfx"), "left_semi")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // J2: reputation-list anti-join (whitelist exclusion, HogSFlow.scala:1031).
+    "j2_blacklist_anti" -> ((s, dir) => {
+      import s.implicits._
+      val bad = Catalog.supplier(s, dir).filter($"s_acctbal" < 0).select($"s_suppkey")
+      Catalog.lineitem(s, dir)
+        .join(broadcast(bad), $"l_suppkey" === bad("s_suppkey"), "left_anti")
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy($"l_suppkey")
+    }),
+
+    // J3/J4: derived-set pair anti-join (ftpTalkers DAG, HogSFlow.scala:1108-1133):
+    // pairs seen with returnflag='R' are excluded from the rollup.
+    "j3_pair_anti" -> ((s, dir) => {
+      import s.implicits._
+      val li = Catalog.lineitem(s, dir)
+      val badPairs = li.filter($"l_returnflag" === "R")
+        .select($"l_suppkey", $"l_partkey").distinct()
+      li.join(badPairs, Seq("l_suppkey", "l_partkey"), "left_anti")
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"l_suppkey")
+    }),
+
+    // J5: histogram-state lookup — batch aggregate LEFT JOIN profile table
+    // (HogSFlow.scala:1498; per-key HBase GET becomes one equi-join).
+    "j5_state_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val profile = Catalog.customer(s, dir)
+        .filter($"c_acctbal" > 0)
+        .select($"c_custkey", $"c_acctbal")
+      Catalog.orders(s, dir)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spend"))
+        .join(profile, $"o_custkey" === profile("c_custkey"), "left")
+        .select(
+          $"o_custkey".as("custkey"), $"n_orders", $"spend",
+          coalesce($"c_acctbal", lit(-1.0)).as("acctbal"),
+          when($"c_custkey".isNull, 1).otherwise(0).as("cold_start"))
+        .orderBy($"custkey")
+    }),
+
+    // J6: conditional-key second lookup (alien-profile HIST01-vs-HIST05
+    // keyspace switch, HogSFlow.scala:1659-1681) — join key is a CASE.
+    "j6_conditional_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val nation = Catalog.nation(s, dir)
+      Catalog.supplier(s, dir)
+        .withColumn("lookup_key",
+          when($"s_nationkey" < 10, $"s_nationkey").otherwise($"s_nationkey" % 10))
+        .join(nation, $"lookup_key" === nation("n_nationkey"), "left")
+        .select($"s_suppkey", $"lookup_key", $"n_name")
+        .orderBy($"s_suppkey")
+    }),
+
+    // J7: broadcast equi-join + collect_set rollup (OS-repo lookup,
+    // HogSFlow.scala:2838-2868) — set stringified for stable hashing.
+    "j7_join_collect_set" -> ((s, dir) => {
+      import s.implicits._
+      val p = Catalog.part(s, dir).select($"p_partkey", $"p_brand")
+      Catalog.lineitem(s, dir)
+        .join(broadcast(p), $"l_partkey" === p("p_partkey"))
+        .groupBy($"l_suppkey")
+        .agg(concat_ws(",", array_sort(collect_set($"p_brand"))).as("brands"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_suppkey")
+    }),
+
+    // A1 flagship: hash aggregation with partial (map-side) combine —
+    // TPC-H Q1 shape over the flow-rollup monoid (HogSFlow.scala:877-882).
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_price"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // A3: per-entity rollup with bounded top-K flow detail
+    // (HogSFlow.scala:1038-1059 + O2 flowSet cap — unbounded HashSet in the
+    // reference; bounded window top-K here so it survives 100 TB keys).
+    "a3_rollup_topk_detail" -> ((s, dir) => {
+      import s.implicits._
+      val o = Catalog.orders(s, dir)
+      val sums = o.groupBy($"o_custkey")
+        .agg(dsum($"o_totalprice").as("spend"), count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val top3 = o.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .groupBy($"o_custkey")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct($"rn", $"o_orderkey"))),
+            x => x.getField("o_orderkey").cast(StringType))).as("top_orders"))
+      sums.join(top3, Seq("o_custkey"))
+        .select($"o_custkey".as("custkey"), $"spend", $"n_orders", $"top_orders")
+        .orderBy($"custkey")
+    }),
+
+    // A4: two-level distinct-pair counting (P2P detector shape,
+    // HogSFlow.scala:1169-1194): stage-1 groupBy pair, stage-2 re-key.
+    "a4_two_level_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("distinct_statuses"),
+          sum($"n").as("n_orders"),
+          dsum($"total").as("spend"))
+        .orderBy($"o_custkey")
+    }),
+
+    // A5: in-aggregation histogram build, flattened to rows
+    // (port-frequency maps, HogSFlow.scala:1401-1423): freq = cnt/total.
+    "a5_histogram_build" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+      Catalog.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("freq", round($"cnt" / sum($"cnt").over(w), 6))
+        .select($"o_custkey", $"o_orderpriority", $"cnt", $"freq")
+        .orderBy($"o_custkey", $"o_orderpriority")
+    }),
+
+    // A6: distinct-count within group (HogSFlow.scala:1190-1192).
+    "a6_distinct_in_group" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.lineitem(s, dir)
+        .groupBy($"l_suppkey")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_suppkey")
+    }),
+
+    // A7: global stats — mean/stdev/max (RDD .stats(), HogSFlow.scala:1776-1780;
+    // stdev is population).
+    "a7_global_stats" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.lineitem(s, dir)
+        .agg(
+          round(avg($"l_quantity"), 6).as("mean_qty"),
+          round(stddev_pop($"l_quantity"), 6).as("std_qty"),
+          max($"l_quantity").as("max_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A8: count-by-key (cluster sizes, HogSFlowHistograms.scala:204).
+    "a8_count_by_key" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.lineitem(s, dir)
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // A9/M5: z-score normalization — aggregate once, broadcast back
+    // (HogDNS.scala:168-199; no whole-table window at scale).
+    "a9_znorm" -> ((s, dir) => {
+      import s.implicits._
+      val o = Catalog.orders(s, dir)
+      val stats = o.agg(
+        avg($"o_totalprice").as("mu"),
+        stddev_pop($"o_totalprice").as("sigma"))
+      o.crossJoin(broadcast(stats))
+        .select($"o_orderkey",
+          round(($"o_totalprice" - $"mu") / $"sigma", 6).as("z"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // A10: cluster×label contingency with mean (HogDNS.scala:217-250).
+    "a10_crosstab_mean" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.orders(s, dir)
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("mean_price"))
+        .orderBy($"o_orderpriority", $"o_orderstatus")
+    }),
+
+    // A11+O1: frequency ranking (signature counts, HogSnort.scala:113-122).
+    "a11_freq_rank" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.events(s, dir)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"event_type")
+    }),
+
+    // A12: per-user access grouping (HogAuth.scala:443-490): distinct
+    // event types as a sorted, stringified set.
+    "a12_user_profile" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.events(s, dir)
+        .groupBy($"user_id")
+        .agg(concat_ws(",", array_sort(collect_set($"event_type"))).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy($"user_id")
+    }),
+
+    // O1: top-K talkers (sortBy desc + take, HogSFlow.scala:1060-1082) —
+    // tie-broken for determinism.
+    "o1_topk" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.orders(s, dir)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .select($"o_orderkey", $"o_totalprice")
+        .limit(100)
+    }),
+
+    // O2: per-key top-K flow list (HogSFlow.scala:662-684) as a window.
+    "o2_pergroup_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      Catalog.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w).cast(LongType)).filter($"rn" <= 5)
+        .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_returnflag", $"rn")
+    }),
+
+    // U1/U2: train-set union (HogSnort.scala:145-149) — distinct union.
+    "u1_union_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val o = Catalog.orders(s, dir)
+      o.filter($"o_orderstatus" === "F").select($"o_orderkey")
+        .union(o.filter($"o_totalprice" > 150000).select($"o_orderkey"))
+        .distinct()
+        .orderBy($"o_orderkey")
+    }),
+
+    // F1: md5 (HogStringUtils.scala:32-35).
+    "f1_md5" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.customer(s, dir)
+        .select($"c_custkey", md5($"c_name").as("name_md5"))
+        .orderBy($"c_custkey")
+    }),
+
+    // F4: /24 significant-network truncation (ipSignificantNetwork,
+    // HogSFlow.scala:733-742) over synthesized dotted quads.
+    "f4_prefix24" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.customer(s, dir)
+        .withColumn("ip", concat_ws(".",
+          ($"c_custkey" % 256).cast(StringType),
+          $"c_nationkey".cast(StringType),
+          ($"c_custkey" % 100).cast(StringType),
+          lit("7")))
+        .select($"c_custkey", $"ip", substring_index($"ip", ".", 3).as("net24"))
+        .orderBy($"c_custkey")
+    }),
+
+    // F6: epoch → dd/MM/yyyy HH formatting (HogAuth.scala:236-237).
+    "f6_date_format" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.events(s, dir)
+        .groupBy(date_format($"ts", "dd/MM/yyyy HH").as("hour_str"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"hour_str")
+    }),
+
+    // F9: trimmed-mean of inter-arrival gaps (DDoS burst test,
+    // HogSFlow.scala:2694-2722): drop the 4 largest gaps, mean the rest.
+    "f9_trimmed_mean_gaps" -> ((s, dir) => {
+      import s.implicits._
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gaps = Catalog.events(s, dir)
+        .withColumn("gap_ms", unix_millis($"ts") - unix_millis(lag($"ts", 1).over(byTs)))
+        .filter($"gap_ms".isNotNull)
+      val byGap = Window.partitionBy($"user_id").orderBy($"gap_ms".desc, $"event_id")
+      gaps.withColumn("gr", row_number().over(byGap)).filter($"gr" > 4)
+        .groupBy($"user_id")
+        .agg(round(avg($"gap_ms" / 1000.0), 6).as("trimmed_mean_s"),
+          count(lit(1)).as("n_gaps"))
+        .orderBy($"user_id")
+    }),
+
+    // F10: the reference's only generator — explode(split) word count
+    // (HogzillaStream.scala:61-62), with top-K ranking.
+    "f10_word_explode" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(50)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s3_time_filter" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p1_null_default" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus,'O'),'UNK') AS status_filled,
+        |  coalesce(CASE WHEN o_totalprice > 200000 THEN o_totalprice END, -1.0) AS price_or_default
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p3_pred_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20 AND l_linestatus='F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p4_direction_vote" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 1
+        |       WHEN 'purchase' THEN 2 WHEN 'signup' THEN 0 ELSE -1 END) AS BIGINT) AS direction_vote,
+        |  CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS status_sum,
+        |  COUNT(*) AS n,
+        |  epoch_ms(MIN(ts)) AS t_min_ms,
+        |  epoch_ms(MAX(ts)) AS t_max_ms,
+        |  ROUND(AVG(value), 6) AS v_avg
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "p6_label_assign" ->
+      """SELECT CASE WHEN o_orderstatus='F' THEN 1 WHEN o_orderstatus='O' THEN 0 ELSE -1 END AS label,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "p7_string_hygiene" ->
+      """SELECT c_custkey,
+        |  replace(upper(trim(c_name)), 'CUSTOMER#', 'C') AS name_clean,
+        |  substr(c_mktsegment, 1, 5) AS seg5
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "j1_prefix_semijoin" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (SELECT DISTINCT substr(text,1,8) AS pfx FROM documents WHERE source='src0') p
+        |  WHERE substr(d.text, 1, 8) = p.pfx)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "j2_blacklist_anti" ->
+      """SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "j3_pair_anti" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem b
+        |  WHERE b.l_returnflag='R' AND b.l_suppkey=l.l_suppkey AND b.l_partkey=l.l_partkey)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "j5_state_lookup" ->
+      """SELECT a.o_custkey AS custkey, a.n_orders, a.spend,
+        |  coalesce(c.c_acctbal, -1.0) AS acctbal,
+        |  CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS cold_start
+        |FROM (SELECT o_custkey, COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |      FROM orders GROUP BY o_custkey) a
+        |LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0) c
+        |  ON a.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "j6_conditional_lookup" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN s_nationkey < 10 THEN s_nationkey ELSE s_nationkey % 10 END AS lookup_key,
+        |  n_name
+        |FROM supplier LEFT JOIN nation
+        |  ON CASE WHEN s_nationkey < 10 THEN s_nationkey ELSE s_nationkey % 10 END = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "j7_join_collect_set" ->
+      """SELECT l_suppkey,
+        |  array_to_string(list_sort(array_agg(DISTINCT p_brand)), ',') AS brands,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a3_rollup_topk_detail" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT s.o_custkey AS custkey, s.spend, s.n_orders, t.top_orders
+        |FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        |        COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) s
+        |JOIN (SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_orders
+        |      FROM ranked WHERE rn <= 3 GROUP BY o_custkey) t
+        |  ON s.o_custkey = t.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "a4_two_level_distinct" ->
+      """SELECT o_custkey, COUNT(*) AS distinct_statuses,
+        |  CAST(SUM(n) AS BIGINT) AS n_orders,
+        |  CAST(SUM(total) AS DOUBLE) AS spend
+        |FROM (SELECT o_custkey, o_orderstatus, COUNT(*) AS n,
+        |        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |      FROM orders GROUP BY o_custkey, o_orderstatus) g
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "a5_histogram_build" ->
+      """SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt,
+        |  ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY o_custkey), 6) AS freq
+        |FROM orders GROUP BY o_custkey, o_orderpriority
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+
+    "a6_distinct_in_group" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "a7_global_stats" ->
+      """SELECT ROUND(AVG(l_quantity), 6) AS mean_qty,
+        |  ROUND(stddev_pop(l_quantity), 6) AS std_qty,
+        |  MAX(l_quantity) AS max_qty, COUNT(*) AS n
+        |FROM lineitem""".stripMargin,
+
+    "a8_count_by_key" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a9_znorm" ->
+      """SELECT o_orderkey,
+        |  ROUND((o_totalprice - s.mu) / s.sigma, 6) AS z
+        |FROM orders CROSS JOIN
+        |  (SELECT AVG(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sigma FROM orders) s
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a10_crosstab_mean" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |  ROUND(AVG(o_totalprice), 4) AS mean_price
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "a11_freq_rank" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    "a12_user_profile" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(array_agg(DISTINCT event_type)), ',') AS types,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "o1_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "o2_pergroup_topk" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) t
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus='F'
+        |UNION
+        |SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f1_md5" ->
+      """SELECT c_custkey, md5(c_name) AS name_md5 FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f4_prefix24" ->
+      """SELECT c_custkey, ip,
+        |  split_part(ip,'.',1) || '.' || split_part(ip,'.',2) || '.' || split_part(ip,'.',3) AS net24
+        |FROM (SELECT c_custkey,
+        |        CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_nationkey AS VARCHAR)
+        |        || '.' || CAST(c_custkey % 100 AS VARCHAR) || '.7' AS ip
+        |      FROM customer) t
+        |ORDER BY c_custkey""".stripMargin,
+
+    "f6_date_format" ->
+      """SELECT strftime(ts, '%d/%m/%Y %H') AS hour_str, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY hour_str""".stripMargin,
+
+    "f9_trimmed_mean_gaps" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, gap_ms,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap_ms DESC, event_id) AS gr
+        |  FROM gaps WHERE gap_ms IS NOT NULL)
+        |SELECT user_id, ROUND(AVG(gap_ms / 1000.0), 6) AS trimmed_mean_s, COUNT(*) AS n_gaps
+        |FROM ranked WHERE gr > 4
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "f10_word_explode" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+  )
+}

@@ -22,6 +22,7 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
+      (HistogramQueries.queries, HistogramQueries.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

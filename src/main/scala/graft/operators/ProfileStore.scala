@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HistogramFunctions._
+
+/** Read-modify-write profile state (the reference's HIST* tables).
+  *
+  * The reference fetches and upserts one HBase row per aggregation key from
+  * inside `foreach` (HogHBaseHistogram.scala:75-136 — an RPC per key).
+  * Batch-idiomatic rewrite (SURVEY §7.4): one full-outer equi-join of the
+  * batch histograms against the state table, merge in columns, atomically
+  * overwrite the state path. At 100 TB the state table is bucketed by
+  * `name` so this join is shuffle-free on the state side.
+  *
+  * Schema of both sides: (name string, size long, buckets map<string,double>).
+  */
+object ProfileStore {
+
+  /** Merge a batch of freshly-built histograms into the saved profiles.
+    * New keys pass through; existing keys get the decayed weighted merge.
+    */
+  def update(state: DataFrame, batch: DataFrame): DataFrame = {
+    val st = state.select(col("name"), col("size").as("s1"), col("buckets").as("b1"))
+    val ba = batch.select(col("name"), col("size").as("s2"), col("buckets").as("b2"))
+    st.join(ba, Seq("name"), "full_outer")
+      .select(
+        col("name"),
+        when(col("s1").isNull, col("s2"))
+          .when(col("s2").isNull, col("s1"))
+          .otherwise(mergedSize(col("s1"), col("s2"))).as("size"),
+        when(col("s1").isNull, col("b2"))
+          .when(col("s2").isNull, col("b1"))
+          .otherwise(mergeBuckets(col("s1"), col("b1"), col("s2"), col("b2"))).as("buckets"))
+  }
+
+  /** Learn-then-alert: join the batch to state and emit one row per
+    * atypical bucket, but only for profiles past the cold-start threshold
+    * (the reference's histSize<10/30/100 learn-only gates,
+    * HogSFlow.scala:1500,1638; HogAuth.scala:349).
+    */
+  def atypicalAlerts(state: DataFrame, batch: DataFrame, minObservations: Long): DataFrame = {
+    val st = state.select(col("name"), col("size").as("s1"), col("buckets").as("b1"))
+    val ba = batch.select(col("name"), col("size").as("s2"), col("buckets").as("b2"))
+    ba.join(st, Seq("name"), "inner")
+      .filter(col("s1") >= minObservations)
+      .select(col("name"), explode(atypicalKeys(col("b1"), col("b2"))).as("bucket"))
+  }
+
+  def load(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Atomic overwrite of the state table (replaces per-row HBase Puts). */
+  def save(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

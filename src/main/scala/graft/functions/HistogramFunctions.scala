@@ -51,11 +51,23 @@ object HistogramFunctions {
   def mergeMaxBuckets(b1: Column, b2: Column): Column =
     map_zip_with(b1, b2, (_, p, q) => greatest(coalesce(p, lit(0.0)), coalesce(q, lit(0.0))))
 
-  /** Weighted difference h1−h2 over h2's keys (HistogramAlgebra.difference). */
-  def differenceBuckets(s1: Column, b1: Column, s2: Column, b2: Column): Column =
-    map_zip_with(b2, b1, (_, q, p) =>
-      (coalesce(p, lit(0.0)) * s1.cast("double") - coalesce(q, lit(0.0)) * s2.cast("double")) /
-        (s1.cast("double") - s2.cast("double")))
+  /** Weighted difference h1−h2 (HistogramAlgebra.difference): only h2's
+    * keys are recomputed as (p·s1 − q·s2)/(s1 − s2); keys present only in
+    * h1 keep their original frequency (pure form: `h1.buckets ++ updated`).
+    * A plain `map_zip_with(b2, b1, …)` would iterate the key UNION and
+    * wrongly rescale h1-only buckets.
+    */
+  def differenceBuckets(s1: Column, b1: Column, s2: Column, b2: Column): Column = {
+    val updated = map_from_entries(transform(
+      filter(map_entries(b2), e =>
+        coalesce(element_at(b1, e.getField("key")), lit(0.0)) > 0.0 || e.getField("value") > 0.0),
+      e => struct(
+        e.getField("key").as("key"),
+        ((coalesce(element_at(b1, e.getField("key")), lit(0.0)) * s1.cast("double") -
+          e.getField("value") * s2.cast("double")) /
+          (s1.cast("double") - s2.cast("double"))).as("value"))))
+    map_zip_with(b1, updated, (_, p, u) => coalesce(u, p))
+  }
 
   /** Σ p·ln(p/q); zero-lenient like the reference. */
   def kullbackLiebler(bp: Column, bq: Column): Column =

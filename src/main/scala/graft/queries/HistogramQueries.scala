@@ -177,22 +177,38 @@ object HistogramQueries {
         |FROM perh JOIN gl USING (bucket)
         |GROUP BY k ORDER BY k""".stripMargin,
 
+    // Bucket "presence" is the reference's 1e-7 relative-frequency test, not
+    // plain existence — encoded here so the oracle stays valid even if a
+    // key's observation count ever exceeds 1e7 (where cnt>=1 no longer
+    // implies freq > 1e-7).
     "h5_atypical_keys" ->
-      """WITH prof AS (
-        |  SELECT DISTINCT o_custkey AS k, o_orderpriority AS bucket
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+      """WITH profc AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS bucket, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1,2),
+        |prof AS (
+        |  SELECT k, bucket FROM (
+        |    SELECT k, bucket, CAST(cnt AS DOUBLE)/SUM(cnt) OVER (PARTITION BY k) AS freq FROM profc)
+        |  WHERE freq > 1e-7),
+        |curc AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS bucket, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1,2),
         |cur AS (
-        |  SELECT DISTINCT o_custkey AS k, o_orderpriority AS bucket
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        |  SELECT k, bucket FROM (
+        |    SELECT k, bucket, CAST(cnt AS DOUBLE)/SUM(cnt) OVER (PARTITION BY k) AS freq FROM curc)
+        |  WHERE freq > 1e-7)
         |SELECT c.k, c.bucket FROM cur c
-        |WHERE EXISTS (SELECT 1 FROM prof p WHERE p.k = c.k)
+        |WHERE EXISTS (SELECT 1 FROM profc p WHERE p.k = c.k)
         |  AND NOT EXISTS (SELECT 1 FROM prof p WHERE p.k = c.k AND p.bucket = c.bucket)
         |ORDER BY c.k, c.bucket""".stripMargin,
 
     "h6_typical_flag" ->
-      """WITH prof AS (
-        |  SELECT DISTINCT o_custkey AS k, o_orderpriority AS bucket
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+      """WITH profc AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS bucket, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1,2),
+        |prof AS (
+        |  SELECT k, bucket FROM (
+        |    SELECT k, bucket, CAST(cnt AS DOUBLE)/SUM(cnt) OVER (PARTITION BY k) AS freq FROM profc)
+        |  WHERE freq > 1e-7),
         |cur AS (
         |  SELECT o_custkey AS k, o_orderpriority AS bucket
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1,2)
@@ -200,7 +216,7 @@ object HistogramQueries {
         |  CAST(CASE WHEN EXISTS (SELECT 1 FROM prof p WHERE p.k=c.k AND p.bucket=c.bucket)
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_typical
         |FROM cur c
-        |WHERE EXISTS (SELECT 1 FROM prof p WHERE p.k = c.k)
+        |WHERE EXISTS (SELECT 1 FROM profc p WHERE p.k = c.k)
         |ORDER BY c.k, c.bucket""".stripMargin,
 
     "h7_logbin" ->

@@ -26,14 +26,16 @@ object Catalog {
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   /** events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4 refuses;
-    * read nanos as long and rebuild a microsecond timestamp (the fixture
-    * data is µs-aligned, so the division is exact).
+    * read nanos as long and rebuild a microsecond timestamp. The nanos→µs
+    * division MUST be integer (`DIV`): the values exceed 2^53, so going
+    * through double (`/`) loses low bits and drifts the reconstructed
+    * timestamp by up to ±1 ms vs DuckDB's exact epoch arithmetic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -124,6 +124,72 @@ class HistogramColumnParitySpec extends AnyFunSuite {
     }
   }
 
+  test("typicalKeys column form matches HistogramAlgebra.typical") {
+    import spark.implicits._
+    cases.foreach { case (h1, h2) =>
+      val df = Seq((h1.buckets, h2.buckets)).toDF("b1", "b2")
+      val got = df.select(HF.typicalKeys($"b1", $"b2")).head().getSeq[String](0).toSet
+      assert(got == HA.typical(h1.buckets, h2.buckets))
+    }
+  }
+
+  test("mergeMaxBuckets column form matches HistogramAlgebra.mergeMax") {
+    import spark.implicits._
+    cases.foreach { case (h1, h2) =>
+      val df = Seq((h1.buckets, h2.buckets)).toDF("b1", "b2")
+      val got = df.select(HF.mergeMaxBuckets($"b1", $"b2")).head().getMap[String, Double](0)
+      val expected = HA.mergeMax(h1, h2).buckets
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"bucket $k") }
+    }
+  }
+
+  test("differenceBuckets column form matches HistogramAlgebra.difference (and inverts merge)") {
+    import spark.implicits._
+    cases.foreach { case (h1raw, h2) =>
+      val h1 = h1raw.copy(size = h1raw.size.min(1000)) // no decay so difference is exact
+      val m = HA.merge(h1, h2)
+      val df = Seq((m.size, m.buckets, h2.size, h2.buckets)).toDF("s1", "b1", "s2", "b2")
+      val got = df.select(HF.differenceBuckets($"s1", $"b1", $"s2", $"b2")).head().getMap[String, Double](0)
+      val expected = HA.difference(m, h2).buckets
+      assert(got.keySet == expected.keySet, s"keys: got ${got.keySet} expected ${expected.keySet}")
+      expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"bucket $k") }
+      // and round-trips back to h1 on h2's keys
+      h2.buckets.keySet.foreach { k =>
+        assert(math.abs(got(k) - h1.buckets.getOrElse(k, 0.0)) < 1e-9, s"round-trip $k")
+      }
+    }
+  }
+
+  test("differenceBuckets keeps profile-only buckets untouched") {
+    import spark.implicits._
+    val b1 = Map("only_in_profile" -> 0.4, "shared" -> 0.6)
+    val b2 = Map("shared" -> 1.0)
+    val df = Seq((100L, b1, 10L, b2)).toDF("s1", "b1", "s2", "b2")
+    val got = df.select(HF.differenceBuckets($"s1", $"b1", $"s2", $"b2")).head().getMap[String, Double](0)
+    assert(got("only_in_profile") == 0.4) // NOT rescaled by s1/(s1-s2)
+    assert(math.abs(got("shared") - (0.6 * 100 - 1.0 * 10) / 90.0) < 1e-12)
+  }
+
+  test("isTypicalEvent column form matches pure") {
+    import spark.implicits._
+    cases.foreach { case (h1, h2) =>
+      (h1.buckets.keySet ++ h2.buckets.keySet ++ Set("absent")).foreach { ev =>
+        val df = Seq(Tuple1(h1.buckets)).toDF("b1")
+        val got = df.select(HF.isTypicalEvent($"b1", lit(ev))).head().getBoolean(0)
+        assert(got == HA.isTypicalEvent(h1.buckets, ev), s"event $ev")
+      }
+    }
+  }
+
+  test("logBin column form matches pure") {
+    import spark.implicits._
+    val xs = Seq(0.0, 1.0, math.E - 1 + 1e-9, 100.0, 1e6)
+    val df = xs.map(Tuple1(_)).toDF("x")
+    val got = df.select(HF.logBin($"x")).collect().map(_.getLong(0))
+    assert(got.toSeq == xs.map(HA.logBin(_)))
+  }
+
   test("kullbackLiebler column form matches pure") {
     import spark.implicits._
     val p = Map("a" -> 0.6, "b" -> 0.4)

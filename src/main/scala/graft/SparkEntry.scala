@@ -23,6 +23,7 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (HistogramQueries.queries, HistogramQueries.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language-ID scoring, quality metrics, shingling and
+  * document fingerprints. Everything is a native column expression (no
+  * UDFs) so whole-stage codegen / vectorization applies and the same
+  * math is expressible in the DuckDB oracle SQL.
+  *
+  * Hash portability convention: all content hashes are `md5` hex strings
+  * (identical in Spark and DuckDB); "random" values derived from them use
+  * only ascii()/bit arithmetic so both engines agree bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** BPE-ish regex tokens: alphanumeric runs (a cheap proxy for subword
+    * token counting when no tokenizer model is shipped).
+    */
+  def reTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+
+  /** Canonical normalization for exact dedup: lowercase, collapse runs of
+    * whitespace, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-dedup fingerprint: md5 of the normalized text. */
+  def exactFingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Word n-gram shingles over the token array (n consecutive tokens,
+    * space-joined). Documents shorter than n tokens yield an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of tokens found in `words` (a small function-word list) —
+    * the language-ID / quality signal.
+    */
+  def stopwordRatio(toks: Column, words: Seq[String]): Column = {
+    val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Per-language function-word profiles (public-knowledge closed classes;
+    * deliberately tiny so the oracle SQL can inline them).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "en", "un"),
+  )
+
+  /** Argmax-by-score language prediction with deterministic tiebreak
+    * (higher score wins; ties break to the lexicographically first code;
+    * all-zero scores → "und" i.e. undetermined, ISO 639-3 style).
+    */
+  def predictLang(toks: Column): Column = {
+    val scored = LangProfiles.map { case (code, words) => (code, stopwordRatio(toks, words)) }
+    // fold over profiles tracking (bestCode, bestScore); strictly-greater
+    // keeps the earliest profile on ties, "und" when every score is 0
+    val init: (Column, Column) = (lit("und"), lit(0.0))
+    val (codeCol, _) = scored.foldLeft(init) { case ((bc, bs), (code, s)) =>
+      (when(s > bs, lit(code)).otherwise(bc), greatest(s, bs))
+    }
+    codeCol
+  }
+
+  /** Composite quality score in [0,1]: rewards reasonable length, function
+    * words, and mid-length tokens; penalizes very short docs. Weights are
+    * arbitrary-but-fixed (documented, reproducible).
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val meanLen = when(nTok > 0,
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / nTok).otherwise(lit(0.0))
+    val stop = stopwordRatio(toks, LangProfiles.flatMap(_._2).distinct)
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val wordScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + wordScore * 0.3 + least(stop * 5.0, lit(1.0)) * 0.3, 6)
+  }
+
+  /** Sketch fingerprint: md5 over the k lexicographically-smallest distinct
+    * shingle hashes (a winnowing-style content signature robust to small
+    * edits at the end of the document).
+    */
+  def sketchFingerprint(sh: Column, k: Int): Column =
+    md5(concat_ws("|", slice(array_sort(array_distinct(transform(sh, s => md5(s)))), 1, k)))
+}

@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+
+/** Training-data-pipeline operators (dedup / similarity search / text
+  * analysis / multimodal) over the `documents` and `embeddings` fixtures,
+  * each with a DuckDB oracle where SQL can express it.
+  *
+  * Portability conventions (shared with the oracles):
+  *   - tokens = whitespace split, empties dropped;
+  *   - all content hashes are md5 hex strings;
+  *   - all "randomness" (minhash perms, hyperplanes) derives from md5 via
+  *     ascii/bit arithmetic both engines compute identically;
+  *   - similarities are double-promoted per element, summed left-to-right,
+  *     rounded to 6 dp before any ordering.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // D1: exact dedup — canonical doc per normalized-text fingerprint.
+    "d1_exact_dedup" -> ((s, dir) => {
+      Catalog.documents(s, dir)
+        .groupBy(exactFingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
+        .orderBy(col("canonical_doc"))
+    }),
+
+    // D2: MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
+    // bucket-join; the shuffle key is the band signature, never O(n²)).
+    "d2_minhash_lsh" -> ((s, dir) => {
+      Dedup.lshCandidatePairs(Catalog.documents(s, dir))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // D3: 32-bit SimHash signature per document (row-local nested HOFs).
+    "d3_simhash" -> ((s, dir) => {
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(tokens(col("text"))).as("simhash"))
+        .withColumn("bucket", pmod(col("simhash"), lit(256L)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D4: n-gram Jaccard verification of the LSH candidates — the full
+    // near-dup pipeline (candidates ≥ 0.8 exact trigram Jaccard).
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Catalog.documents(s, dir), 0.8)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // D5: embedding-cosine near-dup pairs (brute-force exact variant;
+    // the LSH-bucketed scale path is v2/nearDupPairs with nPlanes>0).
+    "d5_embedding_neardup" -> ((s, dir) => {
+      SimilaritySearch.nearDupPairs(Catalog.embeddings(s, dir), 0.35, nPlanes = 0, dim = 64)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // V1: brute-force cosine top-10 for 5 query vectors (exact ANN baseline).
+    "v1_knn_brute" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // V2: LSH-bucketed ANN — 6 deterministic hyperplanes partition the
+    // corpus into ≤64 buckets; each query probes only its bucket.
+    "v2_knn_lsh" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 20), 5, nPlanes = 6, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // T1: token statistics (whitespace + regex token counting).
+    "t1_token_stats" -> ((s, dir) => {
+      Catalog.documents(s, dir)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(reTokens(col("text"))).cast("long").as("n_re_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T2: language-ID by function-word ratio (argmax over profiles,
+    // deterministic tiebreak).
+    "t2_lang_id" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          predictLang(toks).as("pred_lang"),
+          round(stopwordRatio(toks, LangProfiles.toMap.apply("en")), 6).as("en_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T3: quality scoring (length/token-shape/function-word composite).
+    "t3_quality_score" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      Catalog.documents(s, dir)
+        .select(col("doc_id"),
+          qualityScore(col("text"), toks).as("quality"),
+          size(toks).cast("long").as("n_tokens"))
+        .withColumn("low_quality", when(col("quality") < 0.5, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T4: document fingerprints — exact (normalized md5) and sketch
+    // (md5 of the 4 smallest distinct shingle hashes, winnowing-style).
+    "t4_fingerprint" -> ((s, dir) => {
+      Catalog.documents(s, dir)
+        .select(col("doc_id"),
+          exactFingerprint(col("text")).as("fp_exact"),
+          sketchFingerprint(shingles(tokens(col("text")), 3), 4).as("fp_sketch"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // M1: multimodal feature extraction — binary payload → batched
+    // partition-level decode (stubbed codec) → fixed-shape float features.
+    // No SQL oracle (binary + mapPartitions path): rows-only check +
+    // MultimodalSpec asserts determinism and shape.
+    "m1_media_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Catalog.documents(s, dir))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feat_sum"),
+          size(col("features")).cast("long").as("feat_dim"))
+        .orderBy(col("media_id"))
+    }),
+
+    // M2: video frame sampling — explode of sampled frame indexes with
+    // deterministic frame hashes (decode stubbed, plumbing real).
+    "m2_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Catalog.documents(s, dir))
+      Multimodal.sampleFrames(media, frameBytes = 100, step = 2)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"), col("frame_hash"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared SQL fragments (DuckDB 1.0): tokens / shingles / bit-of-md5. */
+  private val toksSql =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private def shinglesSql(toks: String) =
+    s"[array_to_string($toks[i:i+2], ' ') for i in range(1, len($toks)-1)]"
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_doc""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
+        |  FROM documents),
+        |mh AS (
+        |  SELECT doc_id,
+        |    [list_min([md5(CAST(p AS VARCHAR) || '|' || s) for s in sh]) for p in range(0, 12)] AS mhs
+        |  FROM sh WHERE len(sh) >= 1),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(mhs[b*4+1] || '|' || mhs[b*4+2] || '|' || mhs[b*4+3] || '|' || mhs[b*4+4]) AS sig
+        |  FROM mh CROSS JOIN range(0, 3) r(b))
+        |SELECT x.doc_id AS doc1, y.doc_id AS doc2, COUNT(*) AS n_bands
+        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+
+    "d3_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) >> (b % 4)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM (SELECT doc_id, h, b, ascii(substr(h, CAST(b // 4 AS INT) + 1, 1)) AS a
+        |        FROM h CROSS JOIN range(0, 32) r(b))
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) % 256 AS BIGINT) AS bucket
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
+        |  FROM documents),
+        |mh AS (
+        |  SELECT doc_id, sh,
+        |    [list_min([md5(CAST(p AS VARCHAR) || '|' || s) for s in sh]) for p in range(0, 12)] AS mhs
+        |  FROM sh WHERE len(sh) >= 1),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(mhs[b*4+1] || '|' || mhs[b*4+2] || '|' || mhs[b*4+3] || '|' || mhs[b*4+4]) AS sig
+        |  FROM mh CROSS JOIN range(0, 3) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |ds AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+        |j AS (
+        |  SELECT doc1, doc2,
+        |    ROUND(CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(x.shd, y.shd))), 6) AS jaccard
+        |  FROM cand JOIN ds x ON cand.doc1 = x.doc_id JOIN ds y ON cand.doc2 = y.doc_id)
+        |SELECT doc1, doc2, jaccard FROM j
+        |WHERE jaccard >= 0.8
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
+        |ORDER BY id1, id2""".stripMargin,
+
+    "v1_knn_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS sim
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, rank, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "v2_knn_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, [CASE WHEN (CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) & 1 = 1
+        |             THEN 1.0 ELSE -1.0 END
+        |             for a in [ascii(substr(md5(CAST(j AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)) for i in range(0, 64)]] AS p
+        |  FROM range(0, 6) r(j)),
+        |sigs AS (
+        |  SELECT vec_id, string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        |  FROM (
+        |    SELECT v.vec_id, planes.j,
+        |      list_sum(list_transform(range(1, 65), i -> v.v[i] * planes.p[i])) AS proj
+        |    FROM v CROSS JOIN planes)
+        |  GROUP BY vec_id),
+        |n AS (SELECT v.vec_id, sigs.bucket, v.v, sqrt(list_sum(list_transform(v.v, x -> x*x))) AS nrm
+        |      FROM v JOIN sigs USING (vec_id)),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS sim
+        |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20)
+        |SELECT query_id, bucket, rank, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+        |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_lang_id" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents),
+        |r AS (
+        |  SELECT doc_id, labeled_lang, len(toks) AS n,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','zu','ein'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','y','es','en','un'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','est','en','un'))) AS s_fr
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, labeled_lang,
+        |    CASE WHEN n > 0 THEN CAST(s_en AS DOUBLE)/n ELSE 0 END AS en,
+        |    CASE WHEN n > 0 THEN CAST(s_de AS DOUBLE)/n ELSE 0 END AS de,
+        |    CASE WHEN n > 0 THEN CAST(s_es AS DOUBLE)/n ELSE 0 END AS es,
+        |    CASE WHEN n > 0 THEN CAST(s_fr AS DOUBLE)/n ELSE 0 END AS fr
+        |  FROM r)
+        |SELECT doc_id, labeled_lang,
+        |  CASE
+        |    WHEN fr > greatest(es, de, en, 0) THEN 'fr'
+        |    WHEN es > greatest(de, en, 0) THEN 'es'
+        |    WHEN de > greatest(en, 0) THEN 'de'
+        |    WHEN en > 0 THEN 'en'
+        |    ELSE 'und' END AS pred_lang,
+        |  ROUND(en, 6) AS en_ratio
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t3_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n,
+        |    CASE WHEN len(toks) > 0
+        |      THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+        |      ELSE 0 END AS mean_len,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in',
+        |        'der','die','das','und','ist','zu','ein','el','la','de','y','es','en','un',
+        |        'le','et','est'))) AS DOUBLE) / len(toks)
+        |      ELSE 0 END AS stop
+        |  FROM t)
+        |SELECT doc_id,
+        |  ROUND(least(n/50.0, 1.0)*0.4 +
+        |        (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END)*0.3 +
+        |        least(stop*5.0, 1.0)*0.3, 6) AS quality,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN ROUND(least(n/50.0, 1.0)*0.4 +
+        |        (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END)*0.3 +
+        |        least(stop*5.0, 1.0)*0.3, 6) < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS low_quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, text, ${shinglesSql(toksSql)} AS sh FROM documents)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_exact,
+        |  md5(array_to_string(list_sort(list_distinct(list_transform(sh, s -> md5(s))))[1:4], '|')) AS fp_sketch
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "m2_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |frames AS (
+        |  SELECT media_id, n_bytes // 100 + 1 AS n_frames FROM media WHERE kind = 'video')
+        |SELECT media_id, n_frames, frame_idx,
+        |  md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+        |FROM (SELECT media_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx FROM frames)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+  )
+}

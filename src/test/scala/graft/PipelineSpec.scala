@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Behavioral tests for the dedup / similarity operators on constructed
+  * data where ground truth is known (the oracle queries check engine
+  * parity; these check the algorithms do what they claim).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire every single day"
+
+  test("LSH recovers a planted near-duplicate pair and skips unrelated docs") {
+    // one appended token → 18/19 shingle jaccard; this fixed pair collides
+    // in 2 of 3 bands (md5 is deterministic, so the test is too)
+    val nearDup = base + " postscript"
+    val docs = docsDf(Seq(
+      1L -> base, 2L -> nearDup,
+      3L -> "completely different content about spark catalyst optimizer rules and physical plans here today",
+      4L -> "yet another unrelated document mentioning shuffle partitions broadcast joins and codegen stages now"))
+    val pairs = Dedup.lshCandidatePairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs confirms the planted pair above threshold") {
+    val nearDup = base + " postscript"
+    val docs = docsDf(Seq(1L -> base, 2L -> nearDup,
+      3L -> "completely different content about spark catalyst optimizer rules and physical plans here today"))
+    val out = Dedup.ngramJaccardPairs(docs, 0.5).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (1L, 2L))
+    assert(out(0).getDouble(2) > 0.5 && out(0).getDouble(2) < 1.0)
+  }
+
+  test("simhash: near-identical docs are close in hamming distance, unrelated docs far") {
+    val docs = docsDf(Seq(
+      1L -> base, 2L -> base.replace("warm", "hot"),
+      3L -> "totally disjoint vocabulary discussing histogram profiles anomaly detection network flows telemetry"))
+    val sh = docs.select(col("doc_id"), Dedup.simhash(tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(ham(sh(1L), sh(2L)) <= 6) // 1-word edit flips few bits of 32
+    // and the Column hammingDistance agrees with bitCount
+    import spark.implicits._
+    val hd = Seq((sh(1L), sh(3L))).toDF("a", "b")
+      .select(Dedup.hammingDistance(col("a"), col("b"))).head().getLong(0)
+    assert(hd == ham(sh(1L), sh(3L)))
+  }
+
+  test("exact fingerprint ignores case and whitespace runs") {
+    val docs = docsDf(Seq(1L -> "Hello   World", 2L -> "hello world ", 3L -> "hello worlds"))
+    val fps = docs.select(exactFingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("brute-force kNN ranks an identical vector first") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val corpus = Seq(
+      (10L, v.toSeq), (11L, v.map(_ * 2f).toSeq), // same direction → cos 1
+      (12L, v.map(x => -x).toSeq), // opposite → cos -1
+      (13L, Array.tabulate(8)(i => if (i == 0) 1f else 0f).toSeq),
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, v.toSeq)).toDF("vec_id", "embedding")
+    val top = SimilaritySearch.bruteForceTopK(corpus, queries, 3).collect()
+    assert(top(0).getLong(2) == 11L && top(0).getDouble(3) == 1.0) // rank 1: scaled copy
+    assert(top.last.getLong(2) == 12L && top.last.getDouble(3) == -1.0)
+  }
+
+  test("LSH ANN buckets: identical-direction vectors share a bucket; results ⊆ brute-force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 50L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val planes = hyperplaneSigns(4, 16)
+    val buckets = corpus.select(col("vec_id"), lshBucket(col("embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(buckets.values.toSet.size > 1) // actually partitions the space
+    val qs = corpus.filter(col("vec_id") < 3)
+    val lsh = SimilaritySearch.lshTopK(corpus, qs, 5, 4, 16).collect()
+    lsh.foreach { r => // every LSH neighbor shares its query's bucket
+      assert(buckets(r.getLong(3)) == buckets(r.getLong(0)))
+    }
+  }
+
+  test("language-ID scores function words deterministically") {
+    val docs = docsDf(Seq(
+      1L -> "the cat is on the mat and the dog is in the house",
+      2L -> "der hund ist gross und die katze ist klein zu hause",
+      3L -> "zzz qqq www")) // no function words → und
+    val out = docs.select(col("doc_id"), predictLang(tokens(col("text")))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
+  }
+}

@@ -24,6 +24,7 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (HistogramQueries.queries, HistogramQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
+      (ScalarQueries.queries, ScalarQueries.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+import graft.functions.NetFunctions._
+
+/** SURVEY §2.8 scalar-function surface not yet covered by round-1 queries:
+  * haversine (F2), humanBytes (F3), IP sentinel (F5), string ops (F8),
+  * UA parsing (P8), and the longest-prefix-match join (J2's TreeSet
+  * matcher, rebuilt as a scalable prefix-length join).
+  *
+  * All inputs are synthesized deterministically from fixture key columns
+  * so both engines construct identical values.
+  */
+object ScalarQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // F2: haversine over "lat,lon" coordinate strings incl. the 9.99e8
+    // malformed-input sentinel (HogGeograph.scala:35-58). Distances are
+    // rounded to 4 dp (0.1 m) — libm sin/cos may differ by an ulp across
+    // engines.
+    "f2_haversine" -> ((s, dir) => {
+      val lat = (col("c_custkey") % 170 - 85).cast("double") + 0.5
+      val lon = (col("c_custkey") % 350 - 175).cast("double") + 0.25
+      Catalog.customer(s, dir)
+        .withColumn("coords",
+          when(col("c_custkey") % 97 === 0, lit("garbled"))
+            .otherwise(concat_ws(",", lat.cast("string"), lon.cast("string"))))
+        .select(col("c_custkey"), col("coords"),
+          round(haversineCoords(col("coords"), lit("-23.5,-46.25")), 4).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F3: humanBytes pretty-printer with exact power-of-1024 unit
+    // boundaries (HogSFlow.scala:744-752).
+    "f3_human_bytes" -> ((s, dir) => {
+      val small = col("o_totalprice") / 997.0
+      val big = col("o_totalprice") * 997.0
+      Catalog.orders(s, dir)
+        .select(col("o_orderkey"),
+          humanBytes(small).as("hb_small"),
+          humanBytes(big).as("hb_big"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F5: IPv6/bogus → sentinel normalization (HogEvent.scala:44-58).
+    "f5_ip_sentinel" -> ((s, dir) => {
+      val ip = when(col("c_custkey") % 10 === 0, concat(lit("fe80::"), col("c_custkey")))
+        .when(col("c_custkey") % 10 === 1, lit("not-an-ip"))
+        .otherwise(concat_ws(".",
+          (col("c_custkey") % 223 + 1).cast("string"), (col("c_custkey") % 256).cast("string"),
+          (col("c_nationkey") % 256).cast("string"), lit("9")))
+      Catalog.customer(s, dir)
+        .select(col("c_custkey"), ip.as("ip"), ipOrSentinel(ip).as("ip_norm"),
+          when(ipOrSentinel(ip) === ip, significantNetwork(ip)).as("net24"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F8: the reference's string-op toolbox — split/startsWith/endsWith/
+    // substring/replace/trim/concat_ws (HogFeature.scala:15-21 et al.).
+    "f8_string_ops" -> ((s, dir) => {
+      val kv = concat(col("c_mktsegment"), lit(":"), col("c_name"))
+      val phone = concat((col("c_nationkey") + 10).cast("string"), lit("-"),
+        (col("c_custkey") % 9000 + 1000).cast("string"))
+      Catalog.customer(s, dir)
+        .select(col("c_custkey"),
+          split(kv, ":").getItem(0).as("seg"),
+          split(kv, ":").getItem(1).as("name_part"),
+          col("c_name").startsWith("Customer#0000").cast("int").as("has_prefix"),
+          phone.endsWith("7").cast("int").as("phone_ends_7"),
+          trim(regexp_replace(col("c_name"), "Customer#", "")).as("id_str"),
+          concat_ws("|", col("c_mktsegment"), phone.substr(1, 2)).as("seg_cc"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // P8: user-agent family extraction by regex groups (the reference
+    // wraps uaparser, HogAuth.scala:293-298; regex extraction is the
+    // no-external-model equivalent).
+    "p8_ua_parse" -> ((s, dir) => {
+      val os = when(col("c_nationkey") % 3 === 0, "Windows NT 10.0")
+        .when(col("c_nationkey") % 3 === 1, "Macintosh")
+        .otherwise("X11; Linux x86_64")
+      val browser = when(col("c_custkey") % 2 === 0, "Chrome/91.0.4472").otherwise("Firefox/89.0")
+      val ua = concat(lit("Mozilla/5.0 ("), os, lit(") "), browser)
+      Catalog.customer(s, dir)
+        .select(col("c_custkey"), ua.as("ua"),
+          regexp_extract(ua, "\\((Windows|Macintosh|X11)", 1).as("os_family"),
+          regexp_extract(ua, "(Chrome|Firefox)/", 1).as("browser_family"),
+          regexp_extract(ua, "(Chrome|Firefox)/([0-9]+)", 2).as("browser_major"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2: longest-prefix-match join (TreeSet matcher HogSFlow.scala:2770-2781
+    // → explode-by-dictionary-length + broadcast equi-join; scales to any
+    // fact size with zero fact-side shuffle).
+    "j8_longest_prefix" -> ((s, dir) => {
+      val sPhone = concat((col("s_nationkey") + 10).cast("string"), lit("-"),
+        (col("s_suppkey") % 9000 + 1000).cast("string"))
+      val cPhone = concat((col("c_nationkey") + 10).cast("string"), lit("-"),
+        (col("c_custkey") % 9000 + 1000).cast("string"))
+      val sup = Catalog.supplier(s, dir).withColumn("s_phone", sPhone)
+      val dict = sup.filter(col("s_suppkey") % 3 === 0).select(col("s_phone").substr(1, 3).as("prefix"))
+        .union(sup.filter(col("s_suppkey") % 3 === 1).select(col("s_phone").substr(1, 6).as("prefix")))
+        .distinct()
+      val keys = Catalog.customer(s, dir).select(col("c_custkey"), cPhone.as("c_phone"))
+      longestPrefixJoin(keys, "c_phone", dict)
+        .orderBy(col("c_custkey"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f2_haversine" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 97 = 0 THEN 'garbled'
+        |         ELSE CAST(CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.5 AS VARCHAR) || ',' ||
+        |              CAST(CAST(c_custkey % 350 - 175 AS DOUBLE) + 0.25 AS VARCHAR) END AS coords,
+        |    CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.5 AS lat1,
+        |    CAST(c_custkey % 350 - 175 AS DOUBLE) + 0.25 AS lon1
+        |  FROM customer)
+        |SELECT c_custkey, coords,
+        |  CASE WHEN c_custkey % 97 = 0 THEN 999000000.0
+        |       ELSE ROUND(2 * 6372.8 * asin(sqrt(
+        |         pow(sin(radians(-23.5 - lat1) / 2), 2) +
+        |         pow(sin(radians(-46.25 - lon1) / 2), 2) * cos(radians(lat1)) * cos(radians(-23.5)))), 4)
+        |  END AS dist_km
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "f3_human_bytes" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice / 997.0 AS s, o_totalprice * 997.0 AS b FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN s < 1024 THEN CAST(CAST(floor(s) AS BIGINT) AS VARCHAR) || 'B'
+        |       WHEN s < 1048576 THEN printf('%.1fKB', s / 1024.0)
+        |       WHEN s < 1073741824 THEN printf('%.1fMB', s / 1048576.0)
+        |       ELSE printf('%.1fGB', s / 1073741824.0) END AS hb_small,
+        |  CASE WHEN b < 1024 THEN CAST(CAST(floor(b) AS BIGINT) AS VARCHAR) || 'B'
+        |       WHEN b < 1048576 THEN printf('%.1fKB', b / 1024.0)
+        |       WHEN b < 1073741824 THEN printf('%.1fMB', b / 1048576.0)
+        |       ELSE printf('%.1fGB', b / 1073741824.0) END AS hb_big
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "f5_ip_sentinel" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'fe80::' || CAST(c_custkey AS VARCHAR)
+        |         WHEN c_custkey % 10 = 1 THEN 'not-an-ip'
+        |         ELSE CAST(c_custkey % 223 + 1 AS VARCHAR) || '.' || CAST(c_custkey % 256 AS VARCHAR)
+        |              || '.' || CAST(c_nationkey % 256 AS VARCHAR) || '.9' END AS ip
+        |  FROM customer),
+        |n AS (
+        |  SELECT c_custkey, ip,
+        |    CASE WHEN contains(ip, ':') THEN '255.255.6.6'
+        |         WHEN regexp_full_match(ip, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+') THEN ip
+        |         ELSE '255.255.1.1' END AS ip_norm
+        |  FROM t)
+        |SELECT c_custkey, ip, ip_norm,
+        |  CASE WHEN ip_norm = ip THEN
+        |    split_part(ip,'.',1) || '.' || split_part(ip,'.',2) || '.' || split_part(ip,'.',3)
+        |  END AS net24
+        |FROM n ORDER BY c_custkey""".stripMargin,
+
+    "f8_string_ops" ->
+      """WITH t AS (
+        |  SELECT *, CAST(c_nationkey + 10 AS VARCHAR) || '-' ||
+        |            CAST(c_custkey % 9000 + 1000 AS VARCHAR) AS phone
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  string_split(c_mktsegment || ':' || c_name, ':')[1] AS seg,
+        |  string_split(c_mktsegment || ':' || c_name, ':')[2] AS name_part,
+        |  CAST(starts_with(c_name, 'Customer#0000') AS INT) AS has_prefix,
+        |  CAST(ends_with(phone, '7') AS INT) AS phone_ends_7,
+        |  trim(replace(c_name, 'Customer#', '')) AS id_str,
+        |  c_mktsegment || '|' || substr(phone, 1, 2) AS seg_cc
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "p8_ua_parse" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    'Mozilla/5.0 (' ||
+        |    CASE WHEN c_nationkey % 3 = 0 THEN 'Windows NT 10.0'
+        |         WHEN c_nationkey % 3 = 1 THEN 'Macintosh'
+        |         ELSE 'X11; Linux x86_64' END || ') ' ||
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'Chrome/91.0.4472' ELSE 'Firefox/89.0' END AS ua
+        |  FROM customer)
+        |SELECT c_custkey, ua,
+        |  regexp_extract(ua, '\((Windows|Macintosh|X11)', 1) AS os_family,
+        |  regexp_extract(ua, '(Chrome|Firefox)/', 1) AS browser_family,
+        |  regexp_extract(ua, '(Chrome|Firefox)/([0-9]+)', 2) AS browser_major
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "j8_longest_prefix" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, CAST(s_nationkey + 10 AS VARCHAR) || '-' ||
+        |         CAST(s_suppkey % 9000 + 1000 AS VARCHAR) AS s_phone
+        |  FROM supplier),
+        |dict AS (
+        |  SELECT DISTINCT prefix FROM (
+        |    SELECT substr(s_phone, 1, 3) AS prefix FROM sup WHERE s_suppkey % 3 = 0
+        |    UNION ALL
+        |    SELECT substr(s_phone, 1, 6) AS prefix FROM sup WHERE s_suppkey % 3 = 1)),
+        |keys AS (
+        |  SELECT c_custkey, CAST(c_nationkey + 10 AS VARCHAR) || '-' ||
+        |         CAST(c_custkey % 9000 + 1000 AS VARCHAR) AS c_phone
+        |  FROM customer)
+        |SELECT k.c_custkey, k.c_phone, arg_max(d.prefix, length(d.prefix)) AS best_prefix
+        |FROM keys k LEFT JOIN dict d ON starts_with(k.c_phone, d.prefix)
+        |GROUP BY k.c_custkey, k.c_phone
+        |ORDER BY k.c_custkey""".stripMargin,
+  )
+}

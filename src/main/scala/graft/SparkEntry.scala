@@ -25,6 +25,7 @@ object SparkEntry {
       (HistogramQueries.queries, HistogramQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
       (ScalarQueries.queries, ScalarQueries.oracles),
+      (StreamingQueries.queries, StreamingQueries.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.EventRow
+
+/** SURVEY §2.10 — streaming semantics, made oracle-checkable by draining
+  * real streaming queries (file source → Trigger.AvailableNow → memory
+  * sink) and hash-comparing the drained table against DuckDB computing the
+  * same result relationally. The plumbing (readStream, stateful
+  * flatMapGroupsWithState, output modes) is the genuine streaming path.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ST1 (T3/T5/S9): tumbling-window aggregation on a stream, complete
+    // output mode (all windows emitted when the source drains).
+    "st1_stream_window" -> ((s, dir) => {
+      val stream = StreamingJobs.eventsStream(s, dir)
+      StreamingJobs.runToTable(s, StreamingJobs.windowedTypeCounts(stream), OutputMode.Complete)
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }),
+
+    // ST2 (T2/S8): stateful learn-then-alert keyed by user — the
+    // reference's cold-start gate (first 10 observations learn-only,
+    // HogAuth.scala:349) then alert on never-seen event types.
+    "st2_stateful_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val stream = StreamingJobs.eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[EventRow]
+      StreamingJobs.runToTable(s, StreamingJobs.learnThenAlert(stream, 10)(s).toDF(),
+        OutputMode.Append)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+        |  event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS value_sum
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "st2_stateful_alerts" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (
+        |  SELECT *, MIN(rn) OVER (PARTITION BY user_id, event_type) AS first_rn FROM r)
+        |SELECT user_id, event_id, event_type
+        |FROM f WHERE rn > 10 AND rn = first_rn
+        |ORDER BY user_id, event_id""".stripMargin,
+  )
+}

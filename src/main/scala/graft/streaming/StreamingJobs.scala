@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.core.Histogram
+
+/** Structured Streaming rebuild of the reference's incremental modes
+  * (SURVEY §2.10):
+  *
+  *  - the 10-second scan→process→delete loop over the auth table
+  *    (`HogzillaContinuous.scala:53-58`) becomes a checkpointed streaming
+  *    source + `foreachBatch` — exactly-once instead of read-then-delete;
+  *  - the per-record learn-then-alert profile update
+  *    (`HogAuth.scala:348-432`) becomes `flatMapGroupsWithState` with the
+  *    core [[graft.core.Histogram]] as the state type;
+  *  - the DStream word-count skeleton (`HogzillaStream.scala:56-63`)
+  *    becomes `readStream` → `groupBy(window(...))` aggregation.
+  *
+  * Each transform is a pure `DataFrame → DataFrame` so the same code runs
+  * on a batch frame (testing, backfill) and a streaming frame.
+  */
+object StreamingJobs {
+
+  case class EventRow(user_id: Long, event_id: Long, event_type: String, ts_ms: Long)
+  case class Alert(user_id: Long, event_id: Long, event_type: String)
+
+  /** The events table as a streaming source (file source; at scale this is
+    * a date-partitioned directory and the source tails new partitions).
+    * Same nanos→micros reconstruction as the batch Catalog reader.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a directory; the fixture is a single file, so
+    // stage a symlink directory next to it (cheap, idempotent)
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_events_stream_" + dir.hashCode.toHexString)
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** T3/T5: tumbling-window per-type counts. Runs identically on batch and
+    * stream inputs; on a stream, pair with a watermark for state eviction.
+    */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("value_sum"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** T2: per-user learn-then-alert (the reference's HIST20-22 auth
+    * profiling): the first `minObs` observations only learn; after that an
+    * event type never seen before for this user raises an alert (and is
+    * then learned). State is the core Histogram — the same profile type
+    * the batch ProfileStore persists.
+    *
+    * Events inside a group are processed in (ts, event_id) order so
+    * results are deterministic regardless of shuffle arrival order.
+    */
+  def learnThenAlert(events: Dataset[EventRow], minObs: Int)(
+      implicit spark: SparkSession): Dataset[Alert] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Histogram, Alert](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId: Long, rows: Iterator[EventRow], state: GroupState[Histogram]) =>
+          var h = state.getOption.getOrElse(Histogram(s"HIST20-$userId", 0L, Map.empty))
+          val alerts = Seq.newBuilder[Alert]
+          rows.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            if (h.size >= minObs && !h.buckets.contains(e.event_type))
+              alerts += Alert(userId, e.event_id, e.event_type)
+            h = Histogram(h.name, h.size + 1,
+              h.buckets.updated(e.event_type, h.buckets.getOrElse(e.event_type, 0.0) + 1.0))
+          }
+          state.update(h)
+          alerts.result().iterator
+      }
+  }
+
+  /** S8/T1: micro-batch consume — the checkpointed replacement for the
+    * reference's read-then-delete queue. `handler` sees each micro-batch
+    * exactly once (e.g. ProfileStore.update + alert append).
+    */
+  def consumeMicroBatches(stream: DataFrame, intervalSecs: Int)(
+      handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(s"$intervalSecs seconds"))
+      .foreachBatch(handler)
+      .start()
+
+  /** Drain a streaming DataFrame through a memory sink with
+    * Trigger.AvailableNow (process everything currently in the source,
+    * then stop) and return the result table — turns a streaming pipeline
+    * into an oracle-checkable batch result.
+    */
+  def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{Alert, EventRow}
+
+/** Streaming semantics on controlled in-memory sources: incremental
+  * arrival across micro-batches, state persistence between batches, and
+  * the foreachBatch consume pattern.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("learnThenAlert keeps state across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val source = MemoryStream[EventRow](spark, 1)
+    // batch 1: 10 observations of type A (learn-only, no alerts)
+    source.addData((1L to 10L).map(i => EventRow(7L, i, "A", i * 1000)): _*)
+    val sink = "alerts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingJobs.learnThenAlert(source.toDS(), 10).toDF()
+      .writeStream.format("memory").queryName(sink).outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(spark.table(sink).count() == 0) // cold start: learn only
+    // batch 2: known type A → silent; novel type B → alert (state carried over)
+    source.addData(EventRow(7L, 11L, "A", 11000), EventRow(7L, 12L, "B", 12000))
+    q.processAllAvailable()
+    val alerts = spark.table(sink).as[Alert].collect()
+    assert(alerts.toSeq == Seq(Alert(7L, 12L, "B")))
+    // batch 3: B is now learned → no further alert for B
+    source.addData(EventRow(7L, 13L, "B", 13000))
+    q.processAllAvailable()
+    assert(spark.table(sink).count() == 1)
+    q.stop()
+  }
+
+  test("windowedTypeCounts over a stream matches the batch computation") {
+    import spark.implicits._
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 2)
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:15:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:45:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 11:05:00"), "view", 3.0))
+    source.addData(rows: _*)
+    val stream = source.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingJobs.runToTable(spark,
+      StreamingJobs.windowedTypeCounts(stream), OutputMode.Complete)
+    val got = out.orderBy("window_start_ms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = StreamingJobs.windowedTypeCounts(rows.toDF("ts", "event_type", "value"))
+      .orderBy("window_start_ms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == batch.toSeq)
+    assert(got.length == 2 && got(0)._3 == 2L) // two clicks in the 10:00 window
+  }
+
+  test("consumeMicroBatches sees each batch exactly once (queue semantics)") {
+    import spark.implicits._
+    val source = MemoryStream[(Long, String)](spark, 3)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, rows)
+    val q = StreamingJobs.consumeMicroBatches(source.toDF().toDF("id", "v"), 1) {
+      (batch, id) => seen.synchronized { seen += ((id, batch.count())) }
+    }
+    source.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    source.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val counts = seen.synchronized(seen.filter(_._2 > 0).map(_._2).toSeq)
+    assert(counts == Seq(2L, 1L)) // each record consumed exactly once
+  }
+
+  test("word-count stream (the reference's DStream skeleton) on a socket-like source") {
+    import spark.implicits._
+    val source = MemoryStream[String](spark, 4)
+    source.addData("spark streams words", "spark counts words")
+    val counts = StreamingJobs.runToTable(spark,
+      source.toDF().select(explode(split(col("value"), " ")).as("word"))
+        .groupBy("word").count(),
+      OutputMode.Complete)
+    val m = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("spark" -> 2L, "streams" -> 1L, "counts" -> 1L, "words" -> 2L))
+  }
+}

@@ -26,6 +26,7 @@ object SparkEntry {
       (PipelineQueries.queries, PipelineQueries.oracles),
       (ScalarQueries.queries, ScalarQueries.oracles),
       (StreamingQueries.queries, StreamingQueries.oracles),
+      (MlQueries.queries, MlQueries.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's ML surface (SURVEY §2.9) on the modern `spark.ml`
+  * pipeline API — all models seeded for reproducibility (the reference
+  * relied on default random init, HogDNS.scala:204-208; SURVEY §7.4 calls
+  * out seeding as a required determinism fix).
+  */
+object Models {
+
+  /** M1/M2/M5: z-normalized K-Means with the reference's cluster-taint
+    * rule (HogDNS.scala:112-324): a cluster is "tainted" when it is small
+    * (count < taintFraction·N) and dirty (mean of `dirtyCol` ≥
+    * minDirtyRate). Returns the input plus (prediction, tainted).
+    */
+  def kmeansFlagger(
+      df: DataFrame, featureCols: Seq[String], dirtyCol: String,
+      k: Int, seed: Long = 42L,
+      taintFraction: Double = 0.05, minDirtyRate: Double = 0.001): DataFrame = {
+    val pipeline = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("rawFeatures"),
+      new StandardScaler().setInputCol("rawFeatures").setOutputCol("features")
+        .setWithMean(true).setWithStd(true), // A9's z-normalization (HogDNS.scala:168-199)
+      new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").setPredictionCol("prediction"),
+    ))
+    val out = pipeline.fit(df).transform(df)
+    val n = out.count()
+    val taints = out.groupBy(col("prediction"))
+      .agg(count(lit(1)).as("cluster_n"), avg(col(dirtyCol)).as("dirty_rate"))
+      .withColumn("tainted",
+        (col("cluster_n") < taintFraction * n && col("dirty_rate") >= minDirtyRate).cast("int"))
+    out.join(broadcast(taints), Seq("prediction"))
+  }
+
+  /** M3: K-Means over histogram profiles (HogSFlowHistograms.scala:107-265):
+    * buckets above `minWeight` form the vocabulary; each profile becomes a
+    * dense vector of bucket frequencies ×100; members get their Euclidean
+    * distance to the centroid. Input needs (key, buckets: map<string,double>).
+    * The vocabulary is collected to the driver — it is the union of
+    * significant bucket names (ports in the reference), small by
+    * construction, and becomes a broadcast literal in the row-local
+    * vectorizer.
+    */
+  def histogramKMeans(hist: DataFrame, k: Int, seed: Long = 42L,
+      minWeight: Double = 0.001): DataFrame = {
+    val vocab: Seq[String] = hist
+      .select(explode(map_keys(map_filter(col("buckets"), (_, v) => v > minWeight))).as("b"))
+      .distinct().orderBy(col("b")).collect().map(_.getString(0)).toSeq
+    val toVec = udf { (m: Map[String, Double]) =>
+      Vectors.dense(vocab.map(b => m.getOrElse(b, 0.0) * 100).toArray)
+    }
+    val vecd = hist.withColumn("features", toVec(col("buckets")))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("prediction")
+      .fit(vecd)
+    val centers = model.clusterCenters
+    val dist = udf { (v: Vector, c: Int) => math.sqrt(Vectors.sqdist(v, centers(c))) }
+    model.transform(vecd).withColumn("distance", dist(col("features"), col("prediction")))
+  }
+
+  /** M4: the Snort-style supervised detector (HogSnort.scala:183-232):
+    * StringIndexer per categorical column (+"IDX"), VectorAssembler, then
+    * a seeded RandomForest. Rows with label < 0 (the reference's "discard"
+    * class, P6) train nothing and get predictions only.
+    */
+  def randomForestLabeler(
+      df: DataFrame, labelCol: String, catCols: Seq[String], numCols: Seq[String],
+      numTrees: Int = 100, maxDepth: Int = 10, seed: Long = 42L): DataFrame = {
+    val indexers = catCols.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(c + "IDX").setHandleInvalid("keep"))
+    val assembler = new VectorAssembler()
+      .setInputCols((numCols ++ catCols.map(_ + "IDX")).toArray).setOutputCol("rawFeatures")
+    val rf = new RandomForestClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("rawFeatures").setPredictionCol("prediction")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .setImpurity("gini")
+    val pipeline = new Pipeline().setStages((indexers :+ assembler :+ rf).toArray)
+    val train = df.filter(col(labelCol) >= 0) // U1: labeled union only
+    val model = pipeline.fit(train)
+    model.transform(df)
+  }
+
+  /** Probability of the predicted class as a plain double column. */
+  def predictionConfidence(scored: DataFrame): DataFrame =
+    scored.withColumn("confidence",
+      element_at(vector_to_array(col("probability")), col("prediction").cast("int") + 1))
+}

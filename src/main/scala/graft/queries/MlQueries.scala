@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+import graft.functions.HistogramFunctions
+import graft.ml.Models
+
+/** SURVEY §2.9 — ML operators as queries. No DuckDB oracle (model
+  * internals aren't SQL), so the driver records rows-only checks; MLSpec
+  * carries the behavioral assertions. Outputs are aggregate shapes
+  * (cluster/class sizes) so row counts stay stable across partitionings.
+  */
+object MlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // M1/M2/M5: z-scaled seeded K-Means + taint rule over per-customer
+    // order features (the DNS/HTTP detector shape).
+    "ml1_kmeans_taint" -> ((s, dir) => {
+      val feats = Catalog.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("spend"),
+          count(lit(1)).cast("double").as("n_orders"),
+          avg(col("o_totalprice")).as("avg_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .withColumn("dirty", (col("o_custkey") % 50 === 0).cast("double"))
+      Models.kmeansFlagger(feats, Seq("spend", "n_orders", "avg_price", "max_price"),
+          "dirty", k = 8)
+        .groupBy(col("prediction"), col("tainted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prediction"))
+    }),
+
+    // M3: K-Means over histogram profiles (per-customer priority mix —
+    // the port-histogram clustering shape) with centroid distances.
+    "ml2_histogram_kmeans" -> ((s, dir) => {
+      val hist = HistogramFunctions.buildHistogram(
+        Catalog.orders(s, dir)
+          .groupBy(col("o_custkey").as("k"), col("o_orderpriority").as("bucket"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("k"))
+      Models.histogramKMeans(hist, k = 5)
+        .groupBy(col("prediction"))
+        .agg(count(lit(1)).as("n"), round(avg(col("distance")), 4).as("avg_dist"))
+        .orderBy(col("prediction"))
+    }),
+
+    // M4+P6+U1: 3-way label assignment, train on labeled subset, predict
+    // everywhere (the Snort RandomForest detector shape).
+    "ml3_rf_predict" -> ((s, dir) => {
+      val labeled = Catalog.orders(s, dir)
+        .withColumn("label",
+          when(col("o_orderstatus") === "F", 1.0)
+            .when(col("o_orderstatus") === "O", 0.0)
+            .otherwise(-1.0))
+      Models.randomForestLabeler(labeled, "label",
+          catCols = Seq("o_orderpriority"), numCols = Seq("o_totalprice"),
+          numTrees = 20, maxDepth = 5)
+        .groupBy(col("label"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("prediction"))
+    }),
+  )
+
+  /** ML outputs have no SQL-expressible oracle. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -31,7 +31,10 @@ object Models {
         .setWithMean(true).setWithStd(true), // A9's z-normalization (HogDNS.scala:168-199)
       new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").setPredictionCol("prediction"),
     ))
-    val out = pipeline.fit(df).transform(df)
+    // the input feeds 3 stage fits + transform + stats: cache it so the
+    // upstream aggregation isn't recomputed per pass
+    df.cache()
+    val out = pipeline.fit(df).transform(df).cache()
     val n = out.count()
     val taints = out.groupBy(col("prediction"))
       .agg(count(lit(1)).as("cluster_n"), avg(col(dirtyCol)).as("dirty_rate"))
@@ -51,6 +54,7 @@ object Models {
     */
   def histogramKMeans(hist: DataFrame, k: Int, seed: Long = 42L,
       minWeight: Double = 0.001): DataFrame = {
+    hist.cache() // feeds vocab collect + fit + transform
     val vocab: Seq[String] = hist
       .select(explode(map_keys(map_filter(col("buckets"), (_, v) => v > minWeight))).as("b"))
       .distinct().orderBy(col("b")).collect().map(_.getString(0)).toSeq
@@ -83,6 +87,7 @@ object Models {
       .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
       .setImpurity("gini")
     val pipeline = new Pipeline().setStages((indexers :+ assembler :+ rf).toArray)
+    df.cache() // feeds indexer fits + RF fit + final transform
     val train = df.filter(col(labelCol) >= 0) // U1: labeled union only
     val model = pipeline.fit(train)
     model.transform(df)

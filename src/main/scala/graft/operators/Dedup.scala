@@ -24,27 +24,53 @@ object Dedup {
   val NumBands = 3 //  → 4 rows per band; P(candidate) = 1-(1-j^4)^3
   val SimHashBits = 32
 
-  /** MinHash value for permutation `p`: min over shingles of
-    * md5(p + "|" + shingle). A keyed md5 is a fine stand-in for a random
-    * permutation of the shingle universe (public MinHash construction).
+  /** Universal-hash modulus (prime 2^31−1): keeps every product below
+    * 2^62 so the arithmetic never overflows a 64-bit long in either
+    * engine (DuckDB raises on overflow; the JVM would silently wrap).
     */
-  def minhash(sh: Column, p: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(p.toString), lit("|"), s))))
+  val HashMod = 2147483647L
+
+  /** Fixed (a, b) multiplier/offset pairs — the 12 MinHash "permutations"
+    * h_p(x) = (a_p·x + b_p) mod HashMod over the shared 60-bit content
+    * hash. Arbitrary odd constants, inlined identically in the oracle SQL.
+    */
+  val Perms: Seq[(Long, Long)] = Seq(
+    (1664525L, 1013904223L), (22695477L, 1L), (1103515245L, 12345L),
+    (134775813L, 1L), (214013L, 2531011L), (69069L, 0L),
+    (1103515245L, 386910293L), (48271L, 0L), (16807L, 552265445L),
+    (1313057L, 777777777L), (100000037L, 999999999L), (630360016L, 123456789L))
+
+  /** Portable 60-bit content hash, reduced mod HashMod: the first 15 hex
+    * chars of md5, parsed as an integer (Spark `conv`, DuckDB
+    * `('0x'||…)::BIGINT`). ONE md5 per shingle — the 12 permutation
+    * values derive arithmetically, which is 12× fewer digest calls than
+    * hashing (perm, shingle) pairs.
+    */
+  def contentHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashMod
 
   /** (doc_id, band, sig): one row per LSH band; docs sharing (band, sig)
     * are near-dup candidates. Input df must have (doc_id, text).
+    *
+    * Shape note: shingles EXPLODE to rows and the 12 permutation minimums
+    * are plain `min()` hash aggregates — everything stays inside
+    * whole-stage codegen. (The row-local alternative, `array_min` over
+    * `transform` lambdas, is interpreted per element and benches ~5×
+    * slower at 400k shingles.) Docs with zero shingles drop out naturally.
     */
   def lshBands(df: DataFrame): DataFrame = {
-    val sh = shingles(tokens(col("text")), ShingleSize)
-    val mhs = array((0 until NumPerms).map(p => minhash(col("sh"), p)): _*)
+    val exploded = df
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), ShingleSize)).as("s"))
+      .withColumn("h", contentHash(col("s")))
+    val minAggs = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % HashMod).as(s"mh$i")
+    }
+    val mh = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until 4).map(r => col("mhs")(b * 4 + r)): _*)).as("sig"))
+        concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
     }
-    df.withColumn("sh", sh)
-      .filter(size(col("sh")) >= 1)
-      .withColumn("mhs", mhs)
-      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+    mh.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
@@ -69,17 +95,20 @@ object Dedup {
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Exact n-gram Jaccard verification of candidate pairs: joins the
-    * distinct-shingle sets back to both sides (detail join is per
-    * candidate pair — tiny after LSH) and keeps pairs ≥ `minJaccard`.
+  /** Exact n-gram Jaccard verification of candidate pairs. The candidate
+    * set is tiny after LSH, so the raw TEXT (cheap) is joined to the pairs
+    * and shingle sets are built per candidate — that's 2·|candidates|
+    * shingle computations instead of re-shingling the whole corpus on
+    * both join sides.
     */
   def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
-    val withSh = df.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), ShingleSize)).as("shd"))
+    val texts = df.select(col("doc_id"), col("text"))
     val cands = lshCandidatePairs(df)
+    val shd = (t: Column) => array_distinct(shingles(tokens(t), ShingleSize))
     cands
-      .join(withSh.select(col("doc_id").as("doc1"), col("shd").as("sh1")), Seq("doc1"))
-      .join(withSh.select(col("doc_id").as("doc2"), col("shd").as("sh2")), Seq("doc2"))
+      .join(texts.select(col("doc_id").as("doc1"), col("text").as("t1")), Seq("doc1"))
+      .join(texts.select(col("doc_id").as("doc2"), col("text").as("t2")), Seq("doc2"))
+      .withColumn("sh1", shd(col("t1"))).withColumn("sh2", shd(col("t2")))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))

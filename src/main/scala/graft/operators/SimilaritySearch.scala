@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,13 +24,26 @@ import graft.functions.VectorFunctions._
   */
 object SimilaritySearch {
 
+  /** Norms are computed ONCE per row before any pairwise work — cosine on
+    * a pair then costs one dot product, not one dot and two norms (a 3×
+    * saving that dominates at n² pair counts).
+    */
+  private def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
+    df.withColumn(normName, norm(col(vecCol)))
+
+  /** Pairwise similarity from precomputed norms. */
+  private def pairSim(v1: Column, v2: Column, n1: Column, n2: Column): Column =
+    round(when(n1 * n2 > 0, dot(v1, v2) / (n1 * n2)).otherwise(lit(0.0)), 6)
+
   /** Exact top-k cosine neighbors for each query vector.
     * `corpus` and `queries` both need (vec_id, embedding).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("embedding"), col("qvec")), 6))
+    val c = withNorm(corpus, "embedding", "nrm")
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "qvec", "qnrm")
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", pairSim(col("embedding"), col("qvec"), col("nrm"), col("qnrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
@@ -42,13 +55,14 @@ object SimilaritySearch {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplaneSigns(nPlanes, dim)
-    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
-    val q = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val bucketed = withNorm(corpus, "embedding", "nrm")
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "qvec", "qnrm")
       .withColumn("bucket", lshBucket(col("qvec"), planes))
     val scored = bucketed.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("sim", pairSim(col("embedding"), col("qvec"), col("nrm"), col("qnrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("bucket"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
@@ -60,13 +74,25 @@ object SimilaritySearch {
     * for the exact brute-force variant (single bucket).
     */
   def nearDupPairs(corpus: DataFrame, minSim: Double, nPlanes: Int, dim: Int): DataFrame = {
-    val withBucket =
-      if (nPlanes == 0) corpus.withColumn("bucket", lit("all"))
-      else corpus.withColumn("bucket", lshBucket(col("embedding"), hyperplaneSigns(nPlanes, dim)))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
-    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
-      .withColumn("sim", round(cosine(col("v1"), col("v2")), 6))
+    val normed = withNorm(corpus, "embedding", "nrm")
+    val a = normed.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+    val b = normed.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
+    val pairs =
+      if (nPlanes == 0)
+        // exact variant: broadcast nested-loop cross join — parallel over
+        // the left side's partitions (an equi-join on a constant key would
+        // collapse all n² pairs into ONE shuffle partition); the left is
+        // repartitioned because a small parquet corpus arrives in one split
+        a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+          .join(broadcast(b), col("id1") < col("id2"))
+      else {
+        val planes = hyperplaneSigns(nPlanes, dim)
+        val ab = a.withColumn("bucket", lshBucket(col("v1"), planes))
+        val bb = b.withColumn("bucket", lshBucket(col("v2"), planes))
+        ab.join(bb, Seq("bucket")).filter(col("id1") < col("id2"))
+      }
+    pairs
+      .withColumn("sim", pairSim(col("v1"), col("v2"), col("n1"), col("n2")))
       .filter(col("sim") >= minSim)
       .select(col("id1"), col("id2"), col("sim"))
   }

@@ -151,6 +151,31 @@ object PipelineQueries {
   private def shinglesSql(toks: String) =
     s"[array_to_string($toks[i:i+2], ' ') for i in range(1, len($toks)-1)]"
 
+  /** The minhash permutation list, generated from the SAME constants the
+    * Spark side uses (Dedup.Perms / Dedup.HashMod) so the two engines
+    * compute identical signatures from one md5 per shingle.
+    */
+  private val minhashListSql: String = {
+    val m = graft.operators.Dedup.HashMod
+    graft.operators.Dedup.Perms
+      .map { case (a, b) => s"list_min([($a * h + $b) % $m for h in hs])" }
+      .mkString("[", ", ", "]")
+  }
+
+  private val contentHashSql: String =
+    s"[('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.operators.Dedup.HashMod} for s in sh]"
+
+  /** bands CTE shared by d2/d4 (expects a CTE `sh(doc_id, sh)`). */
+  private val bandsSql: String =
+    s"""mh AS (
+       |  SELECT doc_id, $minhashListSql AS mhs
+       |  FROM (SELECT doc_id, $contentHashSql AS hs FROM sh WHERE len(sh) >= 1)),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    CAST(mhs[b*4+1] AS VARCHAR) || '|' || CAST(mhs[b*4+2] AS VARCHAR) || '|' ||
+       |    CAST(mhs[b*4+3] AS VARCHAR) || '|' || CAST(mhs[b*4+4] AS VARCHAR) AS sig
+       |  FROM mh CROSS JOIN range(0, 3) r(b))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -161,14 +186,7 @@ object PipelineQueries {
       s"""WITH sh AS (
         |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
         |  FROM documents),
-        |mh AS (
-        |  SELECT doc_id,
-        |    [list_min([md5(CAST(p AS VARCHAR) || '|' || s) for s in sh]) for p in range(0, 12)] AS mhs
-        |  FROM sh WHERE len(sh) >= 1),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(mhs[b*4+1] || '|' || mhs[b*4+2] || '|' || mhs[b*4+3] || '|' || mhs[b*4+4]) AS sig
-        |  FROM mh CROSS JOIN range(0, 3) r(b))
+        |$bandsSql
         |SELECT x.doc_id AS doc1, y.doc_id AS doc2, COUNT(*) AS n_bands
         |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
@@ -193,14 +211,7 @@ object PipelineQueries {
       s"""WITH sh AS (
         |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
         |  FROM documents),
-        |mh AS (
-        |  SELECT doc_id, sh,
-        |    [list_min([md5(CAST(p AS VARCHAR) || '|' || s) for s in sh]) for p in range(0, 12)] AS mhs
-        |  FROM sh WHERE len(sh) >= 1),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(mhs[b*4+1] || '|' || mhs[b*4+2] || '|' || mhs[b*4+3] || '|' || mhs[b*4+4]) AS sig
-        |  FROM mh CROSS JOIN range(0, 3) r(b)),
+        |$bandsSql,
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
         |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),

@@ -27,6 +27,7 @@ object SparkEntry {
       (ScalarQueries.queries, ScalarQueries.oracles),
       (StreamingQueries.queries, StreamingQueries.oracles),
       (MlQueries.queries, MlQueries.oracles),
+      (StateQueries.queries, StateQueries.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -97,4 +97,21 @@ object Models {
   def predictionConfidence(scored: DataFrame): DataFrame =
     scored.withColumn("confidence",
       element_at(vector_to_array(col("probability")), col("prediction").cast("int") + 1))
+
+  /** M6: the reference's dormant SVM-with-SGD path (HogDNS.scala:483-486)
+    * on the modern API: z-scaled features → L2 LinearSVC, seeded.
+    */
+  def linearSvc(df: DataFrame, labelCol: String, numCols: Seq[String],
+      maxIter: Int = 20, regParam: Double = 0.01): DataFrame = {
+    val pipeline = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(numCols.toArray).setOutputCol("rawFeatures"),
+      new StandardScaler().setInputCol("rawFeatures").setOutputCol("features")
+        .setWithMean(true).setWithStd(true),
+      new org.apache.spark.ml.classification.LinearSVC()
+        .setLabelCol(labelCol).setFeaturesCol("features").setPredictionCol("prediction")
+        .setMaxIter(maxIter).setRegParam(regParam),
+    ))
+    df.cache()
+    pipeline.fit(df.filter(col(labelCol) >= 0)).transform(df)
+  }
 }

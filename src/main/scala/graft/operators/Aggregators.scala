@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import graft.core.Histogram
+
+/** The typed UDAF surface promised in SURVEY §2.11 — every aggregator is
+  * commutative + associative (safe under partial aggregation on any
+  * partitioning), which is why the H1 decay does NOT live here: decay is
+  * fold-order-dependent, so it happens once at state-merge time
+  * (ProfileStore.update), and in-window histograms aggregate exact counts
+  * that normalize at `finish`.
+  */
+object Aggregators {
+
+  /** Builds a Histogram from (bucket, weight) observations: counts sum
+    * (map-side combine applies), relative frequencies materialize once at
+    * finish. The scalable form of the reference's in-reduce histogram
+    * construction (HogSFlow.scala:1401-1423).
+    */
+  class HistogramAggregator(name: String)
+      extends Aggregator[(String, Long), Map[String, Long], Histogram] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(acc: Map[String, Long], x: (String, Long)): Map[String, Long] =
+      acc.updated(x._1, acc.getOrElse(x._1, 0L) + x._2)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+    def finish(acc: Map[String, Long]): Histogram = {
+      val total = acc.values.sum
+      Histogram(name, total,
+        if (total == 0) Map.empty
+        else acc.map { case (k, v) => k -> v.toDouble / total })
+    }
+    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    def outputEncoder: Encoder[Histogram] = Encoders.product[Histogram]
+  }
+
+  /** Bucket-wise max over bucket→value maps (H2, Histograms.scala:141-168)
+    * — max is associative/commutative, so this one IS the reference
+    * semantics exactly.
+    */
+  class MergeMaxAggregator
+      extends Aggregator[Map[String, Double], Map[String, Double], Map[String, Double]] {
+    def zero: Map[String, Double] = Map.empty
+    def reduce(a: Map[String, Double], x: Map[String, Double]): Map[String, Double] = merge(a, x)
+    def merge(a: Map[String, Double], b: Map[String, Double]): Map[String, Double] =
+      (a.keySet ++ b.keySet).iterator.map { k =>
+        k -> math.max(a.getOrElse(k, 0.0), b.getOrElse(k, 0.0))
+      }.toMap
+    def finish(acc: Map[String, Double]): Map[String, Double] = acc
+    def bufferEncoder: Encoder[Map[String, Double]] = Encoders.kryo[Map[String, Double]]
+    def outputEncoder: Encoder[Map[String, Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Double]]()
+  }
+
+  /** Bounded top-K collector (O2 / SURVEY §7.4 risk 2): keeps at most `k`
+    * (sortKey, payload) pairs, largest sortKey first — the
+    * memory-bounded replacement for the reference's unbounded flowSet
+    * HashSet. Buffer size is O(k) regardless of group cardinality, so a
+    * hot key at 100 TB costs k entries, not millions.
+    */
+  class TopKAggregator(k: Int)
+      extends Aggregator[(Long, String), Seq[(Long, String)], Seq[String]] {
+    private def trim(s: Seq[(Long, String)]): Seq[(Long, String)] =
+      s.sortBy { case (key, payload) => (-key, payload) }.take(k)
+    def zero: Seq[(Long, String)] = Seq.empty
+    def reduce(acc: Seq[(Long, String)], x: (Long, String)): Seq[(Long, String)] =
+      trim(acc :+ x)
+    def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+      trim(a ++ b)
+    def finish(acc: Seq[(Long, String)]): Seq[String] = acc.map(_._2)
+    def bufferEncoder: Encoder[Seq[(Long, String)]] = Encoders.kryo[Seq[(Long, String)]]
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+}

@@ -34,6 +34,44 @@ object StateQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // H2 as a typed Aggregator (SURVEY §2.11): per-(custkey,status)
+    // priority histograms, then bucket-wise max across statuses via
+    // MergeMaxAggregator — associative, so partial aggregation applies.
+    "h8_mergemax_agg" -> ((s, dir) => {
+      import s.implicits._
+      val udafMax = udaf(new graft.operators.Aggregators.MergeMaxAggregator)
+      val per = HistogramFunctions.buildHistogram(
+        Catalog.orders(s, dir)
+          .groupBy(col("o_custkey").as("k"), col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("bucket"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("k", "st"))
+      per.groupBy(col("k"))
+        .agg(udafMax(col("buckets")).as("maxb"), count(lit(1)).as("n_statuses"))
+        .select(col("k"), col("n_statuses"), explode(col("maxb")).as(Seq("bucket", "maxfreq")))
+        .select(col("k"), col("n_statuses"), col("bucket"), round(col("maxfreq"), 6).as("maxfreq"))
+        .orderBy(col("k"), col("bucket"))
+    }),
+
+    // O2 as a bounded typed Aggregator (SURVEY §7.4 risk 2): top-3 order
+    // keys per customer by price, O(k) memory per group however hot the
+    // key gets.
+    "o3_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val udafTop = udaf(new graft.operators.Aggregators.TopKAggregator(3))
+      Catalog.orders(s, dir)
+        .select(col("o_custkey"),
+          // sortKey = price in cents (round, then cast — a bare double→long
+          // cast truncates in Spark but rounds in DuckDB)
+          round(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_orderkey").cast("string").as("ok"))
+        .groupBy(col("o_custkey"))
+        .agg(udafTop(col("price_c"), col("ok")).as("top"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"), concat_ws(",", col("top")).as("top_orders"), col("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // state keys 0..11, batch keys 3..14: exercises pass-through (0..2),
     // birth (12..14), and decayed merge (3..11) in one update.
     "s6_profile_update" -> ((s, dir) => {
@@ -48,6 +86,35 @@ object StateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "h8_mergemax_agg" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS k, o_orderstatus AS st, o_orderpriority AS bucket, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2, 3),
+        |perh AS (
+        |  SELECT k, st, bucket, CAST(cnt AS DOUBLE)/SUM(cnt) OVER (PARTITION BY k, st) AS freq
+        |  FROM per),
+        |ns AS (SELECT k, COUNT(DISTINCT st) AS n_statuses FROM per GROUP BY k)
+        |SELECT p.k, ns.n_statuses, p.bucket, ROUND(MAX(p.freq), 6) AS maxfreq
+        |FROM perh p JOIN ns ON p.k = ns.k
+        |GROUP BY p.k, ns.n_statuses, p.bucket
+        |ORDER BY p.k, p.bucket""".stripMargin,
+
+    "o3_topk_agg" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+        |               CAST(o_orderkey AS VARCHAR)) AS rn
+        |  FROM orders),
+        |n AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT r.o_custkey,
+        |  string_agg(CAST(r.o_orderkey AS VARCHAR), ',' ORDER BY r.rn) AS top_orders,
+        |  ANY_VALUE(n.n_orders) AS n_orders
+        |FROM ranked r JOIN n ON r.o_custkey = n.o_custkey
+        |WHERE r.rn <= 3
+        |GROUP BY r.o_custkey
+        |ORDER BY r.o_custkey""".stripMargin,
+
     "s6_profile_update" ->
       """WITH profc AS (
         |  SELECT CAST(o_custkey % 15 AS VARCHAR) AS name, o_orderpriority AS bucket, COUNT(*) AS cnt

@@ -148,12 +148,27 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Hamming distance between two simhash values (longs). */
-  def hammingDistance(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    aggregate(
-      transform(sequence(lit(0), lit(SimHashBits - 1)),
-        b0 => pmod(floor(x.cast("double") / pow(lit(2.0), b0.cast("double"))).cast("long"), lit(2L))),
-      lit(0L), (acc, v) => acc + v)
+  /** Hamming distance between two simhash values: popcount of the XOR —
+    * a single codegen'd expression (`bit_count`), no per-bit lambda loop.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** SimHash-banded near-dup candidates: docs sharing the low
+    * `bucketBits` of their simhash pair up, then exact Hamming distance
+    * filters. The bucket join is the scale path (O(n) shuffle on the
+    * band, never all-pairs); banding trades recall for that bound —
+    * near-dups differing inside the band bits are missed, the standard
+    * SimHash-LSH compromise.
+    */
+  def simhashCandidatePairs(df: DataFrame, bucketBits: Int, maxHamming: Int): DataFrame = {
+    val sh = df.select(col("doc_id"), simhash(tokens(col("text"))).as("sh"))
+      .withColumn("bucket", pmod(col("sh"), lit(1L << bucketBits)))
+    val a = sh.select(col("bucket"), col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val b = sh.select(col("bucket"), col("doc_id").as("doc2"), col("sh").as("sh2"))
+    a.join(b, Seq("bucket")).filter(col("doc1") < col("doc2"))
+      .withColumn("hamming", hammingDistance(col("sh1"), col("sh2")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc1"), col("doc2"), col("hamming"))
   }
 }

@@ -48,6 +48,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D6: SimHash-banded near-dup candidates — docs sharing the low 4
+    // simhash bits pair up, exact Hamming ≤ 10 filters (the SimHash
+    // counterpart of the MinHash pipeline in d2/d4).
+    "d6_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashCandidatePairs(Catalog.documents(s, dir), bucketBits = 4, maxHamming = 10)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
     // D4: n-gram Jaccard verification of the LSH candidates — the full
     // near-dup pipeline (candidates ≥ 0.8 exact trigram Jaccard).
     "d4_ngram_jaccard" -> ((s, dir) => {
@@ -206,6 +214,27 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash,
         |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) % 256 AS BIGINT) AS bucket
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d6_simhash_pairs" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) >> (b % 4)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM (SELECT doc_id, h, b, ascii(substr(h, CAST(b // 4 AS INT) + 1, 1)) AS a
+        |        FROM h CROSS JOIN range(0, 32) r(b))
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+        |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+        |FROM sh x JOIN sh y ON x.sh % 16 = y.sh % 16 AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sh, y.sh)) <= 10
+        |ORDER BY doc1, doc2""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH sh AS (

@@ -40,11 +40,12 @@ object PipelineQueries {
         .orderBy(col("doc1"), col("doc2"))
     }),
 
-    // D3: 32-bit SimHash signature per document (row-local nested HOFs).
+    // D3: 32-bit SimHash signature per document (codegen'd explode+vote
+    // aggregation; the row-local HOF form is Dedup.simhash).
     "d3_simhash" -> ((s, dir) => {
-      Catalog.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(tokens(col("text"))).as("simhash"))
-        .withColumn("bucket", pmod(col("simhash"), lit(256L)))
+      Dedup.simhashOf(Catalog.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("sh").as("simhash"),
+          pmod(col("sh"), lit(256L)).as("bucket"))
         .orderBy(col("doc_id"))
     }),
 

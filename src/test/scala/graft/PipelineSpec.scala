@@ -61,6 +61,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(hd == ham(sh(1L), sh(3L)))
   }
 
+  test("simhashOf (codegen aggregate form) agrees with the row-local Column form") {
+    val docs = docsDf(Seq(1L -> base, 2L -> (base + " postscript"),
+      3L -> "totally disjoint vocabulary discussing histogram profiles anomaly detection"))
+    val rowLocal = docs.select(col("doc_id"), Dedup.simhash(tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg == rowLocal)
+  }
+
   test("exact fingerprint ignores case and whitespace runs") {
     val docs = docsDf(Seq(1L -> "Hello   World", 2L -> "hello world ", 3L -> "hello worlds"))
     val fps = docs.select(exactFingerprint(col("text"))).collect().map(_.getString(0))

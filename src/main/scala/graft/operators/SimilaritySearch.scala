@@ -68,6 +68,52 @@ object SimilaritySearch {
       .select(col("query_id"), col("bucket"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
   }
 
+  /** IVF coarse-quantizer training: per-partition centroids as long-form
+    * (partition, i, c) rows — elementwise mean of member vectors.
+    * Components round to 6 dp BY CONTRACT: centroids cross an
+    * engine/plan boundary (saved, compared, reloaded), and rounding makes
+    * them bit-identical everywhere, so probe selection can never flip on
+    * a last-ulp difference. `partitionCol` is the coarse assignment — a
+    * k-means prediction in a real pipeline (ml/Models.kmeansFlagger), the
+    * fixture's label column in the oracle tests.
+    */
+  def ivfCentroids(corpus: DataFrame, partitionCol: String): DataFrame =
+    corpus
+      .select(col(partitionCol).as("part"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("part"), col("i"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+
+  /** IVF probe search: each query scores the (few) centroids, probes the
+    * `nProbe` nearest partitions, and searches ONLY those partitions
+    * exactly — the corpus-side work is a partition-pruned fraction of the
+    * data, which is the entire point of IVF at 100 TB.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, partitionCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    // centroid arrays, components in index order (deterministic fold)
+    val cent = ivfCentroids(corpus, partitionCol)
+      .groupBy(col("part"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "qvec", "qnrm")
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim", pairSim(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("part").asc)
+    val probed = probes.withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("part"))
+    val c = withNorm(corpus, "embedding", "nrm")
+      .withColumn("part", col(partitionCol))
+    val scored = c.join(broadcast(probed), Seq("part"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", pairSim(col("embedding"), col("qvec"), col("nrm"), col("qnrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("part").cast("long").as("part"), col("vec_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minSim`, bucketed by the
     * LSH signature so the pairwise comparison never crosses buckets (the
     * 100 TB-safe variant of "all pairs with cosine ≥ τ"). Set nPlanes=0

@@ -86,6 +86,23 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // V3: IVF coarse-quantizer training — per-partition elementwise
+    // centroid means, long-form (part, i, c).
+    "v3_ivf_centroids" -> ((s, dir) => {
+      SimilaritySearch.ivfCentroids(Catalog.embeddings(s, dir), "label")
+        .select(col("part"), col("i").cast("long").as("i"), col("c"))
+        .orderBy(col("part"), col("i"))
+    }),
+
+    // V4: IVF probe search — score ≤10 centroids per query, probe the 2
+    // nearest partitions, exact-search only those (partition-pruned ANN).
+    "v4_ivf_topk" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "label",
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -303,6 +320,44 @@ object PipelineQueries {
         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 20)
         |SELECT query_id, bucket, rank, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "v3_ivf_centroids" ->
+      """SELECT label AS part, i,
+        |  ROUND(AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 6) AS c
+        |FROM embeddings CROSS JOIN range(0, 64) r(i)
+        |GROUP BY 1, 2 ORDER BY part, i""".stripMargin,
+
+    "v4_ivf_topk" ->
+      """WITH centl AS (
+        |  SELECT label AS part, i,
+        |    ROUND(AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 6) AS c
+        |  FROM embeddings CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+        |cent AS (SELECT part, list(c ORDER BY i) AS cvec FROM centl GROUP BY part),
+        |centn AS (SELECT part, cvec, sqrt(list_sum(list_transform(cvec, x -> x*x))) AS cnrm
+        |          FROM cent),
+        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |      FROM embeddings WHERE vec_id < 10),
+        |qn AS (SELECT query_id, qv, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnrm FROM q),
+        |psim AS (
+        |  SELECT query_id, part, qv, qnrm,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> qv[i]*cvec[i]))/(qnrm*cnrm), 6) AS csim
+        |  FROM qn CROSS JOIN centn),
+        |probes AS (
+        |  SELECT query_id, part, qv, qnrm FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, part) AS pr
+        |    FROM psim) WHERE pr <= 2),
+        |cn AS (
+        |  SELECT vec_id, label AS part, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+        |  FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings)),
+        |scored AS (
+        |  SELECT p.query_id, cn.part, cn.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> p.qv[i]*cn.v[i]))/(p.qnrm*cn.nrm), 6) AS sim
+        |  FROM probes p JOIN cn ON cn.part = p.part AND cn.vec_id <> p.query_id)
+        |SELECT query_id, rank, CAST(part AS BIGINT) AS part, vec_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

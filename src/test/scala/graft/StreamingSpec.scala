@@ -74,6 +74,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts == Seq(2L, 1L)) // each record consumed exactly once
   }
 
+  test("watermark evicts state and drops late data (beyond-reference semantics)") {
+    import spark.implicits._
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 5)
+    val stream = source.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w"), col("event_type"), col("n"))
+    val sink = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    source.addData((ts("2026-01-01 10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    // advance event time far past the 10:00 window + watermark → closes it
+    source.addData((ts("2026-01-01 12:30:00"), "view", 1.0))
+    q.processAllAvailable()
+    // this event is ~2.5h late — behind the watermark → dropped
+    source.addData((ts("2026-01-01 10:10:00"), "click", 1.0))
+    q.processAllAvailable()
+    source.addData((ts("2026-01-01 14:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w10 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    assert(rows.contains((w10, "click", 1L)), s"10:00 window emitted once closed: $rows")
+    assert(!rows.exists { case (w, t, n) => w == w10 && n > 1L },
+      "the late event must NOT have been counted")
+  }
+
   test("word-count stream (the reference's DStream skeleton) on a socket-like source") {
     import spark.implicits._
     val source = MemoryStream[String](spark, 4)

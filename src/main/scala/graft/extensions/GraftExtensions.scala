@@ -5,11 +5,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-/** SQL-surface registration for the engine's domain functions, built as
-  * native Catalyst expression trees (composition of codegen'd builtins —
-  * no UDF closure, no codegen opt-out; SURVEY §4 concluded no custom
-  * Expression subclass is needed, and this is the receipts: every domain
-  * scalar is expressible as a tree of existing codegen'd nodes).
+/** SQL-surface registration for the engine's domain functions. Most are
+  * native Catalyst expression trees (compositions of codegen'd builtins —
+  * no UDF closure, no codegen opt-out); `graft_dot` is the one genuinely
+  * custom Expression ([[graft.expressions.DotProduct]], with doGenCode) —
+  * added because higher-order-function lambdas evaluate interpreted,
+  * which dominates all-pairs similarity queries.
   *
   * Two entry points:
   *  - `spark.sql.extensions=graft.extensions.GraftExtensions` at session
@@ -47,6 +48,9 @@ object GraftFunctions {
     ("graft_net24",
       new ExpressionInfo("graft", "graft_net24"),
       net24Builder _),
+    ("graft_dot",
+      new ExpressionInfo("graft", "graft_dot"),
+      (args: Seq[Expression]) => graft.expressions.DotProduct(args(0), args(1))),
   )
 
   /** Register into a live session (tests, notebooks). */

@@ -96,4 +96,25 @@ object TextFunctions {
     */
   def sketchFingerprint(sh: Column, k: Int): Column =
     md5(concat_ws("|", slice(array_sort(array_distinct(transform(sh, s => md5(s)))), 1, k)))
+
+  /** Deterministic sampling bucket in [0, 100): the first 60 bits of
+    * md5(key) mod 100. Content-addressed sampling is the scale-safe
+    * alternative to `rand()`-based `sample()` — reproducible across
+    * runs/engines/partitionings, no RNG state per task, and the SAME doc
+    * is kept or dropped when the pipeline reruns (so downstream caches
+    * and oracles stay stable).
+    */
+  def sampleBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 100
+
+  /** Duplicate-n-gram fraction (Gopher-style repetition signal):
+    * 1 − distinct/total over the doc's n-gram shingles; 0 for docs too
+    * short to have any. Entirely row-local (array HOFs), no shuffle.
+    */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val sh = shingles(toks, n)
+    when(size(sh) > 0,
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6))
+      .otherwise(lit(0.0))
+  }
 }

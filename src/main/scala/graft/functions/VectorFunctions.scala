@@ -3,20 +3,27 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns as native
-  * column expressions (`zip_with` + `aggregate` higher-order functions) —
-  * no UDF, no MLlib Vector conversion on the hot path.
+/** Dense-vector math over `array<float>` embedding columns — no UDF, no
+  * MLlib Vector conversion on the hot path. The dot product (which every
+  * cosine/projection reduces to) is a custom codegen Catalyst expression
+  * ([[graft.expressions.DotProduct]]): a higher-order-function
+  * formulation evaluates its lambda interpreted per element, which at
+  * all-pairs cardinalities is the whole query cost.
   *
-  * Precision convention: every element is cast to double BEFORE any
+  * Precision convention: every element is promoted to double BEFORE any
   * multiply and sums fold left-to-right, so results are bit-reproducible
   * and match an oracle that does the same.
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ with per-element double promotion, left-to-right. */
+  /** Σ aᵢ·bᵢ with per-element double promotion, left-to-right (codegen'd
+    * primitive loop; see [[graft.expressions.DotProduct]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -49,9 +56,6 @@ object VectorFunctions {
     */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     concat(planes.map { p =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, "1").otherwise("0")
+      when(dot(vec, typedLit(p.toSeq)) > 0, "1").otherwise("0")
     }: _*)
 }

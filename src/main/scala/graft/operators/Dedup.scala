@@ -180,6 +180,88 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** Connected components over near-dup candidate pairs, via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014). Input: (doc1, doc2)
+    * edge rows. Output: (node, component) where component is the minimum
+    * doc id in the node's component; only nodes that appear in an edge
+    * are returned (singletons are trivially their own component —
+    * [[resolveDuplicates]] coalesces them back in).
+    *
+    * Why this and not one-hop min-label propagation: propagation needs
+    * O(graph diameter) rounds — a 10M-doc boilerplate chain would take
+    * thousands of shuffles — while star contraction converges in
+    * O(log n) rounds regardless of diameter. Each round is two
+    * groupBy-min + join passes on the node key (never a collect of
+    * neighbor lists, so hub nodes with millions of edges don't blow up
+    * a single aggregation buffer), and `localCheckpoint` truncates the
+    * iterative lineage so the plan doesn't grow by two joins per round
+    * (on a real cluster: `checkpoint` to durable storage instead).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+
+    // canonical directed form: (u, v) with u > v, no self-loops, distinct
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // large-star: every node u links its strictly-larger neighbors to
+    // m(u) = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mn = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      canon(sym.filter(col("v") > col("u")).join(mn, "u")
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: every node u links its smaller neighbors AND itself to
+    // the minimum of those neighbors
+    def smallStar(e: DataFrame): DataFrame = {
+      val mn = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val moved = e.join(mn, "u").select(col("v").as("u"), col("m").as("v"))
+      canon(moved.union(mn.select(col("u"), col("m").as("v"))))
+    }
+
+    var cur = canon(pairs.select(col("doc1").as("u"), col("doc2").as("v")))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // converged when the canonical edge set is stable (then every edge
+      // already points straight at its component root)
+      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur = next
+      i += 1
+    }
+    val roots = cur.select(col("v")).distinct().select(col("v").as("node"), col("v").as("component"))
+    cur.select(col("u").as("node"), col("v").as("component")).union(roots).distinct()
+  }
+
+  /** Full dedup resolution: candidate pairs → components → one canonical
+    * document per component (the longest text wins, ties to the smallest
+    * doc_id — "keep the richest copy"). Returns one row per input doc:
+    * (doc_id, component, canonical_doc, keep). Docs in no candidate pair
+    * are singleton components and always kept. The per-component pick is
+    * a window over the component key — one shuffle, no driver state.
+    */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs)
+    val withComp = docs
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    withComp
+      .withColumn("canonical_doc", first(col("doc_id")).over(w))
+      .withColumn("keep", (col("doc_id") === col("canonical_doc")).cast("boolean"))
+      .select(col("doc_id"), col("component"), col("canonical_doc"), col("keep"))
+  }
+
   /** SimHash-banded near-dup candidates: docs sharing the low
     * `bucketBits` of their simhash pair up, then exact Hamming distance
     * filters. The bucket join is the scale path (O(n) shuffle on the

@@ -103,6 +103,57 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D7: connected components over the LSH candidate pairs —
+    // alternating large-star/small-star contraction (O(log n) rounds,
+    // never O(diameter) propagation).
+    "d7_cc_components" -> ((s, dir) => {
+      Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(Catalog.documents(s, dir)).select(col("doc1"), col("doc2")))
+        .orderBy(col("node"))
+    }),
+
+    // D8: full dedup resolution — pairs → components → canonical pick
+    // (longest text wins, ties to smallest doc_id); singletons kept.
+    "d8_dedup_resolve" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      Dedup.resolveDuplicates(docs,
+          Dedup.lshCandidatePairs(docs).select(col("doc1"), col("doc2")))
+        .withColumn("keep", col("keep").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T5: deterministic hash-stratified sampling — content-addressed
+    // buckets (md5 mod 100) with per-language keep rates; reproducible
+    // across runs/engines, unlike rand()-based sample().
+    "t5_hash_sample" -> ((s, dir) => {
+      val rates = Seq("en" -> 50, "de" -> 25) // others keep everything
+      val rate = rates.foldLeft(lit(100)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), col("lang"), sampleBucket(col("doc_id")).as("bucket"))
+        .filter(col("bucket") < rate)
+        .orderBy(col("doc_id"))
+    }),
+
+    // T6: repetition signals (Gopher-style): top-token fraction (explode
+    // + two-level codegen agg) and duplicate-bigram fraction (row-local).
+    "t6_repetition" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val toks = tokens(col("text"))
+      val rowLocal = docs.select(col("doc_id"),
+        dupNgramFraction(toks, 2).as("dup_bigram_frac"),
+        size(toks).cast("long").as("n_tokens"))
+      val top = docs.select(col("doc_id"), explode(toks).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_token_frac"))
+      rowLocal.join(top, Seq("doc_id"), "left")
+        .withColumn("top_token_frac", coalesce(col("top_token_frac"), lit(0.0)))
+        .select(col("doc_id"), col("n_tokens"), col("top_token_frac"), col("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -202,7 +253,68 @@ object PipelineQueries {
        |    CAST(mhs[b*4+3] AS VARCHAR) || '|' || CAST(mhs[b*4+4] AS VARCHAR) AS sig
        |  FROM mh CROSS JOIN range(0, 3) r(b))""".stripMargin
 
+  /** CTE chain shared by d7/d8: LSH bands → candidate pairs → symmetric
+    * edge list → recursive min-label closure → per-node component. The
+    * recursive CTE is the oracle-side stand-in for the Spark side's
+    * large-star/small-star contraction (identical fixpoint).
+    */
+  private val ccSql: String =
+    s"""sh AS (
+       |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM documents),
+       |$bandsSql,
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+       |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d7_cc_components" ->
+      s"""WITH RECURSIVE $ccSql
+        |SELECT node, component FROM cc ORDER BY node""".stripMargin,
+
+    "d8_dedup_resolve" ->
+      s"""WITH RECURSIVE $ccSql,
+        |wc AS (
+        |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component, d.n_chars
+        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        |sel AS (
+        |  SELECT doc_id, component,
+        |    first_value(doc_id) OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS canonical_doc
+        |  FROM wc)
+        |SELECT doc_id, component, canonical_doc,
+        |  CAST(CASE WHEN doc_id = canonical_doc THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sel ORDER BY doc_id""".stripMargin,
+
+    "t5_hash_sample" ->
+      """SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "t6_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac
+        |        FROM cnt GROUP BY doc_id),
+        |bg AS (SELECT doc_id, len(toks) AS n_tokens,
+        |         [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] AS bg
+        |       FROM t)
+        |SELECT bg.doc_id, CAST(bg.n_tokens AS BIGINT) AS n_tokens,
+        |  COALESCE(top.top_token_frac, 0.0) AS top_token_frac,
+        |  CASE WHEN len(bg.bg) > 0
+        |    THEN ROUND(1.0 - CAST(len(list_distinct(bg.bg)) AS DOUBLE) / len(bg.bg), 6)
+        |    ELSE 0.0 END AS dup_bigram_frac
+        |FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
+        |ORDER BY bg.doc_id""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies

@@ -232,8 +232,10 @@ object Dedup {
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint()
       // converged when the canonical edge set is stable (then every edge
-      // already points straight at its component root)
-      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      // already points straight at its component root); both set
+      // differences evaluate inside ONE action so each round pays a
+      // single convergence job
+      converged = next.except(cur).union(cur.except(next)).isEmpty
       cur = next
       i += 1
     }

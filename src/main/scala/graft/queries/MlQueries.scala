@@ -27,7 +27,11 @@ object MlQueries {
           avg(col("o_totalprice")).as("avg_price"),
           max(col("o_totalprice")).as("max_price"))
         .withColumn("dirty", (col("o_custkey") % 50 === 0).cast("double"))
-      Models.kmeansFlagger(feats, Seq("spend", "n_orders", "avg_price", "max_price"),
+      // per-entity aggregates are orders of magnitude smaller than the
+      // fact table — match the partition count to the AGGREGATE size so
+      // each of K-Means's ~20 iterative jobs doesn't pay 32 near-empty
+      // tasks (same tuning applies at cluster scale: entities ≪ rows)
+      Models.kmeansFlagger(feats.coalesce(4), Seq("spend", "n_orders", "avg_price", "max_price"),
           "dirty", k = 8)
         .groupBy(col("prediction"), col("tainted"))
         .agg(count(lit(1)).as("n"))
@@ -42,7 +46,8 @@ object MlQueries {
           .groupBy(col("o_custkey").as("k"), col("o_orderpriority").as("bucket"))
           .agg(count(lit(1)).as("cnt")),
         Seq("k"))
-      Models.histogramKMeans(hist, k = 5)
+      // see ml1: iterative fit over a small per-entity aggregate
+      Models.histogramKMeans(hist.coalesce(4), k = 5)
         .groupBy(col("prediction"))
         .agg(count(lit(1)).as("n"), round(avg(col("distance")), 4).as("avg_dist"))
         .orderBy(col("prediction"))

@@ -335,10 +335,21 @@ object RelationalQueries {
     // O2: per-key top-K flow list (HogSFlow.scala:662-684) as a window.
     "o2_pergroup_topk" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      // Two-phase top-K: with only a handful of groups, a single window
+      // over (l_returnflag) funnels the WHOLE table into 3 sort tasks —
+      // the classic low-cardinality window skew. Phase 1 ranks within
+      // (group, input partition) — spark_partition_id is only a partial-
+      // ranking aid; any local top-5 is a superset of the global top-5,
+      // so the result is split-invariant — phase 2 ranks the ≤ 5·P
+      // survivors. Sort work parallelizes across all cores instead of 3.
+      val ord = Seq($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      val wLocal = Window.partitionBy($"l_returnflag", $"pid").orderBy(ord: _*)
+      val wGlobal = Window.partitionBy($"l_returnflag").orderBy(ord: _*)
       Catalog.lineitem(s, dir)
-        .withColumn("rn", row_number().over(w).cast(LongType)).filter($"rn" <= 5)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal)).filter($"lrn" <= 5)
+        .withColumn("rn", row_number().over(wGlobal).cast(LongType)).filter($"rn" <= 5)
         .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
         .orderBy($"l_returnflag", $"rn")
     }),

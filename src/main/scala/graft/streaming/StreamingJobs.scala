@@ -102,11 +102,22 @@ object StreamingJobs {
     */
   def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful streaming runs one state-store instance per shuffle
+    // partition, and every micro-batch pays a per-store commit — size the
+    // partition count to the STATE volume, not the session default (the
+    // query pins the conf at start, so restoring it right after doesn't
+    // affect the running stream). At cluster scale this knob is exactly
+    // what you'd tune per stateful query.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try {
+        df.writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(name)
   }

@@ -10,19 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/classloader/codegen paths (shuffle, window,
-    // broadcast join, higher-order funcs) so the first timed query isn't
-    // charged ~5s of JVM startup
+    // untimed warmup: run EVERY query once at the smallest scale factor
+    // so Janino codegen compilation + JIT of each query's generated
+    // classes isn't charged to its timed run (cold-vs-warm differs by
+    // 5-10× per query; in production these costs amortize across the
+    // whole batch). Falls back to the bench SF if no smaller fixture.
+    val warmDir = Seq("sf0.001", "sf0.01").map(s =>
+        sfDir.replaceAll("sf[0-9.]+$", s))
+      .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    }
     try {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val w = spark.range(100000).toDF("id")
-        .withColumn("m", map_from_arrays(array(lit("a")), array(col("id").cast("double"))))
-        .withColumn("s", aggregate(sequence(lit(1), lit(8)), lit(0L), (a, x) => a + x))
-        .withColumn("r", row_number().over(Window.partitionBy(col("id") % 4).orderBy(col("id"))))
-      w.groupBy(col("id") % 16).agg(count(lit(1)), sum(col("s"))).count()
-      w.join(broadcast(spark.range(100).toDF("id")), Seq("id")).count()
-      SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

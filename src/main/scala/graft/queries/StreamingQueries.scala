@@ -39,9 +39,48 @@ object StreamingQueries {
         OutputMode.Append)
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // ST3: streaming exact dedup — watermark-bounded state, first
+    // occurrence per (user, type) key; key-only projection keeps the
+    // emitted rows deterministic under parallel arrival.
+    "st3_stream_dedup" -> ((s, dir) => {
+      val stream = StreamingJobs.eventsStream(s, dir)
+      StreamingJobs.runToTable(s,
+          StreamingJobs.streamDedup(stream, Seq("user_id", "event_type"), "1 hour"),
+          OutputMode.Append)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ST4: session windows (30-min gap) — dynamic-length windows beyond
+    // the reference's tumbling-only surface; same code runs on batch and
+    // stream inputs (batch here so the oracle is exact).
+    "st4_session_window" -> ((s, dir) => {
+      StreamingJobs.sessionCounts(graft.sources.Catalog.events(s, dir), "30 minutes")
+        .orderBy(col("user_id"), col("session_start_ms"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "st3_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "st4_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m)
+        |SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+        |  COUNT(*) AS n, ROUND(SUM(value), 6) AS value_sum
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     "st1_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
         |  event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS value_sum

@@ -55,6 +55,33 @@ object StreamingJobs {
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** Streaming exact dedup: first occurrence per key wins, watermark
+    * bounds the dedup state (keys older than the delay are evicted — the
+    * at-scale requirement; unbounded dropDuplicates state would OOM on an
+    * infinite stream). Project the key columns BEFORE deduplicating so
+    * the emitted rows are deterministic (which physical row arrives first
+    * per key is racy; the key itself is not).
+    */
+  def streamDedup(events: DataFrame, keyCols: Seq[String], delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .select((keyCols.map(col) :+ col("ts")): _*)
+      .dropDuplicates(keyCols)
+      .select(keyCols.map(col): _*)
+
+  /** Session windows per user: events closer than `gap` chain into one
+    * session (dynamic-length windows — beyond the reference's tumbling-
+    * only surface). Works identically on batch and streaming input;
+    * streaming requires a watermark for session closure.
+    */
+  def sessionCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("value_sum"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n"), col("value_sum"))
+
   /** T2: per-user learn-then-alert (the reference's HIST20-22 auth
     * profiling): the first `minObs` observations only learn; after that an
     * event type never seen before for this user raises an alert (and is

@@ -31,6 +31,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_net24('10.1.2.3')").head().getString(0) == "10.1.2")
   }
 
+  test("graft_dot computes an exact dot product over float and double arrays") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)), array(2.0D, 3.0D))")
+      .head().getDouble(0)
+    assert(got == 1.5 * 2.0 + -2.0 * 3.0)
+    // length mismatch: the extra tail is ignored by contract
+    assert(spark.sql(
+      "SELECT graft_dot(array(CAST(2.0 AS FLOAT), CAST(9.0 AS FLOAT)), array(3.0D))")
+      .head().getDouble(0) == 6.0)
+  }
+
+  test("graft_dot matches the HOF formulation bit-for-bit on a real column") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((Array(0.25f, -1.5f, 3f), Array(2f, 0.5f, -1f)))
+      .toDF("a", "b")
+    val hof = df.select(aggregate(zip_with($"a", $"b",
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x))
+      .head().getDouble(0)
+    val native = df.select(graft.functions.VectorFunctions.dot($"a", $"b")).head().getDouble(0)
+    assert(native == hof)
+  }
+
   test("injected functions stay codegen-native (no UDF node in the plan)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT graft_logbin(x) FROM VALUES (1.0) AS t(x)")

@@ -117,4 +117,40 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
   }
+
+  private def pairsDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("doc1", "doc2")
+  }
+
+  test("connectedComponents: chain, triangle, and isolated edge resolve to min labels") {
+    // chain 1-2-3-4 (diameter 3, forces >1 contraction round), triangle
+    // 10-11-12 with a redundant edge, isolated pair 20-21
+    val pairs = pairsDf(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)))
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: edge direction and duplicates don't matter") {
+    val cc = Dedup.connectedComponents(pairsDf(Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 5L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+
+  test("resolveDuplicates keeps the longest doc per component and all singletons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "the longest document", 20L), (3L, "medium doc", 10L),
+      (9L, "alone", 5L)).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.resolveDuplicates(docs, pairsDf(Seq((1L, 2L), (2L, 3L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSet == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (9L, 9L, 9L, true)))
+  }
 }

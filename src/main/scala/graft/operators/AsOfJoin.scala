@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: for every left row, attach the LATEST right
+  * row with the same key and time at-or-before the left row's time
+  * (classic telemetry/state-lookup semantics: "the config that was active
+  * when this alert fired"). Spark has no built-in as-of join; the naive
+  * formulations both collapse at scale — a per-left-row correlated probe
+  * is O(|L|) point lookups, and an inequality join `r.t <= l.t` explodes
+  * to O(|L|·|R|_per_key) pairs before a rank-filter prunes them.
+  *
+  * This implementation is the union-scan form: tag both sides, union,
+  * ONE shuffle on the key, and a single linear window pass per key
+  * carrying the last-seen right payload forward (`last(ignoreNulls)` over
+  * an unbounded-preceding running frame — no pair blowup, no second
+  * shuffle, memory O(1) per row). Right rows at exactly the left row's
+  * time match (inclusive); among right ties the largest payload struct
+  * wins (field-order comparison), so results are set-deterministic.
+  *
+  * Returns every left row (columns preserved) plus `matched` — a struct
+  * of `rightPayload` columns, null when no right row precedes the left
+  * row.
+  */
+object AsOfJoin {
+
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftRow = struct(left.columns.map(col): _*)
+    val payload = struct(rightPayload.map(col): _*)
+    val lType = left.select(leftRow).schema.head.dataType
+    val pType = right.select(payload).schema.head.dataType
+
+    val l2 = left.select(
+      col(keyCol).as("__k"), col(timeCol).as("__t"), lit(1).as("__side"),
+      lit(null).cast(pType).as("__p"), leftRow.as("__l"))
+    val r2 = right.select(
+      col(keyCol).as("__k"), col(timeCol).as("__t"), lit(0).as("__side"),
+      payload.as("__p"), lit(null).cast(lType).as("__l"))
+
+    // sort (time, side, payload): right rows at a tied time precede the
+    // left row (inclusive match) and tie-break among right rows is by the
+    // payload itself (deterministic regardless of arrival order)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l2.unionByName(r2)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) :+ col("__m").as("matched"): _*)
+  }
+}

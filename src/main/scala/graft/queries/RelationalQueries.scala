@@ -189,6 +189,24 @@ object RelationalQueries {
         .orderBy($"l_suppkey")
     }),
 
+    // J9 (beyond-reference): distributed as-of join — for each purchase
+    // event, the user's latest click at-or-before it. Union + one window
+    // pass (operators/AsOfJoin); never an inequality pair blowup.
+    "j9_asof_join" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.asOfJoin(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("matched.click_id").as("click_id"),
+          unix_millis(col("matched.ts")).as("click_ts_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // A1 flagship: hash aggregation with partial (map-side) combine —
     // TPC-H Q1 shape over the flow-rollup monoid (HogSFlow.scala:877-882).
     "q1_agg" -> ((s, dir) => {
@@ -501,6 +519,22 @@ object RelationalQueries {
         |LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0) c
         |  ON a.o_custkey = c.c_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "j9_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |    r.click_id, epoch_ms(r.ts) AS click_ts_ms,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.ts DESC NULLS LAST, r.click_id DESC) AS rn
+        |  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts)
+        |SELECT event_id, user_id, ts_ms, click_id, click_ts_ms
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "j6_conditional_lookup" ->
       """SELECT s_suppkey,

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching for 100 TB-scale pipelines.
+  *
+  * `approx_count_distinct` (Spark's HLL++) is the production default, but
+  * its sketch internals aren't reproducible outside Spark, so nothing
+  * hash-checks it cross-engine. This is a PORTABLE HyperLogLog (Flajolet
+  * et al. 2007) built from the same md5-derived 60-bit hash the rest of
+  * the engine uses: every step — register assignment, rank, the harmonic
+  * sum — is integer-exact (the 2^-rank terms are summed as 2^(55-rank)
+  * longs, so no floating-point association order can differ between
+  * engines), and the final estimate is ONE double division. The DuckDB
+  * oracle reproduces it bit-for-bit.
+  *
+  * m = 64 registers → standard error ≈ 1.04/√64 ≈ 13%. No small-range
+  * correction is applied: below ~2.5·m (≈160) distinct values the raw
+  * estimate biases high — use exact countDistinct there (at that
+  * cardinality it's cheap anyway).
+  */
+object SketchFunctions {
+
+  val Registers = 64 // 6-bit register index
+  private val RankBits = 54 // 60-bit hash minus the register bits
+
+  /** The whole constant factor α·m²·2^55 folded into one double, so the
+    * estimate is a single K/Σ division in both engines (α₆₄ = 0.709).
+    */
+  val HllK: Double = 0.709 * Registers * Registers * math.pow(2.0, RankBits + 1)
+
+  /** 60-bit md5-derived hash (shared convention with Dedup.contentHash —
+    * but WITHOUT the mod-p reduction; HLL needs the full uniform width).
+    */
+  private def hash60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** (register, rank): low 6 bits pick the register; the rank is the
+    * 1-based position of the highest set bit counted from the top of the
+    * remaining 54-bit word — computed via the length of the binary string
+    * (integer-exact; floor(log2) in doubles can misround at powers of 2).
+    */
+  def hllRegisterRank(v: Column): (Column, Column) = {
+    val h = hash60(v)
+    val reg = pmod(h, lit(Registers.toLong))
+    // shiftright, NOT floor(h/64): the hash exceeds 2^53, so a double
+    // division would lose low bits and misplace the top-bit position
+    val w = shiftright(h, 6)
+    val rank = when(w === 0, lit(RankBits + 1))
+      .otherwise(lit(RankBits + 1) - length(bin(w)))
+    (reg, rank)
+  }
+
+  /** Per-group HLL distinct estimate of `valueCol`, as
+    * groupBy(groupCols).agg(...): two codegen hash aggregations — exactly
+    * the shape of a countDistinct, but the shuffle carries at most
+    * |groups|·64 register rows instead of every distinct value, which is
+    * the entire point at 100 TB.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      estName: String = "hll_distinct"): DataFrame = {
+    val (reg, rank) = hllRegisterRank(col(valueCol))
+    val gs = groupCols.map(col)
+    val regs = df
+      .select(gs :+ reg.as("__reg") :+ rank.as("__rank"): _*)
+      .groupBy(gs :+ col("__reg"): _*)
+      .agg(max(col("__rank")).as("__r"))
+    // Σ 2^-rank scaled by 2^55: absent registers contribute rank 0 → 2^55
+    regs
+      .groupBy(gs: _*)
+      .agg(sum(pow(lit(2.0), lit(RankBits + 1) - col("__r")).cast("long")).as("__s"),
+        count(lit(1)).as("__present"))
+      .select(gs :+
+        round(lit(HllK) /
+          (col("__s") + (lit(Registers) - col("__present")) * lit(1L << (RankBits + 1))), 6)
+          .as(estName): _*)
+  }
+}

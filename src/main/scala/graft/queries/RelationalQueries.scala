@@ -241,6 +241,21 @@ object RelationalQueries {
         .orderBy($"custkey")
     }),
 
+    // A13 (beyond-reference): portable HyperLogLog distinct sketch next
+    // to the exact count — the shuffle carries ≤ 64 register rows per
+    // group instead of every distinct value (the 100 TB distinct-count
+    // path); integer-exact register math makes it oracle-checkable.
+    "a13_hll_distinct" -> ((s, dir) => {
+      val li = Catalog.lineitem(s, dir)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      graft.functions.SketchFunctions.hllDistinct(li, Seq("l_returnflag"), "l_orderkey")
+        .join(exact, Seq("l_returnflag"))
+        .withColumn("rel_err",
+          round(abs(col("hll_distinct") - col("exact_distinct")) / col("exact_distinct"), 6))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A4: two-level distinct-pair counting (P2P detector shape,
     // HogSFlow.scala:1169-1194): stage-1 groupBy pair, stage-2 re-key.
     "a4_two_level_distinct" -> ((s, dir) => {
@@ -519,6 +534,31 @@ object RelationalQueries {
         |LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0) c
         |  ON a.o_custkey = c.c_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "a13_hll_distinct" ->
+      s"""WITH h AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |rr AS (
+        |  SELECT l_returnflag, h % 64 AS reg,
+        |    CASE WHEN h >> 6 = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rank
+        |  FROM h),
+        |m AS (SELECT l_returnflag, reg, MAX(rank) AS r FROM rr GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l_returnflag,
+        |    SUM(CAST(pow(2, 55 - r) AS BIGINT)) AS sv, COUNT(*) AS present
+        |  FROM m GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag,
+        |    ROUND(${graft.functions.SketchFunctions.HllK} /
+        |          (sv + (64 - present) * (1::BIGINT << 55)), 6) AS hll_distinct
+        |  FROM s),
+        |x AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+        |      FROM lineitem GROUP BY 1)
+        |SELECT e.l_returnflag, hll_distinct, exact_distinct,
+        |  ROUND(abs(hll_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+        |FROM e JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
 
     "j9_asof_join" ->
       """WITH l AS (

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SketchFunctions
+
+/** HLL sketch behavior: estimation error within the m=64 statistical
+  * envelope, group independence, and the register-math invariants the
+  * oracle parity depends on.
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("hllDistinct estimates 50k distinct values within 3 standard errors") {
+    import spark.implicits._
+    val df = (1 to 50000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val est = SketchFunctions.hllDistinct(df, Seq("g"), "v").head().getDouble(1)
+    // stderr ≈ 1.04/√64 = 13%; 3σ = 39%
+    assert(math.abs(est - 50000) / 50000.0 < 0.39, s"estimate $est too far from 50000")
+  }
+
+  test("hllDistinct is insensitive to duplication (same distinct set, 3x rows)") {
+    import spark.implicits._
+    val once = (1 to 20000).map(i => ("g", i.toLong))
+    val thrice = once ++ once ++ once
+    val e1 = SketchFunctions.hllDistinct(once.toDF("g", "v"), Seq("g"), "v").head().getDouble(1)
+    val e3 = SketchFunctions.hllDistinct(thrice.toDF("g", "v"), Seq("g"), "v").head().getDouble(1)
+    assert(e1 == e3) // registers saturate identically — exact invariance
+  }
+
+  test("register/rank stay in their domains") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toLong).toDF("v")
+    val (reg, rank) = SketchFunctions.hllRegisterRank(col("v"))
+    val rows = df.select(reg.as("reg"), rank.as("rank")).collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 55))
+  }
+}

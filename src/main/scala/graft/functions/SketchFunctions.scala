@@ -52,6 +52,52 @@ object SketchFunctions {
     (reg, rank)
   }
 
+  // ------------------------------------------------------------ Count-Min
+
+  /** Count-Min sketch geometry: d independent hash rows × w counters.
+    * ε ≈ e/w (overcount bound as a fraction of total count), δ ≈ e^-d.
+    */
+  val CmsRows = 4
+  val CmsWidth = 256
+
+  /** Row-j bucket for a value: an affine re-hash of the shared 60-bit
+    * content hash (constants reused from the MinHash permutation table —
+    * same cross-engine portability argument).
+    */
+  def cmsBucket(v: Column, j: Int): Column = {
+    val (a, b) = graft.operators.Dedup.Perms(j)
+    pmod((lit(a) * pmod(hash60(v), lit(graft.operators.Dedup.HashMod)) + lit(b))
+      % lit(graft.operators.Dedup.HashMod), lit(CmsWidth.toLong))
+  }
+
+  /** The d×w counter table for `valueCol`: one groupBy over an exploded
+    * (row, bucket) pair per input row — d·w (=1024) rows total regardless
+    * of input size, which is the whole sketch guarantee. Integer counts,
+    * so cross-engine parity is exact.
+    */
+  def cmsCounters(df: DataFrame, valueCol: String): DataFrame = {
+    val pairs = (0 until CmsRows).map(j =>
+      struct(lit(j).as("j"), cmsBucket(col(valueCol), j).as("bucket")))
+    df.select(explode(array(pairs: _*)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each key in `keys` (a DataFrame with
+    * `keyCol`): min over the d rows of the key's counter — never an
+    * underestimate, overcounts bounded by collisions (ε·N w.h.p.).
+    */
+  def cmsEstimate(counters: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+    val probes = (0 until CmsRows).map(j =>
+      struct(lit(j).as("j"), cmsBucket(col(keyCol), j).as("bucket")))
+    keys
+      .select(col(keyCol), explode(array(probes: _*)).as("p"))
+      .select(col(keyCol), col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("cms_count"))
+  }
+
   /** Per-group HLL distinct estimate of `valueCol`, as
     * groupBy(groupCols).agg(...): two codegen hash aggregations — exactly
     * the shape of a countDistinct, but the shuffle carries at most

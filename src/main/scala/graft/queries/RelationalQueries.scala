@@ -256,6 +256,20 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A14 (beyond-reference): Count-Min heavy-hitter estimation — the
+    // counter table is d·w = 1024 rows REGARDLESS of input size; point
+    // estimates never undercount. Integer-exact → full oracle parity.
+    "a14_cms_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.SketchFunctions
+      val o = Catalog.orders(s, dir)
+      val exact = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("o_custkey")).limit(10)
+      SketchFunctions.cmsEstimate(SketchFunctions.cmsCounters(o, "o_custkey"), exact, "o_custkey")
+        .join(exact, Seq("o_custkey"))
+        .withColumn("overcount", col("cms_count") - col("exact_count"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // A4: two-level distinct-pair counting (P2P detector shape,
     // HogSFlow.scala:1169-1194): stage-1 groupBy pair, stage-2 re-key.
     "a4_two_level_distinct" -> ((s, dir) => {
@@ -559,6 +573,39 @@ object RelationalQueries {
         |SELECT e.l_returnflag, hll_distinct, exact_distinct,
         |  ROUND(abs(hll_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
         |FROM e JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+
+    "a14_cms_heavy_hitters" -> {
+      val p = graft.operators.Dedup.HashMod
+      val buckets = (0 until graft.functions.SketchFunctions.CmsRows).map { j =>
+        val (a, b) = graft.operators.Dedup.Perms(j)
+        s"SELECT $j AS j, (($a * h + $b) % $p) % 256 AS bucket FROM h"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH h AS (
+        |  SELECT o_custkey,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % $p AS h
+        |  FROM orders),
+        |cnt AS (
+        |  SELECT j, bucket, COUNT(*) AS cnt FROM (
+        |  $buckets) GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT o_custkey, COUNT(*) AS exact_count FROM orders GROUP BY 1
+        |  ORDER BY exact_count DESC, o_custkey LIMIT 10),
+        |eh AS (
+        |  SELECT o_custkey, exact_count,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % $p AS h
+        |  FROM ex),
+        |probes AS (
+        |  ${(0 until graft.functions.SketchFunctions.CmsRows).map { j =>
+             val (a, b) = graft.operators.Dedup.Perms(j)
+             s"SELECT o_custkey, exact_count, $j AS j, (($a * h + $b) % $p) % 256 AS bucket FROM eh"
+           }.mkString("\n  UNION ALL ")}),
+        |est AS (
+        |  SELECT p.o_custkey, ANY_VALUE(p.exact_count) AS exact_count,
+        |    MIN(c.cnt) AS cms_count
+        |  FROM probes p JOIN cnt c USING (j, bucket) GROUP BY 1)
+        |SELECT o_custkey, cms_count, exact_count, cms_count - exact_count AS overcount
+        |FROM est ORDER BY o_custkey""".stripMargin
+    },
 
     "j9_asof_join" ->
       """WITH l AS (

@@ -29,6 +29,33 @@ class SketchSpec extends AnyFunSuite {
     assert(e1 == e3) // registers saturate identically — exact invariance
   }
 
+  test("count-min never undercounts and is exact for an isolated key") {
+    import spark.implicits._
+    val keys = (1 to 300).flatMap(k => Seq.fill(k % 7 + 1)(("g", k.toLong)))
+    val df = keys.toDF("g", "v")
+    val exact = df.groupBy(col("v")).agg(count(lit(1)).as("exact")).as("e")
+    val counters = SketchFunctions.cmsCounters(df, "v")
+    val est = SketchFunctions.cmsEstimate(counters, exact.select(col("v")), "v")
+    val joined = est.join(exact, Seq("v"))
+      .select(col("v"), col("cms_count"), col("exact")).collect()
+    assert(joined.forall(r => r.getLong(1) >= r.getLong(2)), "CMS undercounted a key")
+    // a single-key sketch is trivially exact
+    val one = Seq.fill(42)(("g", 7L)).toDF("g", "v")
+    val oneEst = SketchFunctions.cmsEstimate(
+      SketchFunctions.cmsCounters(one, "v"), Seq(7L).toDF("v"), "v")
+      .head().getLong(1)
+    assert(oneEst == 42L)
+  }
+
+  test("each count-min row's counters sum to the input row count") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("g", (i % 900).toLong)).toDF("g", "v")
+    val sums = SketchFunctions.cmsCounters(df, "v")
+      .groupBy(col("j")).agg(sum(col("cnt")).as("s")).collect()
+    assert(sums.length == SketchFunctions.CmsRows)
+    assert(sums.forall(_.getLong(1) == 5000L))
+  }
+
   test("register/rank stay in their domains") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toLong).toDF("v")

@@ -270,6 +270,15 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // A15 (beyond-reference): salted exact distinct — the hot-key
+    // countDistinct pattern: salt by hash(value) so per-salt distincts
+    // sum exactly; no single task ever holds a whole key's distinct set.
+    "a15_salted_distinct" -> ((s, dir) => {
+      graft.operators.Skew.saltedDistinct(
+          Catalog.lineitem(s, dir), Seq("l_returnflag"), "l_orderkey")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A4: two-level distinct-pair counting (P2P detector shape,
     // HogSFlow.scala:1169-1194): stage-1 groupBy pair, stage-2 re-key.
     "a4_two_level_distinct" -> ((s, dir) => {
@@ -606,6 +615,10 @@ object RelationalQueries {
         |SELECT o_custkey, cms_count, exact_count, cms_count - exact_count AS overcount
         |FROM est ORDER BY o_custkey""".stripMargin
     },
+
+    "a15_salted_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_distinct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "j9_asof_join" ->
       """WITH l AS (

@@ -111,6 +111,46 @@ class DetectorSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[String]("note").contains("31337"))
   }
 
+  test("p2pTalkers method 1 fires on many pairs over many local ports; ftp traffic exempt") {
+    val p2p = (1 to 8).map(i =>
+      ("10.0.0.7", "66.2.1." + i, (4000 + i).toString, "6881", "6", 1000L, 1L, "0x02", 100L + i))
+    val sum_ = FlowSummary.summarize(samples(p2p ++ benign), myNets)
+    val out = Detectors.p2pTalkers(sum_, myNets,
+      Detectors.ftpTalkerPairs(sum_), Detectors.ftpServers(sum_)).collect()
+    assert(out.map(_.getAs[String]("my_ip")).toSeq == Seq("10.0.0.7"))
+    assert(out.head.getAs[String]("note") == "p2p method1")
+  }
+
+  test("mediaStreamingClients fires on a long download-heavy flow, skips p2p hosts") {
+    val stream = Seq(1000L, 2400L).map(ts =>
+      ("93.9.9.9", "10.0.0.8", "443", "50000", "6", 600000L, 10L, "0x18", ts))
+    val sum_ = FlowSummary.summarize(samples(stream ++ benign), myNets)
+    val noP2p = sum_.select(col("my_ip")).limit(0)
+    val out = Detectors.mediaStreamingClients(sum_, myNets, noP2p).collect()
+    assert(out.map(_.getAs[String]("my_ip")).toSeq == Seq("10.0.0.8"))
+    // the same host listed as a P2P talker must be excluded (DAG J4)
+    import spark.implicits._
+    val p2pHosts = Seq("10.0.0.8").toDF("my_ip")
+    assert(Detectors.mediaStreamingClients(sum_, myNets, p2pHosts).count() == 0)
+  }
+
+  test("dnsTunnel fires on port-53 volume far past name resolution") {
+    val tunnel = Seq(
+      ("10.0.0.9", "8.8.4.4", "50000", "53", "17", 300000L, 100L, "0x00", 500L))
+    val sum_ = FlowSummary.summarize(samples(tunnel ++ benign), myNets)
+    val out = Detectors.dnsTunnel(sum_).collect()
+    assert(out.map(_.getAs[String]("my_ip")).toSeq == Seq("10.0.0.9"))
+    assert(Detectors.dnsTunnel(FlowSummary.summarize(samples(benign), myNets)).count() == 0)
+  }
+
+  test("alienAccess fires when one alien touches many local hosts") {
+    val sweep = (1 to 25).map(i =>
+      ("77.7.7.7", "10.0.0." + i, "55555", "445", "6", 100L, 1L, "0x02", 100L + i))
+    val sum_ = FlowSummary.summarize(samples(sweep ++ benign), myNets)
+    val out = Detectors.alienAccess(sum_, myNets).collect()
+    assert(out.map(_.getAs[String]("alien_ip")).toSeq == Seq("77.7.7.7"))
+  }
+
   test("HogzillaBatch.run: full DAG produces the planted alerts and learns profiles") {
     import spark.implicits._
     val spam = (1 to 30).flatMap(i => Seq.fill(4)(

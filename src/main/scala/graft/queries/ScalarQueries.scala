@@ -94,6 +94,19 @@ object ScalarQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // F11 (beyond-reference): semi-structured extraction — JSON path into
+    // a string column (the typed version of the reference's stringly row
+    // maps). get_json_object is codegen'd; the avg derives from the exact
+    // integer sum so both engines divide the same numbers.
+    "f11_json_extract" -> ((s, dir) => {
+      Catalog.events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_sum"))
+        .withColumn("k_avg", round(col("k_sum").cast("double") / col("n_with_k"), 6))
+        .orderBy(col("event_type"))
+    }),
+
     // J2: longest-prefix-match join (TreeSet matcher HogSFlow.scala:2770-2781
     // → explode-by-dictionary-length + broadcast equi-join; scales to any
     // fact size with zero fact-side shuffle).
@@ -113,6 +126,19 @@ object ScalarQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f11_json_extract" ->
+      """WITH k AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(k) AS n_with_k,
+        |    CAST(SUM(k) AS BIGINT) AS k_sum
+        |  FROM k GROUP BY 1)
+        |SELECT event_type, n_with_k, k_sum,
+        |  ROUND(CAST(k_sum AS DOUBLE) / n_with_k, 6) AS k_avg
+        |FROM a ORDER BY event_type""".stripMargin,
+
     "f2_haversine" ->
       """WITH t AS (
         |  SELECT c_custkey,

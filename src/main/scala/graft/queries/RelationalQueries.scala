@@ -207,6 +207,23 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // J10 (beyond-reference): grid-bucketed range join — orders land in
+    // overlapping 120-day promo windows via an equi-join on grid cells
+    // plus an exact residual filter; never an inequality BNLJ.
+    "j10_range_join" -> ((s, dir) => {
+      val base = 9131L // epoch day of 1995-01-01
+      val promos = Catalog.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("promo_id"),
+        (lit(base) + col("n_nationkey") * 90).cast("long").as("start_day"),
+        (lit(base) + col("n_nationkey") * 90 + 120).cast("long").as("end_day"))
+      val pts = Catalog.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("day"))
+      graft.operators.RangeJoin.rangeJoin(pts, "day", promos, "start_day", "end_day", grid = 128L)
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .orderBy(col("promo_id"))
+    }),
+
     // A1 flagship: hash aggregation with partial (map-side) combine —
     // TPC-H Q1 shape over the flow-rollup monoid (HogSFlow.scala:877-882).
     "q1_agg" -> ((s, dir) => {
@@ -619,6 +636,21 @@ object RelationalQueries {
     "a15_salted_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_distinct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "j10_range_join" ->
+      """WITH promos AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS promo_id,
+        |    9131 + n_nationkey * 90 AS start_day,
+        |    9131 + n_nationkey * 90 + 120 AS end_day
+        |  FROM nation),
+        |pts AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day
+        |  FROM orders)
+        |SELECT promo_id, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM pts JOIN promos ON day BETWEEN start_day AND end_day
+        |GROUP BY 1 ORDER BY promo_id""".stripMargin,
 
     "j9_asof_join" ->
       """WITH l AS (

@@ -296,6 +296,29 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A16 (beyond-reference): multi-level ROLLUP — subtotals + grand
+    // total in one pass (the reference recomputed each level manually).
+    "a16_rollup" -> ((s, dir) => {
+      Catalog.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("spend"))
+        .orderBy(col("priority"), col("status"))
+    }),
+
+    // A17 (beyond-reference): exact percentiles (sort-based aggregate
+    // with linear interpolation — matches DuckDB quantile_cont at 4 dp).
+    "a17_percentile" -> ((s, dir) => {
+      Catalog.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A4: two-level distinct-pair counting (P2P detector shape,
     // HogSFlow.scala:1169-1194): stage-1 groupBy pair, stage-2 re-key.
     "a4_two_level_distinct" -> ((s, dir) => {
@@ -635,6 +658,21 @@ object RelationalQueries {
 
     "a15_salted_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_distinct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a16_rollup" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+
+    "a17_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "j10_range_join" ->

@@ -319,6 +319,22 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A18 (beyond-reference): running total per entity — cumulative
+    // window sum in event order (decimal accumulation for cross-engine
+    // exactness, cast once at the end).
+    "a18_running_total" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Catalog.orders(s, dir)
+        .filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_spend"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // A4: two-level distinct-pair counting (P2P detector shape,
     // HogSFlow.scala:1169-1194): stage-1 groupBy pair, stage-2 re-key.
     "a4_two_level_distinct" -> ((s, dir) => {
@@ -659,6 +675,14 @@ object RelationalQueries {
     "a15_salted_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_distinct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a18_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "a16_rollup" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,

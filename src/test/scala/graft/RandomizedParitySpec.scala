@@ -1,0 +1,83 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, Dedup, RangeJoin}
+
+/** Randomized parity: each distributed operator vs a naive in-memory
+  * reference implementation on seeded random inputs (seeded so failures
+  * reproduce; a handful of datasets rather than full forAll because each
+  * comparison pays Spark job latency).
+  */
+class RandomizedParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("connectedComponents matches naive union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val n = 40
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // naive union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = touched.map(v => v -> {
+        // component min = min node id among nodes sharing the root
+        val r = find(v.toInt)
+        touched.filter(u => find(u.toInt) == r).min
+      }).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc1", "doc2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("asOfJoin matches a naive per-row scan on random data") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(100 + seed)
+      val left = Seq.tabulate(30)(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(50).toLong))
+      val right = Seq.tabulate(30)(i => (rnd.nextInt(5).toLong, 1000L + i, rnd.nextInt(50).toLong))
+      val expected = left.map { case (k, id, t) =>
+        val cands = right.filter(r => r._1 == k && r._3 <= t)
+        // operator tie-break: max (time, payload struct) — payload is (rid)
+        id -> (if (cands.isEmpty) -1L else cands.maxBy(r => (r._3, r._2))._2)
+      }.toMap
+      val got = AsOfJoin.asOfJoin(
+          left.toDF("k", "id", "t"), right.toDF("k", "rid", "t"), "k", "t", Seq("rid", "t"))
+        .select(col("id"), col("matched.rid"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("rangeJoin matches a naive filter join on random intervals") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(200 + seed)
+      val points = Seq.tabulate(40)(i => (i.toLong, rnd.nextInt(200).toLong))
+      val intervals = Seq.tabulate(15) { i =>
+        val s = rnd.nextInt(180).toLong; (i.toLong, s, s + rnd.nextInt(40).toLong)
+      }
+      val expected = (for {
+        (pid, v) <- points
+        (iid, s, e) <- intervals
+        if v >= s && v <= e
+      } yield (pid, iid)).toSet
+      val got = RangeJoin.rangeJoin(
+          points.toDF("pid", "v"), "v", intervals.toDF("iid", "s", "e"), "s", "e", grid = 32L)
+        .select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+}

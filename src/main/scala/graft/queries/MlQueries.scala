@@ -61,7 +61,10 @@ object MlQueries {
           when(col("o_orderstatus") === "F", 1.0)
             .when(col("o_orderstatus") === "O", 0.0)
             .otherwise(-1.0))
-      Models.randomForestLabeler(labeled, "label",
+      // tree training runs one distributed node-split job per depth level
+      // — with a mid-sized input, 32 near-empty tasks per level dominate
+      // (see ml1: partition to the data, not the session default)
+      Models.randomForestLabeler(labeled.coalesce(8), "label",
           catCols = Seq("o_orderpriority"), numCols = Seq("o_totalprice"),
           numTrees = 20, maxDepth = 5)
         .groupBy(col("label"), col("prediction"))

@@ -476,6 +476,34 @@ object RelationalQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // U2/U3 (beyond-reference): INTERSECT / EXCEPT as relational set ops
+    // (the reference only ever unioned; exclusions were anti-joins).
+    "u2_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val o = Catalog.orders(s, dir)
+      o.filter($"o_orderstatus" === "F").select($"o_orderkey")
+        .intersect(o.filter($"o_totalprice" > 150000).select($"o_orderkey"))
+        .orderBy($"o_orderkey")
+    }),
+    "u3_except" -> ((s, dir) => {
+      import s.implicits._
+      val o = Catalog.orders(s, dir)
+      o.filter($"o_orderstatus" === "F").select($"o_orderkey")
+        .except(o.filter($"o_totalprice" > 150000).select($"o_orderkey"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // A19 (beyond-reference): pivot — long-to-wide conditional counting
+    // with an explicit (deterministic) column list.
+    "a19_pivot" -> ((s, dir) => {
+      Catalog.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // F1: md5 (HogStringUtils.scala:32-35).
     "f1_md5" -> ((s, dir) => {
       import s.implicits._
@@ -830,6 +858,25 @@ object RelationalQueries {
         |        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |      FROM lineitem) t
         |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "u2_intersect" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus='F'
+        |INTERSECT
+        |SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "u3_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus='F'
+        |EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a19_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "u1_union_distinct" ->
       """SELECT o_orderkey FROM orders WHERE o_orderstatus='F'

@@ -78,7 +78,8 @@ object SketchFunctions {
   def cmsCounters(df: DataFrame, valueCol: String): DataFrame = {
     val pairs = (0 until CmsRows).map(j =>
       struct(lit(j).as("j"), cmsBucket(col(valueCol), j).as("bucket")))
-    df.select(explode(array(pairs: _*)).as("p"))
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array(pairs: _*)).as("p"))
       .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -108,7 +109,10 @@ object SketchFunctions {
       estName: String = "hll_distinct"): DataFrame = {
     val (reg, rank) = hllRegisterRank(col(valueCol))
     val gs = groupCols.map(col)
+    // nulls are ignored (countDistinct semantics) — a null would hash to
+    // a null register row and inflate the present-register count
     val regs = df
+      .filter(col(valueCol).isNotNull)
       .select(gs :+ reg.as("__reg") :+ rank.as("__rank"): _*)
       .groupBy(gs :+ col("__reg"): _*)
       .agg(max(col("__rank")).as("__r"))

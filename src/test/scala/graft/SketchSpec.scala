@@ -56,6 +56,20 @@ class SketchSpec extends AnyFunSuite {
     assert(sums.forall(_.getLong(1) == 5000L))
   }
 
+  test("null values are ignored (countDistinct semantics) in both sketches") {
+    import spark.implicits._
+    val clean = (1 to 5000).map(i => ("g", Some(i.toLong)))
+    val dirty = clean ++ Seq.fill(500)(("g", None: Option[Long]))
+    val e1 = SketchFunctions.hllDistinct(clean.toDF("g", "v"), Seq("g"), "v").head().getDouble(1)
+    val e2 = SketchFunctions.hllDistinct(dirty.toDF("g", "v"), Seq("g"), "v").head().getDouble(1)
+    assert(e1 == e2)
+    val c1 = SketchFunctions.cmsCounters(clean.toDF("g", "v"), "v")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    val c2 = SketchFunctions.cmsCounters(dirty.toDF("g", "v"), "v")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(c1 == c2)
+  }
+
   test("register/rank stay in their domains") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toLong).toDF("v")

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * Returns every left row (columns preserved) plus `matched` — a struct
   * of `rightPayload` columns, null when no right row precedes the left
   * row.
+  *
+  * Null semantics: null KEYS group together (window-partition equality),
+  * unlike a SQL equi-join where null never matches null — filter null
+  * keys beforehand if join semantics are required. Null TIMES sort first
+  * (treated as before-everything).
   */
 object AsOfJoin {
 

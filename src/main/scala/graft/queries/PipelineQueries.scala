@@ -154,6 +154,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // E1: the end-to-end curation pipeline — the flagship composition:
+    // near-dup resolution (keep one canonical doc per component) ∘
+    // quality floor ∘ deterministic 60% hash-sample, in ONE DataFrame
+    // job. This is the shape a 100 TB training-data run takes: each
+    // stage is a bounded shuffle; nothing collects to the driver.
+    "e1_curate" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val kept = Dedup.resolveDuplicates(docs,
+          Dedup.lshCandidatePairs(docs).select(col("doc1"), col("doc2")))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("component"))
+      val toks = tokens(col("text"))
+      docs.join(kept, Seq("doc_id"))
+        .withColumn("quality", qualityScore(col("text"), toks))
+        .filter(col("quality") >= 0.5)
+        .filter(sampleBucket(col("doc_id")) < 60)
+        .select(col("doc_id"), col("component"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -273,6 +293,41 @@ object PipelineQueries {
        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e1_curate" ->
+      s"""WITH RECURSIVE $ccSql,
+        |wc AS (
+        |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component, d.n_chars
+        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        |sel AS (
+        |  SELECT doc_id, component,
+        |    first_value(doc_id) OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS canonical_doc
+        |  FROM wc),
+        |kept AS (SELECT doc_id, component FROM sel WHERE doc_id = canonical_doc),
+        |q AS (
+        |  SELECT doc_id, lang, $toksSql AS toks, text FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS n,
+        |    CASE WHEN len(toks) > 0
+        |      THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+        |      ELSE 0 END AS mean_len,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in',
+        |        'der','die','das','und','ist','zu','ein','el','la','de','y','es','en','un',
+        |        'le','et','est'))) AS DOUBLE) / len(toks)
+        |      ELSE 0 END AS stop
+        |  FROM q),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(least(n/50.0, 1.0)*0.4 +
+        |          (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END)*0.3 +
+        |          least(stop*5.0, 1.0)*0.3, 6) AS quality
+        |  FROM m)
+        |SELECT k.doc_id, k.component, s.lang, s.quality
+        |FROM kept k JOIN scored s ON k.doc_id = s.doc_id
+        |WHERE s.quality >= 0.5
+        |  AND ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 60
+        |ORDER BY k.doc_id""".stripMargin,
+
     "d7_cc_components" ->
       s"""WITH RECURSIVE $ccSql
         |SELECT node, component FROM cc ORDER BY node""".stripMargin,

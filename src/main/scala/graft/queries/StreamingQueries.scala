@@ -57,9 +57,28 @@ object StreamingQueries {
       StreamingJobs.sessionCounts(graft.sources.Catalog.events(s, dir), "30 minutes")
         .orderBy(col("user_id"), col("session_start_ms"))
     }),
+
+    // ST5: stream-stream interval join — purchases ⋈ the same user's
+    // clicks within the preceding hour; watermarks on BOTH sides bound
+    // the join state (the genuine two-stream join path).
+    "st5_stream_join" -> ((s, dir) => {
+      val stream = StreamingJobs.eventsStream(s, dir)
+      StreamingJobs.runToTable(s, StreamingJobs.purchaseClickJoin(stream), OutputMode.Append)
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "st5_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  epoch_ms(p.ts::TIMESTAMP) AS pts_ms, epoch_ms(c.ts::TIMESTAMP) AS cts_ms
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+        |  AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
     "st3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

@@ -82,6 +82,28 @@ object StreamingJobs {
         unix_millis(col("session_window.start")).as("session_start_ms"),
         col("n"), col("value_sum"))
 
+  /** Stream-stream interval join: purchases join the same user's clicks
+    * from the preceding hour. Both sides carry watermarks — that is what
+    * lets the join STATE be evicted (a click older than the watermark can
+    * never match a future purchase, so it's dropped); without them the
+    * buffered sides grow forever. The time-interval condition also bounds
+    * how long each row waits — the canonical streaming-join shape.
+    */
+  def purchaseClickJoin(events: DataFrame, window: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", window)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", window)
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_millis(col("pts")).as("pts_ms"), unix_millis(col("cts")).as("cts_ms"))
+  }
+
   /** T2: per-user learn-then-alert (the reference's HIST20-22 auth
     * profiling): the first `minObs` observations only learn; after that an
     * event type never seen before for this user raises an alert (and is

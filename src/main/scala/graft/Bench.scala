@@ -18,8 +18,12 @@ object Bench {
     val warmDir = Seq("sf0.001", "sf0.01").map(s =>
         sfDir.replaceAll("sf[0-9.]+$", s))
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
+    // bounded: warmup must never eat a driver-side timeout as the query
+    // set grows — 150s covers the full surface today with headroom
+    val warmDeadline = System.nanoTime() + 150L * 1000000000L
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+      if (System.nanoTime() < warmDeadline)
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     try {
       spark.catalog.clearCache()

@@ -174,6 +174,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T8: sequence packing — assign docs to fixed-token-budget training
+    // bins. Greedy first-fit is inherently sequential; the distributable
+    // form is cumulative-sum binning in a canonical order (bin =
+    // floor(tokens-before-this-doc / budget)): one window pass per
+    // stratum, deterministic, with overflow bounded by one document's
+    // length (the standard parallel-packing trade-off).
+    "t8_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 256L
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -293,6 +311,19 @@ object PipelineQueries {
        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t8_pack_sequences" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before,
+        |  CAST(cum_before // 256 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "e1_curate" ->
       s"""WITH RECURSIVE $ccSql,
         |wc AS (

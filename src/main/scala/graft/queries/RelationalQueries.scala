@@ -308,6 +308,17 @@ object RelationalQueries {
         .orderBy(col("priority"), col("status"))
     }),
 
+    // A20 (beyond-reference): CUBE — every grouping-set combination in
+    // one pass (completes rollup's coverage with cross-margins).
+    "a20_cube" -> ((s, dir) => {
+      Catalog.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("n"))
+        .orderBy(col("priority"), col("status"))
+    }),
+
     // A17 (beyond-reference): exact percentiles (sort-based aggregate
     // with linear interpolation — matches DuckDB quantile_cont at 4 dp).
     "a17_percentile" -> ((s, dir) => {
@@ -718,6 +729,12 @@ object RelationalQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+
+    "a20_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
 
     "a17_percentile" ->

@@ -151,6 +151,28 @@ class DetectorSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("alien_ip")).toSeq == Seq("77.7.7.7"))
   }
 
+  test("icmpTunnel fires on big-payload high-volume ICMP, not on ordinary pings") {
+    val tunnel = Seq(
+      ("10.0.0.11", "44.4.4.4", "0", "0", "1", 50000L, 3000L, "0x00", 700L))
+    val ping = Seq(
+      ("10.0.0.12", "44.4.4.5", "0", "0", "1", 64L, 10L, "0x00", 701L))
+    val sum_ = FlowSummary.summarize(samples(tunnel ++ ping ++ benign), myNets)
+    val out = Detectors.icmpTunnel(sum_).collect()
+    assert(out.map(_.getAs[String]("my_ip")).toSeq == Seq("10.0.0.11"))
+  }
+
+  test("osDiscovery maps repo contacts to a sorted OS set per host") {
+    import spark.implicits._
+    val repos = Seq(("81.1.1.1", "debian"), ("81.1.1.2", "freebsd")).toDF("repo_ip", "os")
+    val traffic = Seq(
+      ("10.0.0.13", "81.1.1.1", "44000", "80", "6", 500L, 1L, "0x18", 800L),
+      ("10.0.0.13", "81.1.1.2", "44001", "80", "6", 500L, 1L, "0x18", 801L))
+    val sum_ = FlowSummary.summarize(samples(traffic ++ benign), myNets)
+    val out = Detectors.osDiscovery(sum_, repos).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("note") == "os: debian,freebsd")
+  }
+
   test("HogzillaBatch.run: full DAG produces the planted alerts and learns profiles") {
     import spark.implicits._
     val spam = (1 to 30).flatMap(i => Seq.fill(4)(

@@ -118,6 +118,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
   }
 
+  test("sequence packing: per-bin token sum exceeds the budget by at most one doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 100L
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.tabulate(200)(i => (i.toLong, "g", rnd.nextInt(40).toLong + 1))
+      .toDF("doc_id", "lang", "n_tokens")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = docs
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("total"), max(col("n_tokens")).as("biggest"))
+      .collect()
+    assert(perBin.nonEmpty)
+    perBin.foreach { r =>
+      assert(r.getLong(1) <= budget + r.getLong(2),
+        s"bin ${r.getLong(0)} total ${r.getLong(1)} exceeds budget+biggest")
+    }
+  }
+
   private def pairsDf(edges: Seq[(Long, Long)]) = {
     import spark.implicits._
     edges.toDF("doc1", "doc2")

@@ -192,6 +192,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T9: token-budget data mixing — each language stratum contributes at
+    // most its token budget, drawn deterministically in doc_id order (the
+    // shape a training-mix draw takes: budgets per source/language, not
+    // row-count fractions). One window pass; the first doc that crosses
+    // the budget still ships (bounded overshoot, same contract as t8).
+    "t9_token_budget_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budgets = Seq("en" -> 4000L, "de" -> 1500L) // others: 2500
+      val budget = budgets.foldLeft(lit(2500L)) { case (acc, (l, b)) =>
+        when(col("lang") === l, lit(b)).otherwise(acc)
+      }
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("cum_before") < budget)
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -311,6 +331,20 @@ object PipelineQueries {
        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t9_token_budget_mix" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before FROM c
+        |WHERE cum_before < CASE WHEN lang = 'en' THEN 4000
+        |                        WHEN lang = 'de' THEN 1500 ELSE 2500 END
+        |ORDER BY doc_id""".stripMargin,
+
     "t8_pack_sequences" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens

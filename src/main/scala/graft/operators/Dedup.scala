@@ -87,19 +87,32 @@ object Dedup {
   /** Candidate near-dup pairs from LSH: ONE shuffle on (band, sig), then
     * pairs expand row-locally inside each bucket — cheaper than a
     * self-join (which would recompute every minhash twice) and quadratic
-    * only in bucket size, never in n. Returns (doc1, doc2, n_bands) with
-    * doc1 < doc2. At 100 TB a degenerate bucket (boilerplate text shared
-    * by millions of docs) would need a bucket-size cap before the
-    * expansion; fixture buckets are tiny.
+    * only in bucket size, never in n.
+    *
+    * `maxBucket` is the degenerate-bucket guard: a bucket holding k docs
+    * expands to k·(k−1)/2 pairs, so boilerplate text shared by a million
+    * docs would detonate one task with 5·10¹¹ rows. Buckets past the cap
+    * are DROPPED (their members pair up in their other bands unless the
+    * text is pathologically common, in which case exact dedup via
+    * [[graft.functions.TextFunctions.exactFingerprint]] is the right tool
+    * anyway) — the standard recall trade for a hard task-size bound.
+    * Returns (doc1, doc2, n_bands) with doc1 < doc2.
     */
-  def lshCandidatePairs(df: DataFrame): DataFrame = {
+  def lshCandidatePairs(df: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairsInBucket = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + 2, size(col("ds"))),
         y => struct(x.as("doc1"), y.as("doc2")))))
+    // bucket sizes via a window over the SAME key the groupBy uses — the
+    // exchange is shared, and oversized buckets are dropped BEFORE
+    // collect_list ever buffers them (filtering after the collect would
+    // still materialize the megabucket in one aggregation buffer)
+    val w = Window.partitionBy(col("band"), col("sig"))
     lshBands(df)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz").between(2, maxBucket))
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
       .select(explode(pairsInBucket).as("p"))
       .select(col("p.doc1"), col("p.doc2"))
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("n_bands"))

@@ -35,6 +35,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshCandidatePairs drops degenerate buckets past maxBucket") {
+    // 12 identical docs → every band-bucket holds all 12
+    val clones = docsDf((1L to 12L).map(i => i -> base))
+    assert(Dedup.lshCandidatePairs(clones, maxBucket = 5).count() == 0)
+    assert(Dedup.lshCandidatePairs(clones).count() == 12 * 11 / 2)
+  }
+
   test("ngramJaccardPairs confirms the planted pair above threshold") {
     val nearDup = base + " postscript"
     val docs = docsDf(Seq(1L -> base, 2L -> nearDup,

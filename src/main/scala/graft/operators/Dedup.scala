@@ -294,15 +294,22 @@ object Dedup {
     * near-dups differing inside the band bits are missed, the standard
     * SimHash-LSH compromise.
     */
-  def simhashCandidatePairs(df: DataFrame, bucketBits: Int, maxHamming: Int): DataFrame = {
+  def simhashCandidatePairs(df: DataFrame, bucketBits: Int, maxHamming: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the repartition is load-bearing: without an exchange barrier,
     // CollapseProject inlines the (expensive) simhash expression into the
     // join output and recomputes it PER PAIR; shuffling on the bucket
     // materializes one signature per document, and the two join branches
-    // share the exchange (ReuseExchange)
+    // share the exchange (ReuseExchange). The maxBucket filter is the
+    // same degenerate-bucket guard as lshCandidatePairs — the self-join
+    // is quadratic per bucket, so one megabucket would own the runtime.
     val sh = simhashOf(df, "doc_id", "text")
       .withColumn("bucket", pmod(col("sh"), lit(1L << bucketBits)))
       .repartition(col("bucket"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val a = sh.select(col("bucket"), col("doc_id").as("doc1"), col("sh").as("sh1"))
     val b = sh.select(col("bucket"), col("doc_id").as("doc2"), col("sh").as("sh2"))
     a.join(b, Seq("bucket")).filter(col("doc1") < col("doc2"))

@@ -42,6 +42,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.lshCandidatePairs(clones).count() == 12 * 11 / 2)
   }
 
+  test("simhashCandidatePairs drops degenerate buckets past maxBucket") {
+    val clones = docsDf((1L to 12L).map(i => i -> base))
+    assert(Dedup.simhashCandidatePairs(clones, 4, 10, maxBucket = 5).count() == 0)
+    assert(Dedup.simhashCandidatePairs(clones, 4, 10).count() == 12 * 11 / 2)
+  }
+
   test("ngramJaccardPairs confirms the planted pair above threshold") {
     val nearDup = base + " postscript"
     val docs = docsDf(Seq(1L -> base, 2L -> nearDup,

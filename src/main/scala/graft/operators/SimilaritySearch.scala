@@ -119,7 +119,8 @@ object SimilaritySearch {
     * 100 TB-safe variant of "all pairs with cosine ≥ τ"). Set nPlanes=0
     * for the exact brute-force variant (single bucket).
     */
-  def nearDupPairs(corpus: DataFrame, minSim: Double, nPlanes: Int, dim: Int): DataFrame = {
+  def nearDupPairs(corpus: DataFrame, minSim: Double, nPlanes: Int, dim: Int,
+      maxBucket: Int = 100000): DataFrame = {
     val normed = withNorm(corpus, "embedding", "nrm")
     val a = normed.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
     val b = normed.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
@@ -132,8 +133,15 @@ object SimilaritySearch {
         a.repartition(a.sparkSession.sparkContext.defaultParallelism)
           .join(broadcast(b), col("id1") < col("id2"))
       else {
+        // bucket join is quadratic per bucket — same degenerate-bucket
+        // guard as the text-LSH pipelines (Dedup.lshCandidatePairs)
+        import org.apache.spark.sql.expressions.Window
         val planes = hyperplaneSigns(nPlanes, dim)
         val ab = a.withColumn("bucket", lshBucket(col("v1"), planes))
+          .repartition(col("bucket"))
+          .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+          .filter(col("bsz") <= maxBucket)
+          .drop("bsz")
         val bb = b.withColumn("bucket", lshBucket(col("v2"), planes))
         ab.join(bb, Seq("bucket")).filter(col("id1") < col("id2"))
       }

@@ -173,6 +173,16 @@ class DetectorSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("note") == "os: debian,freebsd")
   }
 
+  test("vPortScan threshold boundary: exactly minPorts distinct ports fires, one fewer stays silent") {
+    def probe(nPorts: Int) = (1 to nPorts).map(i =>
+      ("55.5.5.5", "10.0.0.14", "7000", (20 + i).toString, "6", 60L, 1L, "0x02", 900L + i))
+    val silent = FlowSummary.summarize(samples(probe(2) ++ benign), myNets)
+    assert(Detectors.vPortScan(silent, myNets).count() == 0)
+    val fires = FlowSummary.summarize(samples(probe(3) ++ benign), myNets)
+    assert(Detectors.vPortScan(fires, myNets).collect()
+      .map(_.getAs[String]("my_ip")).toSeq == Seq("10.0.0.14"))
+  }
+
   test("HogzillaBatch.run: full DAG produces the planted alerts and learns profiles") {
     import spark.implicits._
     val spam = (1 to 30).flatMap(i => Seq.fill(4)(

@@ -212,6 +212,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T10: benchmark decontamination — flag training docs sharing too
+    // many trigrams with a held-out benchmark set (docs ≡ 0 mod 50 here).
+    // The benchmark shingle dictionary joins as a semi-join on the
+    // shingle hash — AQE broadcasts it while it's small; at real scale
+    // it's a shuffled semi-join that stays O(doc shingles), never a
+    // cross product.
+    "t10_decontaminate" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val sh = array_distinct(shingles(tokens(col("text")), 3))
+      val benchShingles = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(sh).as("s")).distinct()
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), sh.as("shd"))
+        .withColumn("n_sh", size(col("shd")).cast("long"))
+      val overlap = train.select(col("doc_id"), explode(col("shd")).as("s"))
+        .join(benchShingles, Seq("s"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      train.select(col("doc_id"), col("n_sh"))
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("overlap_frac",
+          when(col("n_sh") > 0, round(col("n_overlap") / col("n_sh"), 6)).otherwise(lit(0.0)))
+        .withColumn("contaminated", (col("overlap_frac") >= 0.5).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -331,6 +357,30 @@ object PipelineQueries {
        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t10_decontaminate" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(${shinglesSql(toksSql)}) AS shd
+        |  FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT unnest(shd) AS s FROM sh WHERE doc_id % 50 = 0),
+        |train AS (
+        |  SELECT doc_id, CAST(len(shd) AS BIGINT) AS n_sh, shd FROM sh
+        |  WHERE doc_id % 50 <> 0),
+        |ov AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_overlap
+        |  FROM (SELECT doc_id, unnest(shd) AS s FROM train) t
+        |  JOIN bench b ON t.s = b.s
+        |  GROUP BY 1)
+        |SELECT t.doc_id, t.n_sh, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN t.n_sh > 0
+        |    THEN ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / t.n_sh, 6)
+        |    ELSE 0.0 END AS overlap_frac,
+        |  CAST(CASE WHEN t.n_sh > 0 AND
+        |    ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / t.n_sh, 6) >= 0.5
+        |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM train t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     "t9_token_budget_mix" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens

@@ -28,6 +28,7 @@ object SparkEntry {
       (StreamingQueries.queries, StreamingQueries.oracles),
       (MlQueries.queries, MlQueries.oracles),
       (StateQueries.queries, StateQueries.oracles),
+      (ProfileQueries.queries, ProfileQueries.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

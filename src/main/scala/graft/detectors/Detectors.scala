@@ -50,6 +50,48 @@ object Detectors {
   def ftpServers(summary: DataFrame): DataFrame =
     summary.filter(col("my_port") === "21").select("my_ip").distinct()
 
+  /** Served-port statistics per (my_ip, my_port): how many distinct alien
+    * ports hit it, how many flows, how many of the alien ports are
+    * well-known (<1024). The reference computes these inside the
+    * atypicalPorts filter closure (HogSFlow.scala:1440-1478); here it is
+    * one aggregation shared by [[proxyServers]] and [[atypicalPorts]].
+    */
+  private[detectors] def servedPortStats(summary: DataFrame): DataFrame =
+    summary.groupBy("my_ip", "my_port")
+      .agg(countDistinct("alien_port").as("qtd_alien_ports"),
+        countDistinct(when(col("alien_port").cast("int") < 1024, col("alien_port")))
+          .as("low_alien_ports"),
+        count(lit(1)).as("nf_port"),
+        sum(when(col("direction") < 0, 1L).otherwise(0L)).as("nf_served"))
+
+  /** Intra-run reputation derivation: proxy servers (HogSFlow.scala:1480-1489).
+    * A host whose "served" port fans out to >2 well-known alien ports, and
+    * where those dominate (>50% of the distinct alien ports low), is proxying
+    * rather than serving — whitelisted for this and later runs.
+    */
+  def proxyServers(summary: DataFrame): DataFrame =
+    servedPortStats(summary)
+      .filter(col("nf_served") > 0 && // the port actually serves (direction<0)
+        col("low_alien_ports") > 2 &&
+        col("qtd_alien_ports").cast("double") / col("low_alien_ports") > 0.5)
+      .select("my_ip").distinct()
+
+  /** Intra-run reputation derivation: BigProvider networks
+    * (HogSFlow.scala:2022-2031): an alien /24 with >minDistinctHosts local
+    * pairs where a single flow group pushed more than ~1 GiB effective
+    * upload. Consumed by [[atypicalData]] (HogSFlow.scala:1840,1851) in the
+    * same run — explicit two-pass sequencing instead of a side-channel store.
+    */
+  def bigProviders(summary: DataFrame, myNets: Seq[String],
+      minDistinctHosts: Int = 4, minBytes: Long = 1073741824L): DataFrame =
+    summary
+      .filter(!FlowSummary.isLocalIp(col("alien_ip"), myNets))
+      .groupBy(NetFunctions.significantNetwork(col("alien_ip")).as("net"))
+      .agg(countDistinct("my_ip").as("hosts"),
+        max(col("bytes_up") * col("sample_rate")).as("max_up"))
+      .filter(col("hosts") > minDistinctHosts && col("max_up") > minBytes)
+      .select("net")
+
   // -------------------------------------------------------------- detectors
 
   /** Top talkers by effective upload (O1, HogSFlow.scala:1060-1082). */
@@ -145,13 +187,29 @@ object Detectors {
   /** Atypical-open-port access (HIST01 + H5, HogSFlow.scala:1370-1520):
     * served ports this window that the host's learned profile has never
     * seen. Cold-start profiles (size < minObs) learn only.
+    *
+    * Ports are first screened to "genuinely served" (HogSFlow.scala:1440-1478):
+    * a served port is hit from >3 distinct alien ports with diversity ratio
+    * > 0.2 — otherwise it's this host's client-side ephemeral port. Hosts on
+    * the proxy whitelist take the direction<0 test instead (a proxy's served
+    * port legitimately fans out to low alien ports, HogSFlow.scala:1434-1439).
     */
-  def atypicalPorts(summary: DataFrame, hist01: DataFrame, minObs: Long = 100,
-      minPktsPerFlow: Int = 2,
+  def atypicalPorts(summary: DataFrame, hist01: DataFrame, proxies: DataFrame,
+      minObs: Long = 100, minPktsPerFlow: Int = 2,
       excludePorts: Seq[String] = Seq("80", "443", "587", "465", "993", "995")): DataFrame = {
+    val served = servedPortStats(summary)
+      .join(proxies.withColumn("is_proxy", lit(true)), Seq("my_ip"), "left")
+      .filter(
+        when(col("is_proxy"), col("nf_served") > 0)
+          .otherwise(col("qtd_alien_ports") > 3 &&
+            col("qtd_alien_ports").cast("double") / col("nf_port") > 0.2 &&
+            !(col("low_alien_ports") > 2 &&
+              col("qtd_alien_ports").cast("double") / col("low_alien_ports") > 0.5)))
+      .select("my_ip", "my_port")
     val current = HistogramFunctions.buildHistogram(
       summary.filter(col("direction") < 0 && col("n_pkts") > minPktsPerFlow &&
           !col("my_port").isin(excludePorts: _*))
+        .join(served, Seq("my_ip", "my_port"), "left_semi")
         .groupBy(col("my_ip"), col("my_port").as("bucket"))
         .agg(count(lit(1)).as("cnt")),
       Seq("my_ip"))
@@ -166,25 +224,143 @@ object Detectors {
         col("port").cast("double"), lit(1), concat(lit("atypical open port "), col("port"))): _*)
   }
 
-  /** Atypical alien-port access (HIST02, HogSFlow.scala:1530-1650) —
-    * same shape from the client side: ports contacted on remote hosts.
+  /** The current-window HIST02 histogram: alien ports contacted per local
+    * host (direction > 0, >minPkts pkts/flow). Shared by
+    * [[atypicalAlienPorts]] and the HIST02/HIST02.1 learners.
     */
-  def atypicalAlienPorts(summary: DataFrame, hist02: DataFrame, minObs: Long = 100,
-      minPktsPerFlow: Int = 2): DataFrame = {
-    val current = HistogramFunctions.buildHistogram(
+  private[detectors] def hist02Current(summary: DataFrame, minPktsPerFlow: Int = 2): DataFrame =
+    HistogramFunctions.buildHistogram(
       summary.filter(col("direction") > 0 && col("n_pkts") > minPktsPerFlow)
         .groupBy(col("my_ip"), col("alien_port").as("bucket"))
         .agg(count(lit(1)).as("cnt")),
       Seq("my_ip"))
-    current
+
+  /** Atypical alien-port access (HIST02 + HIST02.1 + the J6 alien-profile
+    * confirm, HogSFlow.scala:1530-1722). Three gates before a port alerts:
+    *
+    *  1. atypical vs the host's long-run HIST02 profile (mature only);
+    *  2. typical vs the LAST-window snapshot HIST02.1 — the leave-one-out
+    *     check: a brand-new port must have also appeared last window, or
+    *     it is noise, not an established new behavior (HogSFlow.scala:1649-1651);
+    *  3. confirmed from the alien side (HogSFlow.scala:1659-1681): some
+    *     flow on that port must target an alien whose own profile —
+    *     HIST01 of the alien host if it is local, HIST05 of the alien /24
+    *     otherwise (the conditional-key J6 lookup) — is mature (≥ minAlienObs)
+    *     and has never served that port either.
+    *
+    * The reference runs gate 3 per flow inside a filter closure with an
+    * HBase GET per flow; here it is one conditional-key left join over the
+    * candidate flows.
+    */
+  def atypicalAlienPorts(summary: DataFrame, myNets: Seq[String],
+      hist02: DataFrame, hist02snap: DataFrame, hist01: DataFrame, hist05: DataFrame,
+      minObs: Long = 100, minAlienObs: Long = 21, minPktsPerFlow: Int = 2): DataFrame = {
+    val current = hist02Current(summary, minPktsPerFlow)
+    // gates 1+2: atypical vs profile, typical vs last-window snapshot
+    val candidates = current
       .join(hist02.withColumnRenamed("name", "my_ip")
         .withColumnRenamed("size", "psize").withColumnRenamed("buckets", "pbuckets"),
         Seq("my_ip"))
       .filter(col("psize") >= minObs)
+      .join(hist02snap.withColumnRenamed("name", "my_ip")
+          .withColumnRenamed("size", "ssize").withColumnRenamed("buckets", "sbuckets"),
+        Seq("my_ip"))
+      .filter(col("ssize") > 0)
       .select(col("my_ip"),
-        explode(HistogramFunctions.atypicalKeys(col("pbuckets"), col("buckets"))).as("port"))
+        explode(array_intersect(
+          HistogramFunctions.atypicalKeys(col("pbuckets"), col("buckets")),
+          HistogramFunctions.typicalKeys(col("sbuckets"), col("buckets")))).as("port"))
+    // gate 3: the alien side's own profile also calls the port atypical.
+    // Conditional keyspace: local alien → HIST01-<ip>; external → HIST05-<net>.
+    val flows = summary.filter(col("direction") > 0 && col("n_pkts") > minPktsPerFlow)
+      .select(col("my_ip"), col("alien_port").as("port"), col("alien_ip"))
+      .join(candidates, Seq("my_ip", "port"), "left_semi")
+      .withColumn("alien_key",
+        when(FlowSummary.isLocalIp(col("alien_ip"), myNets), col("alien_ip"))
+          .otherwise(NetFunctions.significantNetwork(col("alien_ip"))))
+      .withColumn("is_local_alien", FlowSummary.isLocalIp(col("alien_ip"), myNets))
+    val h01 = hist01.select(col("name").as("alien_key"),
+      col("size").as("a1size"), col("buckets").as("a1buckets"))
+    val h05 = hist05.select(col("name").as("alien_key"),
+      col("size").as("a5size"), col("buckets").as("a5buckets"))
+    val confirming = flows
+      .join(h01, Seq("alien_key"), "left").join(h05, Seq("alien_key"), "left")
+      .withColumn("asize",
+        when(col("is_local_alien"), col("a1size")).otherwise(col("a5size")))
+      .withColumn("abuckets",
+        when(col("is_local_alien"), col("a1buckets")).otherwise(col("a5buckets")))
+      .filter(col("asize").isNotNull && col("asize") >= minAlienObs &&
+        !HistogramFunctions.isTypicalEvent(col("abuckets"), col("port")))
+      .select("my_ip", "port")
+    candidates.join(confirming, Seq("my_ip", "port"), "left_semi")
       .select(alert("atypicalAlienPorts", col("my_ip"), lit(null).cast("string"),
         col("port").cast("double"), lit(1), concat(lit("atypical alien port "), col("port"))): _*)
+  }
+
+  /** Atypical port on an alien /24 network (HIST05, HogSFlow.scala:1993-2113):
+    * per external network touched by >minDistinctHosts local hosts, the
+    * ports used this window that the network's learned profile has never
+    * seen. The reference logs but does not alert (the alert block is
+    * commented out, :2085-2098) — emitted here as first-class alert rows.
+    */
+  def alienNetworkAtypicalPorts(summary: DataFrame, myNets: Seq[String],
+      hist05: DataFrame, minDistinctHosts: Int = 4, minObs: Long = 1000): DataFrame = {
+    val current = hist05Current(summary, myNets, minDistinctHosts)
+    current
+      .join(hist05
+        .withColumnRenamed("size", "psize").withColumnRenamed("buckets", "pbuckets"),
+        Seq("name"))
+      .filter(col("psize") >= minObs)
+      .select(col("name").as("net"),
+        explode(HistogramFunctions.atypicalKeys(col("pbuckets"), col("buckets"))).as("port"))
+      .select(alert("alienNetworkAtypicalPorts", lit(null).cast("string"), col("net"),
+        col("port").cast("double"), lit(1),
+        concat(lit("atypical port on alien network "), col("port"))): _*)
+  }
+
+  /** Current-window HIST05 build (HogSFlow.scala:1950-1991): per external
+    * /24 with >minDistinctHosts distinct local pairs, the flow-count
+    * histogram over alien ports.
+    */
+  private[detectors] def hist05Current(summary: DataFrame, myNets: Seq[String],
+      minDistinctHosts: Int = 4): DataFrame = {
+    val ext = summary.filter(!FlowSummary.isLocalIp(col("alien_ip"), myNets))
+      .withColumn("net", NetFunctions.significantNetwork(col("alien_ip")))
+    val eligible = ext.groupBy("net")
+      .agg(countDistinct("my_ip").as("hosts"))
+      .filter(col("hosts") > minDistinctHosts)
+      .select("net")
+    HistogramFunctions.buildHistogram(
+      ext.join(eligible, Seq("net"), "left_semi")
+        .groupBy(col("net"), col("alien_port").as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("net")).withColumnRenamed("net", "name")
+  }
+
+  /** Current-window HIST06 build (HogSFlow.scala:2003-2020): per eligible
+    * alien /24, the set of log-binned effective-upload sizes seen from
+    * ephemeral local ports. The reference's `.toMap` collapses duplicate
+    * bins before counting (HogSFlow.scala:2008-2016), so every observed
+    * bin carries weight 1 — preserved here via countDistinct-style
+    * distinct-bin collection.
+    */
+  private[detectors] def hist06Current(summary: DataFrame, myNets: Seq[String],
+      minDistinctHosts: Int = 4): DataFrame = {
+    val ext = summary.filter(!FlowSummary.isLocalIp(col("alien_ip"), myNets))
+      .withColumn("net", NetFunctions.significantNetwork(col("alien_ip")))
+    val eligible = ext.groupBy("net")
+      .agg(countDistinct("my_ip").as("hosts"))
+      .filter(col("hosts") > minDistinctHosts)
+      .select("net")
+    HistogramFunctions.buildHistogram(
+      ext.join(eligible, Seq("net"), "left_semi")
+        .filter(col("my_port").cast("int") > 1023)
+        .select(col("net"),
+          HistogramFunctions.logBin(col("bytes_up") * col("sample_rate"), scale = 0.0001)
+            .cast("string").as("bucket"))
+        .distinct()
+        .withColumn("cnt", lit(1L)),
+      Seq("net")).withColumnRenamed("net", "name")
   }
 
   /** Atypical pair-count (HIST03 log-binned, HogSFlow.scala:1757-1824):
@@ -205,11 +381,20 @@ object Detectors {
   }
 
   /** Atypical upload volume (HIST04 log-binned bytesUp,
-    * HogSFlow.scala:1863-1933).
+    * HogSFlow.scala:1835-1933): external uploads from ephemeral ports,
+    * excluding BigProvider networks (the intra-run reputation feedback —
+    * `bigProviderNets` at :1840 consumed in the :1851 filter).
     */
-  def atypicalData(summary: DataFrame, hist04: DataFrame, minObs: Long = 100,
+  def atypicalData(summary: DataFrame, myNets: Seq[String], hist04: DataFrame,
+      bigProviderNets: DataFrame, minObs: Long = 100,
       minBytes: Long = 5737418240L): DataFrame = {
-    val vol = summary.groupBy("my_ip")
+    val vol = summary
+      .filter(col("direction") > -1 && col("my_port").cast("int") > 1024 &&
+        col("my_port") =!= "8080" && !FlowSummary.isLocalIp(col("alien_ip"), myNets))
+      .join(bigProviderNets
+          .select(col("net").as("alien_net")),
+        NetFunctions.significantNetwork(col("alien_ip")) === col("alien_net"), "left_anti")
+      .groupBy("my_ip")
       .agg(sum(col("bytes_up") * col("sample_rate")).as("up"), count(lit(1)).as("nf"))
       .filter(col("up") > minBytes)
       .withColumn("bin", HistogramFunctions.logBin(col("up").cast("double")).cast("string"))
@@ -283,35 +468,111 @@ object Detectors {
       .select(alert("icmpTunnel", col("my_ip"), lit(null).cast("string"),
         col("eff_bytes"), col("nf"), lit("icmp tunnel volume")): _*)
 
-  /** Horizontal port scan (3-level A4, HogSFlow.scala:2403-2463): one
-    * alien probing the same port across many local hosts.
+  /** Per-(my_ip, alien_port) fan-out counts feeding HIST07 and the
+    * horizontal-scan detector (HogSFlow.scala:2403-2446): flows with <5
+    * packets (probe-sized), per local host and targeted alien port, the
+    * number of distinct alien hosts probed on that port. Only ports past
+    * the per-port fan-out floor survive (the reference's
+    * `numberOfPairsPort > hPortScanMinFlowsThreshold` filter at :2447 —
+    * applied BEFORE regrouping, so the learned HIST07 only ever contains
+    * heavy ports).
     */
-  def hPortScan(summary: DataFrame, myNets: Seq[String], minFlows: Int = 100,
-      excludeAlienPorts: Seq[String] = Seq("80", "443", "53"),
-      excludeMyPorts: Seq[String] = Seq("123")): DataFrame =
-    summary
-      .filter(!FlowSummary.isLocalIp(col("alien_ip"), myNets) &&
-        !col("alien_port").isin(excludeAlienPorts: _*) &&
-        !col("my_port").isin(excludeMyPorts: _*))
-      .groupBy("alien_ip", "my_port")
-      .agg(countDistinct("my_ip").as("hosts"), count(lit(1)).as("nf"))
-      .filter(col("nf") >= minFlows && col("hosts") > 1)
-      .select(alert("hPortScan", lit(null).cast("string"), col("alien_ip"),
-        col("hosts"), col("nf"), concat(lit("horizontal scan on port "), col("my_port"))): _*)
+  private[detectors] def hist07Current(summary: DataFrame, p2pHosts: DataFrame,
+      minPairsPort: Int = 100,
+      excludeAlienPorts: Seq[String] = Seq("80", "443", "53")): DataFrame =
+    HistogramFunctions.buildCountMap(
+      summary
+        .filter(col("n_pkts") < 5 && !col("alien_port").isin(excludeAlienPorts: _*))
+        .groupBy(col("my_ip"), col("alien_port").as("bucket"))
+        .agg(countDistinct("alien_ip").as("cnt"))
+        .filter(col("cnt") > minPairsPort)
+        .join(p2pHosts, Seq("my_ip"), "left_anti"),
+      Seq("my_ip")).withColumnRenamed("my_ip", "name")
 
-  /** Vertical port scan (HogSFlow.scala:2599-2640 + HIST08): one alien
-    * probing many low ports on one local host.
+  /** Horizontal port scan (HIST07-relative, HogSFlow.scala:2403-2531): a
+    * local host probing the same alien port across many alien hosts —
+    * alerting on DEVIATION FROM THE LEARNED MAX, not a fixed threshold:
+    * a port fires only when the host's mature HIST07 profile has never
+    * seen that port fan out this far (`savedHistogram.histMap(port) <
+    * numPairsPort`, :2495-2505). Port 25 is suppressed for hosts whose
+    * HIST01 profile says they serve SMTP (:2487-2490). Cold-start profiles
+    * (size < minObs) learn only.
     */
-  def vPortScan(summary: DataFrame, myNets: Seq[String], minPorts: Int = 3,
+  def hPortScan(summary: DataFrame, myNets: Seq[String], hist07: DataFrame,
+      hist01: DataFrame, p2pHosts: DataFrame, minPairsPort: Int = 100,
+      minObs: Long = 100,
+      excludeAlienPorts: Seq[String] = Seq("80", "443", "53")): DataFrame = {
+    val current = summary
+      .filter(col("n_pkts") < 5 && !col("alien_port").isin(excludeAlienPorts: _*))
+      .groupBy(col("my_ip"), col("alien_port").as("port"))
+      .agg(countDistinct("alien_ip").as("pairs"), count(lit(1)).as("nf"))
+      .filter(col("pairs") > minPairsPort)
+      .join(p2pHosts, Seq("my_ip"), "left_anti")
+    val smtpServers = profileTypical(hist01, "25").withColumnRenamed("name", "my_ip")
+      .withColumn("serves_smtp", lit(true))
+    current
+      .join(hist07.withColumnRenamed("name", "my_ip")
+        .withColumnRenamed("size", "psize").withColumnRenamed("buckets", "pbuckets"),
+        Seq("my_ip"))
+      .filter(col("psize") >= minObs)
+      .join(smtpServers, Seq("my_ip"), "left")
+      .filter(!(col("port") === "25" && coalesce(col("serves_smtp"), lit(false))))
+      .filter(element_at(col("pbuckets"), col("port")).isNull ||
+        element_at(col("pbuckets"), col("port")) < col("pairs").cast("double"))
+      .select(alert("hPortScan", col("my_ip"), lit(null).cast("string"),
+        col("pairs"), col("nf"),
+        concat(lit("horizontal scan beyond learned max on port "), col("port"))): _*)
+  }
+
+  /** Per-(my_ip, alien_ip) distinct-low-port counts feeding HIST08 and the
+    * vertical-scan detector (HogSFlow.scala:2546-2586): probe-sized flows
+    * from an ephemeral local port to well-known alien ports.
+    */
+  private[detectors] def vScanPairPorts(summary: DataFrame,
       maxPortNumber: Int = 1024): DataFrame =
     summary
-      .filter(!FlowSummary.isLocalIp(col("alien_ip"), myNets) &&
-        col("my_port").cast("int") < maxPortNumber)
+      .filter(col("alien_port").cast("int") < maxPortNumber &&
+        col("my_port").cast("int") > 1023 && col("n_pkts") < 5)
       .groupBy("my_ip", "alien_ip")
-      .agg(countDistinct("my_port").as("ports"), count(lit(1)).as("nf"))
-      .filter(col("ports") >= minPorts)
+      .agg(countDistinct("alien_port").as("ports"), count(lit(1)).as("nf"))
+
+  /** Current-window HIST08 build (HogSFlow.scala:2599-2640): per local
+    * host, the distribution of how many distinct ports its over-threshold
+    * pair bursts touched — one observation per qualifying (my_ip, alien_ip)
+    * pair, keyed by the port count as a string.
+    */
+  private[detectors] def hist08Current(summary: DataFrame, p2pHosts: DataFrame,
+      minPorts: Int = 3, maxPortNumber: Int = 1024): DataFrame =
+    HistogramFunctions.buildHistogram(
+      vScanPairPorts(summary, maxPortNumber)
+        .filter(col("ports") > minPorts)
+        .join(p2pHosts, Seq("my_ip"), "left_anti")
+        .groupBy(col("my_ip"), col("ports").cast("string").as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("my_ip")).withColumnRenamed("my_ip", "name")
+
+  /** Vertical port scan (HIST08-relative, HogSFlow.scala:2599-2640): a
+    * local host touching many distinct well-known ports on one alien —
+    * alerting only when the host's mature HIST08 profile has no typical
+    * observation at or above this port count (`histMap.filter(numberOfPorts
+    * >= numPorts && weight > ε).size == 0`, :2614-2620). Cold-start
+    * profiles learn only.
+    */
+  def vPortScan(summary: DataFrame, myNets: Seq[String], hist08: DataFrame,
+      p2pHosts: DataFrame, minPorts: Int = 3, maxPortNumber: Int = 1024,
+      minObs: Long = 10): DataFrame =
+    vScanPairPorts(summary, maxPortNumber)
+      .filter(col("ports") > minPorts)
+      .join(p2pHosts, Seq("my_ip"), "left_anti")
+      .join(hist08.withColumnRenamed("name", "my_ip")
+        .withColumnRenamed("size", "psize").withColumnRenamed("buckets", "pbuckets"),
+        Seq("my_ip"))
+      .filter(col("psize") >= minObs)
+      .filter(size(map_filter(col("pbuckets"), (k, v) =>
+        k.cast("long") >= col("ports") &&
+          v > HistogramFunctions.AtypicalThreshold)) === 0)
       .select(alert("vPortScan", col("my_ip"), col("alien_ip"),
-        col("ports"), col("nf"), lit("vertical port scan")): _*)
+        col("ports"), col("nf"), lit("vertical scan beyond learned port-count profile")): _*)
 
   /** DDoS burst (A4 + F9 trimmed mean, HogSFlow.scala:2676-2731): many
     * flows from many pairs whose inter-arrival gaps — after dropping the

@@ -11,16 +11,42 @@ import graft.operators.ProfileStore
   * summary fans out to every detector; derived-set dependencies
   * (ftpTalkers → p2p → mediaStreaming, SURVEY §2.3 J4) are explicit
   * DataFrame handoffs instead of collect/re-broadcast round-trips; the
-  * profile learn pass is one ProfileStore.update at the end instead of a
-  * per-key RPC inside foreach (SURVEY §7.4 risk 1).
+  * profile learn pass is one ProfileStore.update per family at the end
+  * instead of a per-key RPC inside foreach (SURVEY §7.4 risk 1).
+  *
+  * Reputation feedback (HogSFlow.scala:1486, 2029; HogHBaseReputation
+  * .scala:85-93) is intra-run two-pass sequencing: pass 1 derives the
+  * proxy and BigProvider whitelists from the same summary, pass 2's
+  * detectors consume them ([[Detectors.atypicalPorts]],
+  * [[Detectors.atypicalData]]). The derived lists are also returned so a
+  * caller can persist them for the next run (the reference's store).
   */
 object HogzillaBatch {
 
+  /** The reference's 8 HIST families (HogHBaseHistogram.scala) plus the
+    * HIST02.1 last-window snapshot. All share the
+    * (name, size, buckets: map<string,double>) schema; hist07's bucket
+    * values are raw counts (mergeMax semantics), the rest relative
+    * frequencies.
+    */
   case class ProfileTables(
-      hist01: DataFrame, // open server ports per host
-      hist02: DataFrame, // alien ports contacted per host
-      hist03: DataFrame, // log-binned pair counts
-      hist04: DataFrame) // log-binned upload bytes
+      hist01: DataFrame,     // open server ports per host
+      hist02: DataFrame,     // alien ports contacted per host
+      hist02snap: DataFrame, // HIST02.1: last-window snapshot of hist02
+      hist03: DataFrame,     // log-binned pair counts
+      hist04: DataFrame,     // log-binned upload bytes
+      hist05: DataFrame,     // ports per alien /24 network
+      hist06: DataFrame,     // log-binned upload bins per alien /24
+      hist07: DataFrame,     // max distinct-pair fan-out per (host, port)
+      hist08: DataFrame)     // distinct-port-count distribution per host
+
+  /** Derived reputation lists from one run (pass 1) — persist and feed
+    * back as the next run's exclusions, as the reference's HBase
+    * reputation table does.
+    */
+  case class ReputationLists(
+      proxies: DataFrame,      // (my_ip)
+      bigProviders: DataFrame) // (net)
 
   /** Empty profile state with the (name, size, buckets) schema. */
   def emptyProfiles(spark: SparkSession): DataFrame = {
@@ -31,11 +57,17 @@ object HogzillaBatch {
         StructField("buckets", MapType(StringType, DoubleType)))))
   }
 
+  def emptyProfileTables(spark: SparkSession): ProfileTables = {
+    val e = emptyProfiles(spark)
+    ProfileTables(e, e, e, e, e, e, e, e, e)
+  }
+
   /** Run every detector over one batch of raw sFlow samples.
-    * Returns (alerts, updated profile tables).
+    * Returns (alerts, updated profile tables, derived reputation lists).
     */
   def run(spark: SparkSession, samples: DataFrame, myNets: Seq[String],
-      profiles: ProfileTables, blacklist: DataFrame, osRepos: DataFrame): (DataFrame, ProfileTables) = {
+      profiles: ProfileTables, blacklist: DataFrame, osRepos: DataFrame)
+      : (DataFrame, ProfileTables, ReputationLists) = {
 
     val summary = FlowSummary.summarize(samples, myNets).cache()
 
@@ -45,22 +77,31 @@ object HogzillaBatch {
     val p2p = Detectors.p2pTalkers(summary, myNets, ftpPairs, ftpSrv)
     val p2pHosts = p2p.select(col("my_ip")).distinct()
 
+    // pass 1: intra-run reputation (HogSFlow.scala:1486, 2029)
+    val reputation = ReputationLists(
+      proxies = Detectors.proxyServers(summary),
+      bigProviders = Detectors.bigProviders(summary, myNets))
+
+    // pass 2: the standing detectors, profile-relative where the
+    // reference's are (HIST01/02/02.1/03/04/05/07/08)
     val alerts = Seq(
       Detectors.topTalkers(summary),
       Detectors.smtpTalkers(summary, myNets, profiles.hist01, profiles.hist02),
       p2p,
       Detectors.mediaStreamingClients(summary, myNets, p2pHosts),
-      Detectors.atypicalPorts(summary, profiles.hist01),
-      Detectors.atypicalAlienPorts(summary, profiles.hist02),
+      Detectors.atypicalPorts(summary, profiles.hist01, reputation.proxies),
+      Detectors.atypicalAlienPorts(summary, myNets, profiles.hist02,
+        profiles.hist02snap, profiles.hist01, profiles.hist05),
       Detectors.atypicalPairs(summary, profiles.hist03),
-      Detectors.atypicalData(summary, profiles.hist04),
+      Detectors.atypicalData(summary, myNets, profiles.hist04, reputation.bigProviders),
+      Detectors.alienNetworkAtypicalPorts(summary, myNets, profiles.hist05),
       Detectors.alienAccess(summary, myNets),
       Detectors.udpAmplifier(summary),
       Detectors.abusedSmtp(summary),
       Detectors.dnsTunnel(summary),
       Detectors.icmpTunnel(summary),
-      Detectors.hPortScan(summary, myNets),
-      Detectors.vPortScan(summary, myNets),
+      Detectors.hPortScan(summary, myNets, profiles.hist07, profiles.hist01, p2pHosts),
+      Detectors.vPortScan(summary, myNets, profiles.hist08, p2pHosts),
       Detectors.ddos(summary),
       Detectors.botnetCC(summary, blacklist),
       Detectors.osDiscovery(summary, osRepos),
@@ -74,11 +115,13 @@ object HogzillaBatch {
         summary.groupBy(col(keyCol).as("name"), bucketCol.as("bucket"))
           .agg(count(lit(1)).as("cnt")),
         Seq("name"))
+    val hist02Cur = Detectors.hist02Current(summary)
+      .withColumnRenamed("my_ip", "name")
     val updated = ProfileTables(
       hist01 = ProfileStore.update(profiles.hist01,
         currentHist("my_ip", col("my_port"))),
-      hist02 = ProfileStore.update(profiles.hist02,
-        currentHist("my_ip", col("alien_port"))),
+      hist02 = ProfileStore.update(profiles.hist02, hist02Cur),
+      hist02snap = ProfileStore.snapshot(profiles.hist02snap, hist02Cur),
       hist03 = ProfileStore.update(profiles.hist03,
         HistogramFunctions.buildHistogram(
           summary.groupBy("my_ip").agg(countDistinct("alien_ip").as("pairs"))
@@ -93,7 +136,15 @@ object HogzillaBatch {
             .select(col("my_ip").as("name"),
               HistogramFunctions.logBin(col("up").cast("double")).cast("string").as("bucket"),
               lit(1L).as("cnt")),
-          Seq("name"))))
-    (alerts, updated)
+          Seq("name"))),
+      hist05 = ProfileStore.update(profiles.hist05,
+        Detectors.hist05Current(summary, myNets)),
+      hist06 = ProfileStore.update(profiles.hist06,
+        Detectors.hist06Current(summary, myNets)),
+      hist07 = ProfileStore.updateMax(profiles.hist07,
+        Detectors.hist07Current(summary, p2pHosts)),
+      hist08 = ProfileStore.update(profiles.hist08,
+        Detectors.hist08Current(summary, p2pHosts)))
+    (alerts, updated, reputation)
   }
 }

@@ -30,6 +30,18 @@ object HistogramFunctions {
         transform_values(col("cnts"), (_, v) => v.cast("double") / col("size")).as("buckets")): _*)
   }
 
+  /** Count-valued bucket map from long-form counts — the HIST07 shape
+    * ("not exactly a histogram", reference Histograms.scala:141): bucket
+    * values are RAW counts (e.g. distinct partners per port), not relative
+    * frequencies, so bucket-wise `mergeMax` tracks the learned per-bucket
+    * maximum. `df` must have columns (bucket, cnt).
+    */
+  def buildCountMap(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum("cnt").as("size"),
+        map_from_entries(sort_array(collect_list(
+          struct(col("bucket"), col("cnt").cast("double"))))).as("buckets"))
+
   /** Weighted-mean merge with decay (HistogramAlgebra.merge) as a pure
     * column expression over (s1, b1) profile and (s2, b2) current.
     * Missing keys on either side contribute 0.

@@ -35,6 +35,38 @@ object ProfileStore {
           .otherwise(mergeBuckets(col("s1"), col("b1"), col("s2"), col("b2"))).as("buckets"))
   }
 
+  /** Bucket-wise-max merge of count-valued profiles (the reference's
+    * Histograms.mergeMax, Histograms.scala:141-168 — HIST07 max-flows-per-
+    * port): size = s1+s2, each bucket keeps the larger observed value.
+    * New keys pass through unchanged.
+    */
+  def updateMax(state: DataFrame, batch: DataFrame): DataFrame = {
+    val st = state.select(col("name"), col("size").as("s1"), col("buckets").as("b1"))
+    val ba = batch.select(col("name"), col("size").as("s2"), col("buckets").as("b2"))
+    st.join(ba, Seq("name"), "full_outer")
+      .select(
+        col("name"),
+        (coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L))).as("size"),
+        when(col("b1").isNull, col("b2"))
+          .when(col("b2").isNull, col("b1"))
+          .otherwise(mergeMaxBuckets(col("b1"), col("b2"))).as("buckets"))
+  }
+
+  /** Last-window snapshot overwrite (the reference's HIST02.1,
+    * HogSFlow.scala:1722: `saveHistogram(new HogHistogram("HIST02.1-"+ip,
+    * n, hist))`): keys seen this window REPLACE their snapshot; unseen
+    * keys keep the previous one.
+    */
+  def snapshot(state: DataFrame, batch: DataFrame): DataFrame = {
+    val st = state.select(col("name"), col("size").as("s1"), col("buckets").as("b1"))
+    val ba = batch.select(col("name"), col("size").as("s2"), col("buckets").as("b2"))
+    st.join(ba, Seq("name"), "full_outer")
+      .select(
+        col("name"),
+        coalesce(col("s2"), col("s1")).as("size"),
+        coalesce(col("b2"), col("b1")).as("buckets"))
+  }
+
   /** Learn-then-alert: join the batch to state and emit one row per
     * atypical bucket, but only for profiles past the cold-start threshold
     * (the reference's histSize<10/30/100 learn-only gates,

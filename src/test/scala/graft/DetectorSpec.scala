@@ -56,24 +56,64 @@ class DetectorSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
-  test("vPortScan catches an alien probing many low ports") {
-    val scan = Seq("21", "22", "23", "25", "110").zipWithIndex.map { case (p, i) =>
-      ("99.9.9.9", "10.0.0.7", "40000", p, "6", 60L, 1L, "0x02", 50L + i)
-    }
-    val out = Detectors.vPortScan(FlowSummary.summarize(samples(scan ++ benign), myNets), myNets)
-    val rows = out.collect()
+  private def noHosts = {
+    import spark.implicits._
+    Seq.empty[String].toDF("my_ip")
+  }
+
+  /** Local host 10.0.0.7 probing nPorts distinct well-known ports on one alien. */
+  private def vScanProbe(nPorts: Int) = (1 to nPorts).map(i =>
+    ("10.0.0.7", "99.9.9.9", "41000", (20 + i).toString, "6", 60L, 1L, "0x02", 50L + i))
+
+  test("vPortScan alerts on deviation from the learned HIST08 port-count profile") {
+    import spark.implicits._
+    val sum_ = FlowSummary.summarize(samples(vScanProbe(5) ++ benign), myNets)
+    // mature profile that has typically seen bursts of up to 7 ports → silent
+    val tolerant = Seq(("10.0.0.7", 50L, Map("4" -> 0.6, "7" -> 0.4)))
+      .toDF("name", "size", "buckets")
+    assert(Detectors.vPortScan(sum_, myNets, tolerant, noHosts).count() == 0)
+    // mature profile that never saw more than 4 ports → fires
+    val strict = Seq(("10.0.0.7", 50L, Map("4" -> 1.0))).toDF("name", "size", "buckets")
+    val rows = Detectors.vPortScan(sum_, myNets, strict, noHosts).collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[String]("my_ip") == "10.0.0.7")
     assert(rows.head.getAs[String]("alien_ip") == "99.9.9.9")
     assert(rows.head.getAs[Double]("metric") == 5.0)
+    // cold-start profile (size < 10) → learn only, never alerts
+    val cold = Seq(("10.0.0.7", 5L, Map("4" -> 1.0))).toDF("name", "size", "buckets")
+    assert(Detectors.vPortScan(sum_, myNets, cold, noHosts).count() == 0)
   }
 
-  test("hPortScan catches one alien probing the same port across hosts") {
+  test("hPortScan alerts beyond the learned HIST07 per-port max, not a fixed threshold") {
+    import spark.implicits._
     val scan = (1 to 120).map(i =>
-      ("99.9.9.9", "10.0.1." + i, "40000", "3389", "6", 60L, 1L, "0x02", 50L + i))
-    val out = Detectors.hPortScan(FlowSummary.summarize(samples(scan ++ benign), myNets), myNets)
-    val rows = out.collect()
-    assert(rows.length == 1 && rows.head.getAs[String]("alien_ip") == "99.9.9.9")
+      ("10.0.0.7", "66.1." + (i / 250) + "." + (i % 250), "41000", "3389", "6", 60L, 1L, "0x02", 50L + i))
+    val sum_ = FlowSummary.summarize(samples(scan ++ benign), myNets)
+    val empty = HogzillaBatch.emptyProfiles(spark)
+    // learned max 200 on this port → 120 pairs is within profile → silent
+    val wide = Seq(("10.0.0.7", 500L, Map("3389" -> 200.0))).toDF("name", "size", "buckets")
+    assert(Detectors.hPortScan(sum_, myNets, wide, empty, noHosts).count() == 0)
+    // learned max 110 → 120 exceeds it → fires
+    val tight = Seq(("10.0.0.7", 500L, Map("3389" -> 110.0))).toDF("name", "size", "buckets")
+    val rows = Detectors.hPortScan(sum_, myNets, tight, empty, noHosts).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("my_ip") == "10.0.0.7")
+    assert(rows.head.getAs[String]("note").contains("3389"))
+    // cold-start (size < 100) → learn only
+    val cold = Seq(("10.0.0.7", 50L, Map("3389" -> 110.0))).toDF("name", "size", "buckets")
+    assert(Detectors.hPortScan(sum_, myNets, cold, empty, noHosts).count() == 0)
+  }
+
+  test("hPortScan suppresses port 25 for hosts whose HIST01 profile serves SMTP") {
+    import spark.implicits._
+    val scan = (1 to 120).map(i =>
+      ("10.0.0.7", "66.1." + (i / 250) + "." + (i % 250), "41000", "25", "6", 60L, 1L, "0x02", 50L + i))
+    val sum_ = FlowSummary.summarize(samples(scan), myNets)
+    val tight = Seq(("10.0.0.7", 500L, Map("25" -> 10.0))).toDF("name", "size", "buckets")
+    val notSmtp = HogzillaBatch.emptyProfiles(spark)
+    assert(Detectors.hPortScan(sum_, myNets, tight, notSmtp, noHosts).count() == 1)
+    val smtpServer = Seq(("10.0.0.7", 500L, Map("25" -> 0.9, "443" -> 0.1)))
+      .toDF("name", "size", "buckets")
+    assert(Detectors.hPortScan(sum_, myNets, tight, smtpServer, noHosts).count() == 0)
   }
 
   test("udpAmplifier fires on a huge-packet-count NTP flow") {
@@ -102,13 +142,107 @@ class DetectorSpec extends AnyFunSuite {
 
   test("atypicalPorts: cold-start profiles learn silently, warm profiles alert on new ports") {
     import spark.implicits._
-    val oddPort = Seq.fill(3)(("55.5.5.5", "10.0.0.12", "40000", "31337", "6", 100L, 1L, "0x02", 80L))
+    // 5 distinct alien source ports hit the served port → passes the
+    // served-port screen (>3 distinct alien ports, diversity > 0.2)
+    val oddPort = (1 to 5).flatMap(i => Seq.fill(3)(
+      ("55.5.5.5", "10.0.0.12", (40000 + i).toString, "31337", "6", 100L, 1L, "0x02", 80L + i)))
     val sum_ = FlowSummary.summarize(samples(oddPort), myNets)
     val cold = Seq(("10.0.0.12", 5L, Map("80" -> 1.0))).toDF("name", "size", "buckets")
-    assert(Detectors.atypicalPorts(sum_, cold).count() == 0) // size 5 < 100 → learn only
+    assert(Detectors.atypicalPorts(sum_, cold, noHosts).count() == 0) // size 5 < 100 → learn only
     val warm = Seq(("10.0.0.12", 500L, Map("80" -> 1.0))).toDF("name", "size", "buckets")
-    val rows = Detectors.atypicalPorts(sum_, warm).collect()
+    val rows = Detectors.atypicalPorts(sum_, warm, noHosts).collect()
     assert(rows.length == 1 && rows.head.getAs[String]("note").contains("31337"))
+  }
+
+  test("atypicalPorts served-port screen drops client-side ephemeral ports") {
+    import spark.implicits._
+    // one alien source port repeatedly hitting 31337 → diversity 1 ≤ 3 →
+    // the port is not genuinely served, no alert even with a warm profile
+    val clienty = (1 to 5).map(i =>
+      ("55.5.5.5", "10.0.0.12", "40000", "31337", "6", 100L, 1L, "0x02", 80L + i))
+    val sum_ = FlowSummary.summarize(samples(clienty), myNets)
+    val warm = Seq(("10.0.0.12", 500L, Map("80" -> 1.0))).toDF("name", "size", "buckets")
+    assert(Detectors.atypicalPorts(sum_, warm, noHosts).count() == 0)
+  }
+
+  test("proxyServers derivation feeds atypicalPorts' proxy-specific screen") {
+    import spark.implicits._
+    // 10.0.0.20 serves clients on 8080 AND fans out to many well-known
+    // alien ports from it — proxy behavior (HogSFlow.scala:1480-1489)
+    val proxyish = Seq("80", "443", "25", "22").zipWithIndex.map { case (p, i) =>
+      ("10.0.0.20", "70.1.1." + (i + 1), "8080", p, "6", 100L, 1L, "0x02", 90L + i)
+    } ++ (1 to 3).map(i => // inbound clients hitting the listening port
+      ("70.3.3." + i, "10.0.0.20", (51000 + i).toString, "8080", "6", 100L, 1L, "0x02", 93L + i))
+    val sum_ = FlowSummary.summarize(samples(proxyish), myNets)
+    val proxies = Detectors.proxyServers(sum_)
+    assert(proxies.collect().map(_.getString(0)).toSeq == Seq("10.0.0.20"))
+    // with the host whitelisted as a proxy, its served (direction<0) ports
+    // still reach the profile comparison instead of being screened out
+    val warm = Seq(("10.0.0.20", 500L, Map("80" -> 1.0))).toDF("name", "size", "buckets")
+    val inbound = (1 to 4).flatMap(i => Seq.fill(3)(
+      ("70.2.2." + i, "10.0.0.20", (50000 + i).toString, "9999", "6", 100L, 1L, "0x02", 95L + i)))
+    val sum2 = FlowSummary.summarize(samples(inbound), myNets)
+    assert(Detectors.atypicalPorts(sum2, warm, proxies).collect()
+      .exists(_.getAs[String]("note").contains("9999")))
+  }
+
+  test("bigProviders whitelist suppresses atypicalData for traffic to that network") {
+    import spark.implicits._
+    // pass 1: alien /24 66.10.20.x seen by >4 local hosts with a >1 GiB flow
+    val bulk = (1 to 6).map(i =>
+      ("10.0.0." + i, "66.10.20." + i, "45000", "443", "6", 20000000L, 100L, "0x18", 100L + i))
+    val sum_ = FlowSummary.summarize(samples(bulk), myNets)
+    val prov = Detectors.bigProviders(sum_, myNets)
+    assert(prov.collect().map(_.getString(0)).toSeq == Seq("66.10.20"))
+    // pass 2: a host uploading 2 GB effective to the whitelisted network
+    // stays silent; the same volume to an unknown network alerts
+    val warm = Seq(("10.0.0.30", 500L, Map("5" -> 1.0))).toDF("name", "size", "buckets")
+    def upload(dst: String) = Seq.fill(3)(
+      ("10.0.0.30", dst, "45000", "443", "6", 20000000L, 100L, "0x02", 200L))
+    val toProvider = FlowSummary.summarize(samples(upload("66.10.20.9")), myNets)
+    assert(Detectors.atypicalData(toProvider, myNets, warm, prov, minBytes = 1000000L).count() == 0)
+    val toUnknown = FlowSummary.summarize(samples(upload("88.9.9.9")), myNets)
+    assert(Detectors.atypicalData(toUnknown, myNets, warm, prov, minBytes = 1000000L).count() == 1)
+  }
+
+  test("atypicalAlienPorts: snapshot leave-one-out + alien-side confirm (J6)") {
+    import spark.implicits._
+    // current window: 10.0.0.40 contacts external 77.1.2.3 on port 4444
+    val flows = Seq.fill(3)(
+      ("10.0.0.40", "77.1.2.3", "42000", "4444", "6", 500L, 1L, "0x02", 300L))
+    val sum_ = FlowSummary.summarize(samples(flows), myNets)
+    val hist02 = Seq(("10.0.0.40", 500L, Map("443" -> 1.0))).toDF("name", "size", "buckets")
+    val snapYes = Seq(("10.0.0.40", 10L, Map("4444" -> 0.5, "443" -> 0.5)))
+      .toDF("name", "size", "buckets")
+    val snapNo = Seq(("10.0.0.40", 10L, Map("443" -> 1.0))).toDF("name", "size", "buckets")
+    val empty = HogzillaBatch.emptyProfiles(spark)
+    // alien /24 77.1.2 has a mature HIST05 that never served 4444 → confirm
+    val h05 = Seq(("77.1.2", 100L, Map("443" -> 1.0))).toDF("name", "size", "buckets")
+    val fires = Detectors.atypicalAlienPorts(sum_, myNets, hist02, snapYes, empty, h05)
+    assert(fires.collect().map(_.getAs[String]("note")).exists(_.contains("4444")))
+    // gate 2: port absent from the last-window snapshot → noise, silent
+    assert(Detectors.atypicalAlienPorts(sum_, myNets, hist02, snapNo, empty, h05).count() == 0)
+    // gate 3: the alien network typically serves 4444 → not atypical, silent
+    val h05Serves = Seq(("77.1.2", 100L, Map("4444" -> 1.0))).toDF("name", "size", "buckets")
+    assert(Detectors.atypicalAlienPorts(sum_, myNets, hist02, snapYes, empty, h05Serves).count() == 0)
+    // gate 3: immature alien profile (size < 21) cannot confirm → silent
+    val h05Cold = Seq(("77.1.2", 5L, Map("443" -> 1.0))).toDF("name", "size", "buckets")
+    assert(Detectors.atypicalAlienPorts(sum_, myNets, hist02, snapYes, empty, h05Cold).count() == 0)
+  }
+
+  test("alienNetworkAtypicalPorts alerts on a new port for a profiled alien /24") {
+    import spark.implicits._
+    // >4 distinct local hosts touch 66.30.1.x on port 4444 this window
+    val touch = (1 to 6).map(i =>
+      ("10.0.0." + i, "66.30.1." + i, "43000", "4444", "6", 200L, 1L, "0x02", 400L + i))
+    val sum_ = FlowSummary.summarize(samples(touch), myNets)
+    val mature = Seq(("66.30.1", 2000L, Map("443" -> 1.0))).toDF("name", "size", "buckets")
+    val rows = Detectors.alienNetworkAtypicalPorts(sum_, myNets, mature).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("alien_ip") == "66.30.1")
+    assert(rows.head.getAs[String]("note").contains("4444"))
+    // immature network profile → learn only
+    val cold = Seq(("66.30.1", 50L, Map("443" -> 1.0))).toDF("name", "size", "buckets")
+    assert(Detectors.alienNetworkAtypicalPorts(sum_, myNets, cold).count() == 0)
   }
 
   test("p2pTalkers method 1 fires on many pairs over many local ports; ftp traffic exempt") {
@@ -173,38 +307,44 @@ class DetectorSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("note") == "os: debian,freebsd")
   }
 
-  test("vPortScan threshold boundary: exactly minPorts distinct ports fires, one fewer stays silent") {
-    def probe(nPorts: Int) = (1 to nPorts).map(i =>
-      ("55.5.5.5", "10.0.0.14", "7000", (20 + i).toString, "6", 60L, 1L, "0x02", 900L + i))
-    val silent = FlowSummary.summarize(samples(probe(2) ++ benign), myNets)
-    assert(Detectors.vPortScan(silent, myNets).count() == 0)
-    val fires = FlowSummary.summarize(samples(probe(3) ++ benign), myNets)
-    assert(Detectors.vPortScan(fires, myNets).collect()
-      .map(_.getAs[String]("my_ip")).toSeq == Seq("10.0.0.14"))
+  test("vPortScan boundary: a port count at the profile's typical max stays silent, one past it fires") {
+    import spark.implicits._
+    val profile = Seq(("10.0.0.7", 50L, Map("5" -> 1.0))).toDF("name", "size", "buckets")
+    val atMax = FlowSummary.summarize(samples(vScanProbe(5) ++ benign), myNets)
+    assert(Detectors.vPortScan(atMax, myNets, profile, noHosts).count() == 0)
+    val pastMax = FlowSummary.summarize(samples(vScanProbe(6) ++ benign), myNets)
+    assert(Detectors.vPortScan(pastMax, myNets, profile, noHosts).collect()
+      .map(_.getAs[String]("my_ip")).toSeq == Seq("10.0.0.7"))
   }
 
-  test("HogzillaBatch.run: full DAG produces the planted alerts and learns profiles") {
+  test("HogzillaBatch.run: full DAG produces the planted alerts and learns all 9 profile families") {
     import spark.implicits._
     val spam = (1 to 30).flatMap(i => Seq.fill(4)(
       ("10.0.0.5", "66.1.1." + i, "4000", "25", "6", 200000L, 10L, "0x18", 100L + i)))
-    val scan = Seq("21", "22", "23", "25", "110").zipWithIndex.map { case (p, i) =>
-      ("99.9.9.9", "10.0.0.7", "40000", p, "6", 60L, 1L, "0x02", 50L + i)
-    }
+    val scan = vScanProbe(5)
     val all = samples(spam ++ scan ++ benign)
-    val profiles = HogzillaBatch.ProfileTables(
-      HogzillaBatch.emptyProfiles(spark), HogzillaBatch.emptyProfiles(spark),
-      HogzillaBatch.emptyProfiles(spark), HogzillaBatch.emptyProfiles(spark))
-    val (alerts, updated) = HogzillaBatch.run(spark, all, myNets, profiles,
+    val profiles = HogzillaBatch.emptyProfileTables(spark)
+    val (alerts, updated, reputation) = HogzillaBatch.run(spark, all, myNets, profiles,
       blacklist = Seq("66.66.").toDF("prefix"),
       osRepos = Seq(("93.1.1.1", "debian")).toDF("repo_ip", "os"))
     val byDetector = alerts.groupBy("detector").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byDetector.contains("smtpTalkers"))
-    assert(byDetector.contains("vPortScan"))
     assert(byDetector.contains("topTalkers"))
     assert(byDetector.contains("osDiscovery"))
     assert(!byDetector.contains("botnetCC")) // nothing blacklisted in this batch
-    // learn pass: every host now has a HIST01 profile with size > 0
+    // profile-relative scan detectors stay silent on run 1 (cold start)…
+    assert(!byDetector.contains("vPortScan"))
+    // …but the learn pass populates their profiles for the next run
     assert(updated.hist01.filter(col("name") === "10.0.0.5" && col("size") > 0).count() == 1)
+    assert(updated.hist08.filter(col("name") === "10.0.0.7").count() == 1)
+    assert(updated.hist02snap.filter(col("name") === "10.0.0.5").count() == 1)
+    assert(reputation.proxies.count() == 0)
+    // run 2 over the same traffic: the HIST08 profile now exists (still
+    // below the maturity gate, and the 5-port burst is typical) → silent
+    val (alerts2, _, _) = HogzillaBatch.run(spark, all, myNets, updated,
+      blacklist = Seq("66.66.").toDF("prefix"),
+      osRepos = Seq(("93.1.1.1", "debian")).toDF("repo_ip", "os"))
+    assert(alerts2.filter(col("detector") === "vPortScan").count() == 0)
   }
 }

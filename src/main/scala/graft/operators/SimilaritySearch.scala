@@ -114,40 +114,57 @@ object SimilaritySearch {
         col("part").cast("long").as("part"), col("vec_id"), col("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above `minSim`, bucketed by the
-    * LSH signature so the pairwise comparison never crosses buckets (the
-    * 100 TB-safe variant of "all pairs with cosine ≥ τ"). Set nPlanes=0
-    * for the exact brute-force variant (single bucket).
+  /** Embedding-cosine near-duplicate pairs above `minSim`, bucketed by
+    * multi-table hyperplane LSH so the pairwise comparison never crosses
+    * buckets (the 100 TB-safe variant of "all pairs with cosine ≥ τ").
+    *
+    * OR-amplification: `nTables` independent tables of `nPlanes` planes
+    * each (plane j of table t is global plane t·nPlanes+j); a pair is a
+    * candidate if it collides in ANY table. Recall for a pair at angle θ
+    * is 1-(1-(1-θ/π)^nPlanes)^nTables — with (4 planes, 3 tables) a
+    * 0.9-cosine pair survives ~90% of the time while the join stays a
+    * bucket-key shuffle. Set nPlanes=0 for the exact brute-force variant
+    * (the parity baseline; quadratic — never ship it at scale).
     */
   def nearDupPairs(corpus: DataFrame, minSim: Double, nPlanes: Int, dim: Int,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000, nTables: Int = 3): DataFrame = {
     val normed = withNorm(corpus, "embedding", "nrm")
     val a = normed.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
     val b = normed.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
-    val pairs =
-      if (nPlanes == 0)
-        // exact variant: broadcast nested-loop cross join — parallel over
-        // the left side's partitions (an equi-join on a constant key would
-        // collapse all n² pairs into ONE shuffle partition); the left is
-        // repartitioned because a small parquet corpus arrives in one split
-        a.repartition(a.sparkSession.sparkContext.defaultParallelism)
-          .join(broadcast(b), col("id1") < col("id2"))
-      else {
-        // bucket join is quadratic per bucket — same degenerate-bucket
-        // guard as the text-LSH pipelines (Dedup.lshCandidatePairs)
-        import org.apache.spark.sql.expressions.Window
-        val planes = hyperplaneSigns(nPlanes, dim)
-        val ab = a.withColumn("bucket", lshBucket(col("v1"), planes))
-          .repartition(col("bucket"))
-          .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-          .filter(col("bsz") <= maxBucket)
-          .drop("bsz")
-        val bb = b.withColumn("bucket", lshBucket(col("v2"), planes))
-        ab.join(bb, Seq("bucket")).filter(col("id1") < col("id2"))
-      }
-    pairs
+    def scored(pairs: DataFrame) = pairs
       .withColumn("sim", pairSim(col("v1"), col("v2"), col("n1"), col("n2")))
       .filter(col("sim") >= minSim)
       .select(col("id1"), col("id2"), col("sim"))
+    if (nPlanes == 0)
+      // exact variant: broadcast nested-loop cross join — parallel over
+      // the left side's partitions (an equi-join on a constant key would
+      // collapse all n² pairs into ONE shuffle partition); the left is
+      // repartitioned because a small parquet corpus arrives in one split
+      scored(a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+        .join(broadcast(b), col("id1") < col("id2")))
+    else {
+      // bucket join is quadratic per bucket — same degenerate-bucket
+      // guard as the text-LSH pipelines (Dedup.lshCandidatePairs)
+      import org.apache.spark.sql.expressions.Window
+      val planes = hyperplaneSigns(nPlanes * nTables, dim)
+      val tables = array((0 until nTables).map(lit): _*)
+      def bucketed(df: DataFrame, vCol: String) = df
+        .withColumn("sig", lshBucket(col(vCol), planes))
+        .withColumn("t", explode(tables))
+        .withColumn("bucket",
+          concat(col("t").cast("string"), lit(":"),
+            col("sig").substr(col("t") * nPlanes + 1, lit(nPlanes))))
+        .drop("sig")
+      val ab = bucketed(a, "v1")
+        .repartition(col("bucket"))
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("bsz") <= maxBucket)
+        .drop("bsz")
+      val bb = bucketed(b, "v2")
+      // a pair colliding in several tables is scored in each and deduped
+      // after the threshold — sim is deterministic, so distinct is exact
+      scored(ab.join(bb, Seq("bucket")).filter(col("id1") < col("id2")))
+        .distinct()
+    }
   }
 }

@@ -66,8 +66,12 @@ object PipelineQueries {
 
     // D5: embedding-cosine near-dup pairs (brute-force exact variant;
     // the LSH-bucketed scale path is v2/nearDupPairs with nPlanes>0).
+    // D5: the SHIPPED near-dup path is the multi-table LSH-bucketed one
+    // (bucket-key shuffle, never all-pairs); the nPlanes=0 brute-force
+    // branch survives only as the recall baseline in PipelineSpec.
     "d5_embedding_neardup" -> ((s, dir) => {
-      SimilaritySearch.nearDupPairs(Catalog.embeddings(s, dir), 0.35, nPlanes = 0, dim = 64)
+      SimilaritySearch.nearDupPairs(Catalog.embeddings(s, dir), 0.35,
+          nPlanes = 4, dim = 64, nTables = 3)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -557,11 +561,28 @@ object PipelineQueries {
     "d5_embedding_neardup" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, [CASE WHEN (CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) & 1 = 1
+        |             THEN 1.0 ELSE -1.0 END
+        |             for a in [ascii(substr(md5(CAST(j AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)) for i in range(0, 64)]] AS p
+        |  FROM range(0, 12) r(j)),
+        |sigs AS (
+        |  SELECT vec_id, j // 4 AS t,
+        |         string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        |  FROM (
+        |    SELECT v.vec_id, planes.j,
+        |      list_sum(list_transform(range(1, 65), i -> v.v[i] * planes.p[i])) AS proj
+        |    FROM v CROSS JOIN planes)
+        |  GROUP BY vec_id, j // 4),
         |n AS (
-        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)
-        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+        |cand AS (
+        |  SELECT DISTINCT s1.vec_id AS id1, s2.vec_id AS id2
+        |  FROM sigs s1 JOIN sigs s2 ON s1.t = s2.t AND s1.bucket = s2.bucket
+        |  WHERE s1.vec_id < s2.vec_id)
+        |SELECT c.id1, c.id2,
         |  ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS sim
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |FROM cand c JOIN n a ON a.vec_id = c.id1 JOIN n b ON b.vec_id = c.id2
         |WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
 

@@ -60,6 +60,36 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH nearDupPairs is a subset of brute force with matching sims, and recalls planted near-dups") {
+    import spark.implicits._
+    import graft.operators.SimilaritySearch
+    val rnd = new Random(42)
+    val dim = 16
+    // 30 random base vectors + a planted near-duplicate of each of the
+    // first 10 (tiny perturbation → cosine ≈ 0.99)
+    val base = Seq.tabulate(30)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val planted = base.take(10).map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val brute = SimilaritySearch.nearDupPairs(corpus, 0.9, nPlanes = 0, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SimilaritySearch.nearDupPairs(corpus, 0.9, nPlanes = 4, dim = dim, nTables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every LSH pair is a true pair with the identical sim
+    lsh.foreach { case (pair, sim) =>
+      assert(brute.contains(pair) && brute(pair) == sim, s"spurious or drifted pair $pair")
+    }
+    // recall on the planted ~0.99-cosine duplicates (expected ≈ 90% with
+    // 4 planes × 3 tables; seeded, so this is a deterministic assertion)
+    val plantedPairs = (0 until 10).map(i => (i.toLong, 100L + i)).filter(brute.contains)
+    val recalled = plantedPairs.count(lsh.contains)
+    assert(plantedPairs.nonEmpty)
+    assert(recalled.toDouble / plantedPairs.size >= 0.7,
+      s"recall $recalled/${plantedPairs.size} below 0.7")
+  }
+
   test("rangeJoin matches a naive filter join on random intervals") {
     import spark.implicits._
     for (seed <- 1 to 3) {

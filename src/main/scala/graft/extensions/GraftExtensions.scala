@@ -38,19 +38,30 @@ object GraftFunctions {
   private def net24Builder(args: Seq[Expression]): Expression =
     SubstringIndex(args.head, Literal("."), Literal(3))
 
+  /** Arity gate so a wrong-arity SQL call (`graft_dot(x)`) fails with a
+    * clear message at analysis time instead of an IndexOutOfBounds from
+    * the builder.
+    */
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.size == n) b(args)
+      else throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.size}")
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_logbin",
       new ExpressionInfo("graft", "graft_logbin"),
-      logbinBuilder _),
+      arity("graft_logbin", 1)(logbinBuilder)),
     ("graft_hamming",
       new ExpressionInfo("graft", "graft_hamming"),
-      hammingBuilder _),
+      arity("graft_hamming", 2)(hammingBuilder)),
     ("graft_net24",
       new ExpressionInfo("graft", "graft_net24"),
-      net24Builder _),
+      arity("graft_net24", 1)(net24Builder)),
     ("graft_dot",
       new ExpressionInfo("graft", "graft_dot"),
-      (args: Seq[Expression]) => graft.expressions.DotProduct(args(0), args(1))),
+      arity("graft_dot", 2)(args => graft.expressions.DotProduct(args(0), args(1)))),
   )
 
   /** Register into a live session (tests, notebooks). */

@@ -87,6 +87,11 @@ object SketchFunctions {
   /** Point-estimate the frequency of each key in `keys` (a DataFrame with
     * `keyCol`): min over the d rows of the key's counter — never an
     * underestimate, overcounts bounded by collisions (ε·N w.h.p.).
+    *
+    * The counter lookup is a LEFT join with a 0 default: a key absent
+    * from the sketched input probes buckets with no counter row, and CMS
+    * must answer 0 for it — an inner join would silently drop the empty
+    * buckets and report the min of the COLLIDING ones (inflated).
     */
   def cmsEstimate(counters: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
     val probes = (0 until CmsRows).map(j =>
@@ -94,9 +99,9 @@ object SketchFunctions {
     keys
       .select(col(keyCol), explode(array(probes: _*)).as("p"))
       .select(col(keyCol), col("p.j").as("j"), col("p.bucket").as("bucket"))
-      .join(broadcast(counters), Seq("j", "bucket"))
+      .join(broadcast(counters), Seq("j", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("cms_count"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
 
   /** Per-group HLL distinct estimate of `valueCol`, as

@@ -262,6 +262,12 @@ object Dedup {
       cur = next
       i += 1
     }
+    // partially-contracted labels are silently WRONG downstream (dedup
+    // resolution would keep duplicates with no signal) — fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "raise maxIter (rounds grow ~log of the largest component diameter)")
     val roots = cur.select(col("v")).distinct().select(col("v").as("node"), col("v").as("component"))
     cur.select(col("u").as("node"), col("v").as("component")).union(roots).distinct()
   }

@@ -20,19 +20,43 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Floor division kept entirely in LONG arithmetic: `floor(c / grid)`
+    * through a double loses low bits past 2^53 (epoch-micros far future,
+    * arbitrary integer keys — both permitted inputs) and a misrounded
+    * cell silently drops true matches before the exact residual filter
+    * can see them. `c - pmod(c, g)` is an exact multiple of g, so the
+    * integer DIV has no remainder to mis-truncate.
+    */
+  private def floorDiv(c: Column, grid: Long): Column =
+    call_function("div", c - pmod(c, lit(grid)), lit(grid)).cast("long")
+
   /** Both `pointCol` and the interval bounds must be LONG-comparable
     * (epoch seconds/days, integer keys...). Inclusive on both ends.
     * Returns every (point row ⨯ matching interval row); points matching
     * nothing are dropped (inner semantics).
+    *
+    * `maxCellsPerInterval` guards the explode against degenerate inputs
+    * (one interval spanning millions of grid cells — same blowup guard as
+    * every other bucketed join here): such a row fails fast with a clear
+    * message instead of materializing an astronomic array.
     */
   def rangeJoin(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      grid: Long): DataFrame = {
-    val cells = intervals.withColumn("__cell",
-      explode(sequence(floor(col(startCol) / grid).cast("long"),
-        floor(col(endCol) / grid).cast("long"))))
+      grid: Long, maxCellsPerInterval: Long = 1L << 20): DataFrame = {
+    val cellStart = floorDiv(col(startCol), grid)
+    val cellEnd = floorDiv(col(endCol), grid)
+    val cells = intervals
+      .withColumn("__ncells",
+        when(cellEnd - cellStart + 1 > maxCellsPerInterval,
+          raise_error(concat(lit(s"rangeJoin: interval spans more than " +
+            s"$maxCellsPerInterval grid cells (grid=$grid, start="),
+            col(startCol), lit(", end="), col(endCol),
+            lit("); raise `grid` or split the interval"))))
+          .otherwise(cellEnd - cellStart + 1))
+      .withColumn("__cell", explode(sequence(cellStart, cellEnd)))
+      .drop("__ncells")
     points
-      .withColumn("__cell", floor(col(pointCol) / grid).cast("long"))
+      .withColumn("__cell", floorDiv(col(pointCol), grid))
       .join(cells, Seq("__cell"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__cell")

@@ -56,6 +56,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("wrong arity fails with a clear message, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot expects 2 argument"), e.getMessage)
+  }
+
   test("injected functions stay codegen-native (no UDF node in the plan)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT graft_logbin(x) FROM VALUES (1.0) AS t(x)")

@@ -70,6 +70,17 @@ class SketchSpec extends AnyFunSuite {
     assert(c1 == c2)
   }
 
+  test("cmsEstimate answers 0 for a key absent from the sketched input") {
+    import spark.implicits._
+    val sketched = SketchFunctions.cmsCounters(
+      (1 to 20).map(i => s"k$i").toDF("v"), "v")
+    val est = SketchFunctions.cmsEstimate(sketched,
+      Seq("k1", "never-seen-key-xyz").toDF("v"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("k1") >= 1L) // never undercounts
+    assert(est("never-seen-key-xyz") == 0L) // unseen key → 0, not min-of-collisions
+  }
+
   test("register/rank stay in their domains") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toLong).toDF("v")

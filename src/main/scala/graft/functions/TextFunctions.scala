@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -42,6 +43,26 @@ object TextFunctions {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Long-form word n-gram shingles: (idCol, shingle) rows via
+    * posexplode + window lead — the codegen'd shingling path. The
+    * row-local [[shingles]] HOF (`transform`+`slice`) evaluates
+    * INTERPRETED and dominates wall-clock once the shingle column is
+    * actually materialized (the same lesson as the minhash pipeline in
+    * operators/Dedup); per-doc aggregations downstream reuse this frame's
+    * doc_id exchange. Documents with fewer than n tokens contribute no
+    * rows — restore them with a left join from the doc base if needed.
+    */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val leads = (1 until n).map(k => lead(col("__tok"), k).over(w))
+    docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("shingle",
+        when(leads.lastOption.map(_.isNotNull).getOrElse(lit(true)),
+          concat_ws(" ", (col("__tok") +: leads): _*)))
+      .filter(col("shingle").isNotNull)
+      .select(col(idCol), col("shingle"))
+  }
 
   /** Fraction of tokens found in `words` (a small function-word list) —
     * the language-ID / quality signal.

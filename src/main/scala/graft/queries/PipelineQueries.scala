@@ -143,18 +143,27 @@ object PipelineQueries {
     // T6: repetition signals (Gopher-style): top-token fraction (explode
     // + two-level codegen agg) and duplicate-bigram fraction (row-local).
     "t6_repetition" -> ((s, dir) => {
+      // everything long-form: exploded tokens feed both token stats and
+      // the bigram dup fraction — no interpreted array HOFs anywhere
+      // (the row-local dupNgramFraction form is 60x slower materialized)
       val docs = Catalog.documents(s, dir)
-      val toks = tokens(col("text"))
-      val rowLocal = docs.select(col("doc_id"),
-        dupNgramFraction(toks, 2).as("dup_bigram_frac"),
-        size(toks).cast("long").as("n_tokens"))
-      val top = docs.select(col("doc_id"), explode(toks).as("t"))
+      val tokStats = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
-        .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_token_frac"))
-      rowLocal.join(top, Seq("doc_id"), "left")
-        .withColumn("top_token_frac", coalesce(col("top_token_frac"), lit(0.0)))
-        .select(col("doc_id"), col("n_tokens"), col("top_token_frac"), col("dup_bigram_frac"))
+        .agg(sum(col("c")).as("n_tokens"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_token_frac"))
+      val bigrams = graft.functions.TextFunctions.explodedShingles(docs, "doc_id", "text", 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("tot"), countDistinct(col("shingle")).as("dis"))
+        .select(col("doc_id"),
+          round(lit(1.0) - col("dis").cast("double") / col("tot"), 6).as("dup_bigram_frac"))
+      docs.select(col("doc_id"))
+        .join(tokStats, Seq("doc_id"), "left")
+        .join(bigrams, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"),
+          coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -223,18 +232,21 @@ object PipelineQueries {
     // it's a shuffled semi-join that stays O(doc shingles), never a
     // cross product.
     "t10_decontaminate" -> ((s, dir) => {
+      // long-form shingling (codegen'd explode+lead, not interpreted
+      // array HOFs); distinct-per-doc replaces array_distinct
       val docs = Catalog.documents(s, dir)
-      val sh = array_distinct(shingles(tokens(col("text")), 3))
-      val benchShingles = docs.filter(col("doc_id") % 50 === 0)
-        .select(explode(sh).as("s")).distinct()
-      val train = docs.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), sh.as("shd"))
-        .withColumn("n_sh", size(col("shd")).cast("long"))
-      val overlap = train.select(col("doc_id"), explode(col("shd")).as("s"))
-        .join(benchShingles, Seq("s"), "left_semi")
+      val sh3 = graft.functions.TextFunctions.explodedShingles(docs, "doc_id", "text", 3).distinct()
+      val benchShingles = sh3.filter(col("doc_id") % 50 === 0)
+        .select(col("shingle")).distinct()
+      val train = sh3.filter(col("doc_id") % 50 =!= 0)
+      val nSh = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val overlap = train
+        .join(benchShingles, Seq("shingle"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      train.select(col("doc_id"), col("n_sh"))
+      docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+        .join(nSh, Seq("doc_id"), "left")
         .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_sh", coalesce(col("n_sh"), lit(0L)))
         .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
         .withColumn("overlap_frac",
           when(col("n_sh") > 0, round(col("n_overlap") / col("n_sh"), 6)).otherwise(lit(0.0)))

@@ -32,7 +32,8 @@ object Aggregators {
         if (total == 0) Map.empty
         else acc.map { case (k, v) => k -> v.toDouble / total })
     }
-    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     def outputEncoder: Encoder[Histogram] = Encoders.product[Histogram]
   }
 
@@ -49,7 +50,8 @@ object Aggregators {
         k -> math.max(a.getOrElse(k, 0.0), b.getOrElse(k, 0.0))
       }.toMap
     def finish(acc: Map[String, Double]): Map[String, Double] = acc
-    def bufferEncoder: Encoder[Map[String, Double]] = Encoders.kryo[Map[String, Double]]
+    def bufferEncoder: Encoder[Map[String, Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Double]]()
     def outputEncoder: Encoder[Map[String, Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Double]]()
   }
@@ -70,7 +72,8 @@ object Aggregators {
     def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
       trim(a ++ b)
     def finish(acc: Seq[(Long, String)]): Seq[String] = acc.map(_._2)
-    def bufferEncoder: Encoder[Seq[(Long, String)]] = Encoders.kryo[Seq[(Long, String)]]
+    def bufferEncoder: Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
     def outputEncoder: Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }

@@ -62,6 +62,9 @@ object GraftFunctions {
     ("graft_dot",
       new ExpressionInfo("graft", "graft_dot"),
       arity("graft_dot", 2)(args => graft.expressions.DotProduct(args(0), args(1)))),
+    ("graft_strip_accents",
+      new ExpressionInfo("graft", "graft_strip_accents"),
+      arity("graft_strip_accents", 1)(args => graft.expressions.StripAccents(args.head))),
   )
 
   /** Register into a live session (tests, notebooks). */

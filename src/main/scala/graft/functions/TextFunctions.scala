@@ -32,6 +32,14 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode accent stripping (NFD + drop combining marks) — the P7
+    * string-hygiene primitive ([[graft.expressions.StripAccents]]).
+    */
+  def stripAccents(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.StripAccents(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Exact-dedup fingerprint: md5 of the normalized text. */
   def exactFingerprint(text: Column): Column = md5(normalize(text))
 

@@ -105,10 +105,18 @@ object RelationalQueries {
     // P7: string hygiene (stripAccents/truncate/replace, HogAuth.scala:299-312).
     "p7_string_hygiene" -> ((s, dir) => {
       import s.implicits._
+      // accent fixtures are constructed from table data (translate vowels
+      // to accented forms) so both engines strip the same inputs; the
+      // literal prefix exercises non-decomposable chars (Ł, ß) that must
+      // pass through unchanged
       Catalog.customer(s, dir)
         .select(
           $"c_custkey",
           regexp_replace(upper(trim($"c_name")), "CUSTOMER#", "C").as("name_clean"),
+          graft.functions.TextFunctions.stripAccents(
+            translate(trim($"c_name"), "aeiou", "àéîõü")).as("name_unaccented"),
+          graft.functions.TextFunctions.stripAccents(
+            concat(lit("Łódź-Äß-"), $"c_mktsegment")).as("seg_unaccented"),
           substring($"c_mktsegment", 1, 5).as("seg5"))
         .orderBy($"c_custkey")
     }),
@@ -618,6 +626,8 @@ object RelationalQueries {
     "p7_string_hygiene" ->
       """SELECT c_custkey,
         |  replace(upper(trim(c_name)), 'CUSTOMER#', 'C') AS name_clean,
+        |  strip_accents(translate(trim(c_name), 'aeiou', 'àéîõü')) AS name_unaccented,
+        |  strip_accents('Łódź-Äß-' || c_mktsegment) AS seg_unaccented,
         |  substr(c_mktsegment, 1, 5) AS seg5
         |FROM customer ORDER BY c_custkey""".stripMargin,
 

@@ -64,6 +64,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_dot expects 2 argument"), e.getMessage)
   }
 
+  test("graft_strip_accents strips combining marks, keeps non-decomposable chars") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_strip_accents('Café São Zürich Łódź niño François àéîõü Đß')")
+      .head().getString(0)
+    assert(got == "Cafe Sao Zurich Łodz nino Francois aeiou Đß")
+    // ASCII fast path returns the input unchanged
+    assert(spark.sql("SELECT graft_strip_accents('plain ascii!')")
+      .head().getString(0) == "plain ascii!")
+    // null-intolerant: null in, null out
+    assert(spark.sql("SELECT graft_strip_accents(CAST(NULL AS STRING))").head().isNullAt(0))
+    // Column-API form agrees
+    import spark.implicits._
+    val viaCol = Seq("œil Ångström").toDF("s")
+      .select(graft.functions.TextFunctions.stripAccents($"s")).head().getString(0)
+    assert(viaCol == "œil Angstrom")
+  }
+
   test("injected functions stay codegen-native (no UDF node in the plan)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT graft_logbin(x) FROM VALUES (1.0) AS t(x)")

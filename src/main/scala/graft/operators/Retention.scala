@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,26 +20,118 @@ object Retention {
     df.withColumn("ds", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.partitionBy("ds").mode("overwrite").parquet(path)
 
+  /** Underscore prefix keeps the staging dir invisible to parquet
+    * readers of `path` (Spark skips `_`/`.`-prefixed children).
+    */
+  private def stagingDir(path: String) = new Path(path, "_purge_staging")
+  private def markerFile(path: String) = new Path(stagingDir(path), "_CUTOFF")
+
   /** Drop partitions older than `cutoffDate` (yyyy-MM-dd), keeping rows
     * matching `keepPredicate` (the reference's "flows with priority-1
     * events survive the purge" exemption, HogPrepare.scala:52-84).
-    * Partition directories older than the cutoff are removed wholesale —
-    * a metadata operation, never a row-by-row delete — then survivors
-    * (materialized first) are appended back. Recent partitions are never
-    * rewritten.
+    *
+    * Crash-safe sequencing — survivors are DURABLE before any delete:
+    *   1. finish any swap a previous crashed run left behind;
+    *   2. write survivors to `_purge_staging/` (a real parquet write,
+    *      not a cache — at 100 TB "survivors in executor memory" is not
+    *      durability), then a `_CUTOFF` marker naming cutoff + run id;
+    *   3. delete old partition files (all except files this run already
+    *      restored — makes the step idempotent under re-run);
+    *   4. rename staged files into their partition dirs;
+    *   5. drop the staging dir (the commit point).
+    * A crash before the marker exists aborts cleanly (table untouched);
+    * a crash after it is completed by [[recoverPendingPurge]] on the
+    * next call, re-running 3–5 with the recorded cutoff/run id.
+    * Partition-dir deletes and file renames are O(files) namenode
+    * metadata ops — no surviving row is ever rewritten.
     */
   def purgeOlderThan(spark: SparkSession, path: String, cutoffDate: String,
       keepPredicate: Option[org.apache.spark.sql.Column] = None): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverPendingPurge(spark, path) // a crashed predecessor commits first
+
     val old = spark.read.parquet(path).filter(col("ds") < cutoffDate)
-    val survivors = keepPredicate.map(old.filter).getOrElse(old.limit(0)).cache()
-    survivors.count() // materialize before the source partitions vanish
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val survivors = keepPredicate.map(old.filter).getOrElse(old.limit(0))
+    val staging = stagingDir(path)
+    fs.delete(staging, true)
+    survivors.write.partitionBy("ds").mode("overwrite").parquet(staging.toString)
+
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    writeMarker(fs, path, s"$cutoffDate\n$runId")
+    deleteOldPartitions(fs, path, cutoffDate, runId)
+    restoreStaged(fs, path, runId)
+    fs.delete(staging, true)
+  }
+
+  /** Complete a purge whose process died between staging and commit.
+    * No-op when nothing is pending. Safe to call any time.
+    */
+  def recoverPendingPurge(spark: SparkSession, path: String): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingDir(path)
+    if (!fs.exists(staging)) return
+    if (!fs.exists(markerFile(path))) {
+      // staging write never finished: the purge never started deleting,
+      // so dropping the partial staging restores the pre-call state
+      fs.delete(staging, true)
+      return
+    }
+    val Array(cutoffDate, runId) = readMarker(fs, path).trim.split("\n")
+    deleteOldPartitions(fs, path, cutoffDate, runId)
+    restoreStaged(fs, path, runId)
+    fs.delete(staging, true)
+  }
+
+  /** Delete pre-cutoff partition files, sparing files already restored by
+    * run `runId` (so a recovery re-run never eats its own survivors).
+    * Files restored by EARLIER runs are regular data and do get purged.
+    */
+  private def deleteOldPartitions(fs: FileSystem, path: String,
+      cutoffDate: String, runId: String): Unit =
+    fs.listStatus(new Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("ds="))
       .filter(_.getPath.getName.stripPrefix("ds=") < cutoffDate)
-      .foreach(s => fs.delete(s.getPath, true))
-    if (survivors.take(1).nonEmpty)
-      survivors.write.partitionBy("ds").mode("append").parquet(path)
-    survivors.unpersist()
+      .foreach { dir =>
+        val files = fs.listStatus(dir.getPath)
+        val (keep, drop) = files.partition(_.getPath.getName.startsWith(s"restored-$runId-"))
+        drop.foreach(f => fs.delete(f.getPath, true))
+        if (keep.isEmpty) fs.delete(dir.getPath, true)
+      }
+
+  /** Rename staged survivor files into their partition dirs under a
+    * `restored-<runId>-` name: rename is a metadata op, and the prefix
+    * is what [[deleteOldPartitions]] keys its idempotence on.
+    */
+  private def restoreStaged(fs: FileSystem, path: String, runId: String): Unit = {
+    val staging = stagingDir(path)
+    if (!fs.exists(staging)) return
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ds="))
+      .foreach { dsDir =>
+        val target = new Path(path, dsDir.getPath.getName)
+        fs.mkdirs(target)
+        fs.listStatus(dsDir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val dst = new Path(target, s"restored-$runId-${f.getPath.getName}")
+            if (!fs.exists(dst)) fs.rename(f.getPath, dst)
+          }
+      }
+  }
+
+  private def writeMarker(fs: FileSystem, path: String, content: String): Unit = {
+    val out = fs.create(markerFile(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMarker(fs: FileSystem, path: String): String = {
+    val in = fs.open(markerFile(path))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
   }
 }

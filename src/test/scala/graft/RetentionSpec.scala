@@ -29,6 +29,52 @@ class RetentionSpec extends AnyFunSuite {
     assert(!dirs.contains("ds=2026-01-01") && dirs.contains("ds=2026-01-02"))
   }
 
+  test("a purge killed between delete and restore is completed on recovery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention_crash").toString
+    val rows = Seq(
+      ("2026-01-01 10:00:00", 1L, 0), ("2026-01-02 10:00:00", 2L, 1), // old; id=2 exempt
+      ("2026-01-10 10:00:00", 3L, 0))                                 // recent
+      .toDF("ts_s", "id", "priority")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    Retention.writePartitioned(rows, "ts", dir)
+    // reproduce the crashed run's durable prefix: survivors staged +
+    // marker written, old partitions deleted, then the process died
+    // BEFORE restoring the staged survivors
+    val staging = s"$dir/_purge_staging"
+    spark.read.parquet(dir).filter(col("ds") < "2026-01-05" && col("priority") === 1)
+      .write.partitionBy("ds").mode("overwrite").parquet(staging)
+    java.nio.file.Files.write(java.nio.file.Paths.get(staging, "_CUTOFF"),
+      "2026-01-05\ndeadrun1".getBytes("UTF-8"))
+    Seq("ds=2026-01-01", "ds=2026-01-02").foreach { p =>
+      val f = new java.io.File(dir, p)
+      f.listFiles().foreach(_.delete()); f.delete()
+    }
+    // at this instant the table has LOST the exempt row — only staging has it
+    assert(spark.read.parquet(dir).count() == 1)
+    // the next purge call recovers the predecessor before doing its own work
+    Retention.purgeOlderThan(spark, dir, "2026-01-05",
+      keepPredicate = Some(col("priority") === 1))
+    val left = spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(2L, 3L))
+    assert(!new java.io.File(staging).exists())
+  }
+
+  test("a staging write with no marker is rolled back untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention_nomark").toString
+    val rows = Seq(("2026-01-01 10:00:00", 1L, 0), ("2026-01-10 10:00:00", 2L, 0))
+      .toDF("ts_s", "id", "priority")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    Retention.writePartitioned(rows, "ts", dir)
+    // crash mid-staging-write: files exist but no _CUTOFF marker
+    Seq((1L, "x")).toDF("id", "junk").write
+      .parquet(s"$dir/_purge_staging/ds=2026-01-01")
+    Retention.recoverPendingPurge(spark, dir)
+    assert(!new java.io.File(s"$dir/_purge_staging").exists())
+    assert(spark.read.parquet(dir).count() == 2) // table untouched
+  }
+
   test("linearSvc learns a separable boundary (M6 dormant path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -74,23 +74,54 @@ object Models {
     * StringIndexer per categorical column (+"IDX"), VectorAssembler, then
     * a seeded RandomForest. Rows with label < 0 (the reference's "discard"
     * class, P6) train nothing and get predictions only.
+    *
+    * Defaults are the reference's tuned knobs (HogSnort.scala:40,197-201):
+    * maxBins=500, maxDepth=30 (Spark's depth ceiling), mtry=90 features
+    * per split (clamped to the actual feature count when the surface is
+    * narrower), and the 80% "malicious" decision threshold expressed as
+    * per-class thresholds — pass e.g. Array(0.2, 0.8) for a binary label.
     */
   def randomForestLabeler(
       df: DataFrame, labelCol: String, catCols: Seq[String], numCols: Seq[String],
-      numTrees: Int = 100, maxDepth: Int = 10, seed: Long = 42L): DataFrame = {
+      numTrees: Int = 100, maxDepth: Int = 30, maxBins: Int = 500,
+      featureSubsetStrategy: String = "90",
+      thresholds: Option[Array[Double]] = None, seed: Long = 42L): DataFrame = {
     val indexers = catCols.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(c + "IDX").setHandleInvalid("keep"))
+    val featCols = numCols ++ catCols.map(_ + "IDX")
     val assembler = new VectorAssembler()
-      .setInputCols((numCols ++ catCols.map(_ + "IDX")).toArray).setOutputCol("rawFeatures")
-    val rf = new RandomForestClassifier()
-      .setLabelCol(labelCol).setFeaturesCol("rawFeatures").setPredictionCol("prediction")
-      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
-      .setImpurity("gini")
+      .setInputCols(featCols.toArray).setOutputCol("rawFeatures")
+    val rf = rfEstimator(labelCol, featCols.size, numTrees, maxDepth, maxBins,
+      featureSubsetStrategy, thresholds, seed)
     val pipeline = new Pipeline().setStages((indexers :+ assembler :+ rf).toArray)
     df.cache() // feeds indexer fits + RF fit + final transform
     val train = df.filter(col(labelCol) >= 0) // U1: labeled union only
     val model = pipeline.fit(train)
     model.transform(df)
+  }
+
+  /** The configured RF estimator — exposed so parity with the
+    * reference's knobs is assertable (HogSnort.scala:40,197-201).
+    */
+  def rfEstimator(labelCol: String, numFeatures: Int,
+      numTrees: Int = 100, maxDepth: Int = 30, maxBins: Int = 500,
+      featureSubsetStrategy: String = "90",
+      thresholds: Option[Array[Double]] = None,
+      seed: Long = 42L): RandomForestClassifier = {
+    // "90" asks for more features than narrow surfaces have; clamp like
+    // mtry = min(90, p) so the strategy stays valid on any input
+    val subset = featureSubsetStrategy match {
+      case s if s.nonEmpty && s.forall(_.isDigit) =>
+        math.max(1, math.min(s.toInt, numFeatures)).toString
+      case s => s
+    }
+    val rf = new RandomForestClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("rawFeatures").setPredictionCol("prediction")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+      .setFeatureSubsetStrategy(subset).setSeed(seed)
+      .setImpurity("gini")
+    thresholds.foreach(rf.setThresholds)
+    rf
   }
 
   /** Probability of the predicted class as a plain double column. */

@@ -71,6 +71,27 @@ object MlQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("label"), col("prediction"))
     }),
+
+    // M1 proper: the 17-feature DNS surface over the typed FlowSchema
+    // fact table at the reference's k=9 (HogDNS.scala:56,125-141).
+    // Output is the (tainted × dirty) contingency — stable shape.
+    "ml4_dns_kmeans" -> ((s, dir) => {
+      val flows = graft.flows.FlowSchema.fromEvents(Catalog.events(s, dir))
+      graft.flows.FlowFeatures.dnsKmeans(flows)
+        .groupBy(col("tainted"))
+        .agg(count(lit(1)).as("n"), sum(col("dirty")).cast("long").as("n_dirty"))
+        .orderBy(col("tainted"))
+    }),
+
+    // M2 proper: the 19-feature HTTP surface at the reference's k=32
+    // (HogHTTP.scala:52,106-124).
+    "ml5_http_kmeans" -> ((s, dir) => {
+      val flows = graft.flows.FlowSchema.fromEvents(Catalog.events(s, dir))
+      graft.flows.FlowFeatures.httpKmeans(flows)
+        .groupBy(col("tainted"))
+        .agg(count(lit(1)).as("n"), sum(col("dirty")).cast("long").as("n_dirty"))
+        .orderBy(col("tainted"))
+    }),
   )
 
   /** ML outputs have no SQL-expressible oracle. */

@@ -37,6 +37,52 @@ object Detectors {
   private val scaledBytes: Column =
     (col("bytes_up") + col("bytes_down")) * col("sample_rate")
 
+  /** One rendered flow line (setFlows2String, HogSFlow.scala:662-686):
+    * orientation arrow from the summed direction vote, status marker,
+    * humanBytes with the Up/Down labels swapped for reversed flows.
+    */
+  private def flowLine: Column = {
+    val up = NetFunctions.humanBytes(col("bytes_up") * col("sample_rate"))
+    val down = NetFunctions.humanBytes(col("bytes_down") * col("sample_rate"))
+    val arrow = when(col("direction") > 0, lit(" => "))
+      .when(col("direction") < 0, lit(" <= ")).otherwise(lit(" <?> "))
+    val body = when(col("direction") > 0, concat(lit("Up: "), up, lit(", Down: "), down))
+      .when(col("direction") < 0, concat(lit("Down: "), up, lit(", Up: "), down))
+      .otherwise(concat(lit("L-to-R: "), up, lit(", R-to-L: "), down))
+    concat(col("my_ip"), lit(":"), col("my_port"), arrow,
+      col("alien_ip"), lit(":"), col("alien_port"),
+      when(col("status") > 0, lit(" [!]")).otherwise(lit("")),
+      lit(" ("), col("proto"), lit(", "), body,
+      lit(", "), col("n_pkts"), lit(" pkts, duration: "),
+      (col("t_max") - col("t_min")).cast("long"),
+      lit("s, sampling: 1/"), col("sample_rate").cast("long"), lit(")"))
+  }
+
+  /** Per-alert rendered flow list (HogSFlow.scala:662-713): the alerted
+    * key's flows ordered by raw two-way bytes (the reference's sort),
+    * capped at `limit` BEFORE any list materializes — a window rank keeps
+    * per-group state O(limit) where the reference buffered the whole
+    * flowSet in a driver HashSet. `array_sort` over (rank, line) structs
+    * restores the display order deterministically regardless of how the
+    * aggregation interleaves partitions. Returns (keyCol, flows_detail).
+    */
+  def flowDetail(summary: DataFrame, keys: DataFrame, keyCol: String = "my_ip",
+      limit: Int = FlowListLimit): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col("bytes_up") + col("bytes_down")).desc,
+        col("alien_ip"), col("alien_port"), col("my_ip"), col("my_port"))
+    summary
+      .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= limit)
+      .withColumn("__line", flowLine)
+      .groupBy(col(keyCol))
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("__rn").as("rn"), col("__line").as("l")))),
+          x => x.getField("l"))).as("flows_detail"))
+  }
+
   // ------------------------------------------------------------ derived sets
 
   /** (my_ip, alien_ip) pairs talking FTP — excluded from P2P/atypical

@@ -107,6 +107,21 @@ object HogzillaBatch {
       Detectors.osDiscovery(summary, osRepos),
     ).reduce(_ union _)
 
+    // alert payloads: bounded top-K rendered flow lists for every alerted
+    // host (HogSFlow.scala:662-713) — my_ip-keyed alerts get the local
+    // host's flows, alien-only alerts (e.g. alienAccess) the alien's
+    val bare = alerts
+    val detailMy = Detectors.flowDetail(summary, bare.filter(col("my_ip").isNotNull), "my_ip")
+    val detailAlien = Detectors.flowDetail(summary,
+      bare.filter(col("my_ip").isNull && col("alien_ip").isNotNull), "alien_ip")
+      .withColumnRenamed("flows_detail", "flows_detail_alien")
+    val withDetail = bare
+      .join(detailMy, Seq("my_ip"), "left")
+      .join(detailAlien, Seq("alien_ip"), "left")
+      .withColumn("flows", coalesce(col("flows_detail"), col("flows_detail_alien")))
+      .drop("flows_detail", "flows_detail_alien")
+      .select("detector", "my_ip", "alien_ip", "metric", "n_flows", "note", "flows")
+
     // learn pass: current-window histograms merged into the profiles
     // (decayed weighted mean, cold-start-safe) — S6's delete+put upsert
     // becomes one atomic state overwrite per family
@@ -145,6 +160,6 @@ object HogzillaBatch {
         Detectors.hist07Current(summary, p2pHosts)),
       hist08 = ProfileStore.update(profiles.hist08,
         Detectors.hist08Current(summary, p2pHosts)))
-    (alerts, updated, reputation)
+    (withDetail, updated, reputation)
   }
 }

@@ -191,9 +191,78 @@ object ProfileQueries {
       candidates.join(confirming, Seq("name", "bucket"), "left_semi")
         .orderBy(col("name"), col("bucket"))
     }),
+
+    // DET4: the per-alert rendered flow payload (HogSFlow.scala:662-713) —
+    // top-5 flows per host by two-way bytes, humanBytes + direction arrows,
+    // newline-joined in rank order. lineitem rows stand in for a flow
+    // summary; alien_port is globally unique so the sort is a total order
+    // in both engines.
+    "det4_alert_flow_detail" -> ((s, dir) => {
+      val summary = Catalog.lineitem(s, dir).select(
+        concat(lit("h"), (col("l_suppkey") % 20).cast(StringType)).as("my_ip"),
+        col("l_linenumber").cast(StringType).as("my_port"),
+        concat(lit("a"), (col("l_partkey") % 50).cast(StringType)).as("alien_ip"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast(StringType).as("alien_port"),
+        col("l_returnflag").as("proto"),
+        floor(col("l_extendedprice")).cast("long").as("bytes_up"),
+        floor(col("l_quantity")).cast("long").multiply(100).as("bytes_down"),
+        floor(col("l_quantity")).cast("long").as("n_pkts"),
+        (col("l_suppkey") % 3 - 1).as("direction"),
+        lit(0L).as("t_min"),
+        (col("l_orderkey") % 500).cast("long").as("t_max"),
+        lit(2.0).as("sample_rate"),
+        (col("l_linenumber") % 4 === 0).cast("long").as("status"))
+      graft.detectors.Detectors.flowDetail(summary, summary, "my_ip", limit = 5)
+        .orderBy(col("my_ip"))
+    }),
   )
 
+  /** humanBytes in DuckDB SQL (same thresholds as NetFunctions.humanBytes). */
+  private def hbSql(x: String): String =
+    s"""CASE WHEN $x < 1024 THEN CAST(CAST(floor($x) AS BIGINT) AS VARCHAR) || 'B'
+       |     WHEN $x < 1048576 THEN printf('%.1fKB', ($x) / 1024.0)
+       |     WHEN $x < 1073741824 THEN printf('%.1fMB', ($x) / 1048576.0)
+       |     ELSE printf('%.1fGB', ($x) / 1073741824.0) END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "det4_alert_flow_detail" ->
+      s"""WITH s AS (
+        |  SELECT 'h' || CAST(l_suppkey % 20 AS VARCHAR) AS my_ip,
+        |    CAST(l_linenumber AS VARCHAR) AS my_port,
+        |    'a' || CAST(l_partkey % 50 AS VARCHAR) AS alien_ip,
+        |    CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS alien_port,
+        |    l_returnflag AS proto,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS bytes_up,
+        |    CAST(floor(l_quantity) AS BIGINT) * 100 AS bytes_down,
+        |    CAST(floor(l_quantity) AS BIGINT) AS n_pkts,
+        |    l_suppkey % 3 - 1 AS direction,
+        |    CAST(l_orderkey % 500 AS BIGINT) AS duration,
+        |    CASE WHEN l_linenumber % 4 = 0 THEN 1 ELSE 0 END AS status
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY my_ip
+        |      ORDER BY bytes_up + bytes_down DESC, alien_ip, alien_port, my_ip, my_port) AS rn
+        |  FROM s),
+        |k AS (SELECT * FROM r WHERE rn <= 5),
+        |ln AS (
+        |  SELECT my_ip, rn,
+        |    my_ip || ':' || my_port ||
+        |    CASE WHEN direction > 0 THEN ' => ' WHEN direction < 0 THEN ' <= '
+        |         ELSE ' <?> ' END ||
+        |    alien_ip || ':' || alien_port ||
+        |    CASE WHEN status > 0 THEN ' [!]' ELSE '' END ||
+        |    ' (' || proto || ', ' ||
+        |    CASE WHEN direction > 0
+        |           THEN 'Up: ' || ${hbSql("bytes_up * 2.0")} || ', Down: ' || ${hbSql("bytes_down * 2.0")}
+        |         WHEN direction < 0
+        |           THEN 'Down: ' || ${hbSql("bytes_up * 2.0")} || ', Up: ' || ${hbSql("bytes_down * 2.0")}
+        |         ELSE 'L-to-R: ' || ${hbSql("bytes_up * 2.0")} || ', R-to-L: ' || ${hbSql("bytes_down * 2.0")} END ||
+        |    ', ' || CAST(n_pkts AS VARCHAR) || ' pkts, duration: ' ||
+        |    CAST(duration AS VARCHAR) || 's, sampling: 1/2)' AS line
+        |  FROM k)
+        |SELECT my_ip, string_agg(line, chr(10) ORDER BY rn) AS flows_detail
+        |FROM ln GROUP BY my_ip ORDER BY my_ip""".stripMargin,
+
     "h9_hist05_update" ->
       """WITH profr AS (
         |  SELECT o_custkey AS name, o_orderpriority AS bucket, o_orderkey

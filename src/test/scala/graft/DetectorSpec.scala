@@ -332,6 +332,13 @@ class DetectorSpec extends AnyFunSuite {
     assert(byDetector.contains("smtpTalkers"))
     assert(byDetector.contains("topTalkers"))
     assert(byDetector.contains("osDiscovery"))
+    // alert payload: the spammer's alert carries its rendered top-K flow
+    // list — lines look like "10.0.0.5:4000 => 66.1.1.x:25 (...)"
+    val spamAlert = alerts.filter(col("detector") === "smtpTalkers" &&
+      col("my_ip") === "10.0.0.5").select("flows").head().getString(0)
+    assert(spamAlert.contains("10.0.0.5:4000") && spamAlert.contains(":25"))
+    assert(spamAlert.contains("pkts") && spamAlert.contains("sampling: 1/"))
+    assert(spamAlert.split("\n").length <= Detectors.FlowListLimit)
     assert(!byDetector.contains("botnetCC")) // nothing blacklisted in this batch
     // profile-relative scan detectors stay silent on run 1 (cold start)…
     assert(!byDetector.contains("vPortScan"))

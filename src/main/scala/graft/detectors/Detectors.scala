@@ -68,12 +68,20 @@ object Detectors {
     */
   def flowDetail(summary: DataFrame, keys: DataFrame, keyCol: String = "my_ip",
       limit: Int = FlowListLimit): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy((col("bytes_up") + col("bytes_down")).desc,
-        col("alien_ip"), col("alien_port"), col("my_ip"), col("my_port"))
-    summary
+    def order(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.orderBy((col("bytes_up") + col("bytes_down")).desc,
+        col("alien_ip"), col("alien_port"), col("my_ip"), col("my_port"), col("proto"))
+    val pruned = summary
       .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
-      .withColumn("__rn", row_number().over(w))
+      // phase 1: top-limit within (key, input partition) — full-width
+      // parallelism and no skew concentration; a hot alerted host never
+      // funnels all its flows through one task just to rank them
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prn", row_number().over(order(Window.partitionBy(col(keyCol), col("__pid")))))
+      .filter(col("__prn") <= limit)
+    // phase 2: exact global rank over the ≤ limit·partitions survivors
+    pruned
+      .withColumn("__rn", row_number().over(order(Window.partitionBy(col(keyCol)))))
       .filter(col("__rn") <= limit)
       .withColumn("__line", flowLine)
       .groupBy(col(keyCol))

@@ -289,10 +289,20 @@ object PipelineQueries {
     // T4: document fingerprints — exact (normalized md5) and sketch
     // (md5 of the 4 smallest distinct shingle hashes, winnowing-style).
     "t4_fingerprint" -> ((s, dir) => {
-      Catalog.documents(s, dir)
-        .select(col("doc_id"),
-          exactFingerprint(col("text")).as("fp_exact"),
-          sketchFingerprint(shingles(tokens(col("text")), 3), 4).as("fp_sketch"))
+      // long-form winnowing: codegen explode+lead shingles → md5 per row →
+      // one aggregate keeping the 4 smallest distinct hashes. The row-local
+      // sketchFingerprint HOF chain (transform+md5 per element, interpreted)
+      // is 30x slower once the column is actually materialized.
+      val docs = Catalog.documents(s, dir)
+      val sketch = graft.functions.TextFunctions.explodedShingles(docs, "doc_id", "text", 3)
+        .select(col("doc_id"), md5(col("shingle")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(md5(concat_ws("|", slice(array_sort(collect_set(col("h"))), 1, 4)))
+          .as("fp_sketch"))
+      docs.select(col("doc_id"), exactFingerprint(col("text")).as("fp_exact"))
+        .join(sketch, Seq("doc_id"), "left")
+        // docs with <3 tokens have no shingles → md5 of the empty join
+        .withColumn("fp_sketch", coalesce(col("fp_sketch"), md5(lit(""))))
         .orderBy(col("doc_id"))
     }),
 

@@ -330,12 +330,34 @@ object RelationalQueries {
     // A17 (beyond-reference): exact percentiles (sort-based aggregate
     // with linear interpolation — matches DuckDB quantile_cont at 4 dp).
     "a17_percentile" -> ((s, dir) => {
-      Catalog.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
-        .orderBy(col("l_returnflag"))
+      // exact percentiles via window rank + linear interpolation (the
+      // same lower + frac·(upper−lower) both engines define) instead of
+      // the `percentile` aggregate, whose per-partition value-counts map
+      // serializes every distinct value through the merge phase — the
+      // sort is codegen'd and the aggregate only ever sees ≤6 candidate
+      // rows per group
+      import s.implicits._
+      val v = col("l_extendedprice").cast("double")
+      val wg = Window.partitionBy($"l_returnflag")
+      val ranked = Catalog.lineitem(s, dir)
+        .select($"l_returnflag", v.as("v"))
+        .withColumn("rn", row_number().over(wg.orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(wg))
+      def pct(p: Double): org.apache.spark.sql.Column = {
+        val rowLo = floor((col("n") - 1) * p) + 1 // per-row, inside the agg
+        val vlo = max(when(col("rn") === rowLo, col("v")))
+        val vhi = coalesce(max(when(col("rn") === rowLo + 1, col("v"))), vlo)
+        val idx = (max(col("n")) - 1) * p // group-constant fractional rank
+        round(vlo + (idx - floor(idx)) * (vhi - vlo), 4)
+      }
+      def pidx(p: Double) = {
+        val idx = (col("n") - 1) * p
+        col("rn") === floor(idx) + 1 || col("rn") === floor(idx) + 2
+      }
+      ranked.filter(pidx(0.5) || pidx(0.95) || pidx(0.99))
+        .groupBy($"l_returnflag")
+        .agg(pct(0.5).as("p50"), pct(0.95).as("p95"), pct(0.99).as("p99"))
+        .orderBy($"l_returnflag")
     }),
 
     // A18 (beyond-reference): running total per entity — cumulative

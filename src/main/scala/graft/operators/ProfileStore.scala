@@ -80,6 +80,27 @@ object ProfileStore {
       .select(col("name"), explode(atypicalKeys(col("b1"), col("b2"))).as("bucket"))
   }
 
+  /** Insert-if-absent upsert (S7: the reference's signature sink,
+    * HogSignature.scala:35-52 — a Get-then-Put that never overwrites an
+    * existing row): keys already in the state keep their exact row, only
+    * genuinely new keys are appended. Generic over schema — both sides
+    * just need `keyCols`. One left_anti join, broadcastable when the
+    * update batch is small (signatures: a handful per run).
+    */
+  def insertIfAbsent(state: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.unionByName(
+      updates.dropDuplicates(keyCols).join(state, keyCols, "left_anti"))
+
+  /** Last-write-wins upsert (S7: the reference's inventory/sensor sinks,
+    * HogHBaseInventory.scala:40-49, HogInitiate.scala:35-48 — an HBase Put
+    * overwrites cells in place): update rows replace state rows with the
+    * same key; unmatched state survives. Re-running the same batch is a
+    * no-op — the idempotence the reference gets from HBase row identity.
+    */
+  def upsert(state: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
+    updates.dropDuplicates(keyCols)
+      .unionByName(state.join(updates, keyCols, "left_anti"))
+
   def load(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   /** Atomic overwrite of the state table (replaces per-row HBase Puts). */

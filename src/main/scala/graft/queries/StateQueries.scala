@@ -83,9 +83,58 @@ object StateQueries {
         .select(col("name"), col("size"), col("bucket"), round(col("freq"), 6).as("freq"))
         .orderBy(col("name"), col("bucket"))
     }),
+
+    // S7a: insert-if-absent (signature sink semantics,
+    // HogSignature.scala:35-52): existing keys keep their exact row,
+    // only new keys append. State = keys ≢0 mod 3 at v1; batch = even
+    // keys at v2 → only even multiples of 3 arrive as v2.
+    "s7_signature_upsert" -> ((s, dir) => {
+      val c = Catalog.customer(s, dir)
+      val state = c.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name"), lit("v1").as("rev"))
+      val updates = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), lit("v2").as("rev"))
+      ProfileStore.insertIfAbsent(state, updates, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // S7b: last-write-wins upsert (inventory/sensor sink semantics,
+    // HogHBaseInventory.scala:40-49): batch rows replace matching state
+    // rows, unmatched state survives, replay is a no-op.
+    "s7_inventory_upsert" -> ((s, dir) => {
+      val c = Catalog.customer(s, dir)
+      val state = c.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name"), lit("v1").as("rev"))
+      val updates = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), lit("v2").as("rev"))
+      val once = ProfileStore.upsert(state, updates, Seq("c_custkey"))
+      // replay the same batch: idempotence is part of the contract
+      ProfileStore.upsert(once, updates, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "s7_signature_upsert" ->
+      """WITH state AS (
+        |  SELECT c_custkey, c_name, 'v1' AS rev FROM customer WHERE c_custkey % 3 <> 0),
+        |upd AS (
+        |  SELECT c_custkey, c_name, 'v2' AS rev FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT * FROM state
+        |UNION ALL
+        |SELECT * FROM upd WHERE c_custkey NOT IN (SELECT c_custkey FROM state)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "s7_inventory_upsert" ->
+      """WITH state AS (
+        |  SELECT c_custkey, c_name, 'v1' AS rev FROM customer WHERE c_custkey % 3 <> 0),
+        |upd AS (
+        |  SELECT c_custkey, c_name, 'v2' AS rev FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT * FROM upd
+        |UNION ALL
+        |SELECT * FROM state WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |ORDER BY c_custkey""".stripMargin,
+
     "h8_mergemax_agg" ->
       """WITH per AS (
         |  SELECT o_custkey AS k, o_orderstatus AS st, o_orderpriority AS bucket, COUNT(*) AS cnt

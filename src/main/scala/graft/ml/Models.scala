@@ -53,11 +53,17 @@ object Models {
     * vectorizer.
     */
   def histogramKMeans(hist: DataFrame, k: Int, seed: Long = 42L,
-      minWeight: Double = 0.001): DataFrame = {
+      minWeight: Double = 0.001, maxVocab: Int = 10000): DataFrame = {
     hist.cache() // feeds vocab collect + fit + transform
+    // vocabulary = significant bucket names; capped at the `maxVocab`
+    // heaviest (by total weight) so a high-cardinality bucket domain at
+    // scale can't OOM the driver — the cap is a distributed top-N, the
+    // collect is bounded by construction
     val vocab: Seq[String] = hist
-      .select(explode(map_keys(map_filter(col("buckets"), (_, v) => v > minWeight))).as("b"))
-      .distinct().orderBy(col("b")).collect().map(_.getString(0)).toSeq
+      .select(explode(map_filter(col("buckets"), (_, v) => v > minWeight)).as(Seq("b", "w")))
+      .groupBy(col("b")).agg(sum(col("w")).as("tw"))
+      .orderBy(col("tw").desc, col("b")).limit(maxVocab)
+      .select("b").collect().map(_.getString(0)).sorted.toSeq
     val toVec = udf { (m: Map[String, Double]) =>
       Vectors.dense(vocab.map(b => m.getOrElse(b, 0.0) * 100).toArray)
     }

@@ -113,7 +113,8 @@ object StreamingJobs {
     * Events inside a group are processed in (ts, event_id) order so
     * results are deterministic regardless of shuffle arrival order.
     */
-  def learnThenAlert(events: Dataset[EventRow], minObs: Int)(
+  def learnThenAlert(events: Dataset[EventRow], minObs: Int,
+      maxBatchPerKey: Int = 1000000)(
       implicit spark: SparkSession): Dataset[Alert] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
@@ -121,7 +122,13 @@ object StreamingJobs {
         case (userId: Long, rows: Iterator[EventRow], state: GroupState[Histogram]) =>
           var h = state.getOption.getOrElse(Histogram(s"HIST20-$userId", 0L, Map.empty))
           val alerts = Seq.newBuilder[Alert]
-          rows.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+          // the in-order replay buffers the group: bound it so a hot key
+          // fails with an actionable message instead of silently OOMing
+          // the task (shorten the trigger interval or raise the bound)
+          val buf = rows.take(maxBatchPerKey + 1).toSeq
+          require(buf.size <= maxBatchPerKey,
+            s"learnThenAlert: key $userId exceeded $maxBatchPerKey events in one micro-batch")
+          buf.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
             if (h.size >= minObs && !h.buckets.contains(e.event_type))
               alerts += Alert(userId, e.event_id, e.event_type)
             h = Histogram(h.name, h.size + 1,

@@ -40,7 +40,9 @@ object Models {
       .agg(count(lit(1)).as("cluster_n"), avg(col(dirtyCol)).as("dirty_rate"))
       .withColumn("tainted",
         (col("cluster_n") < taintFraction * n && col("dirty_rate") >= minDirtyRate).cast("int"))
-    out.join(broadcast(taints), Seq("prediction"))
+    val joined = out.join(broadcast(taints), Seq("prediction"))
+    df.unpersist() // `out` stays cached: it backs the returned frame
+    joined
   }
 
   /** M3: K-Means over histogram profiles (HogSFlowHistograms.scala:107-265):

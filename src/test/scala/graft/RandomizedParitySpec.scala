@@ -90,6 +90,67 @@ class RandomizedParitySpec extends AnyFunSuite {
       s"recall $recalled/${plantedPairs.size} below 0.7")
   }
 
+  test("window-interpolated percentiles match Spark's exact percentile aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 3) {
+      val rnd = new Random(100 + seed)
+      val df = Seq.fill(500)((if (rnd.nextBoolean()) "A" else "B", rnd.nextDouble() * 1e5))
+        .toDF("g", "v")
+      val exact = df.groupBy($"g")
+        .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.99)").as("p99"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val wg = Window.partitionBy($"g")
+      val ranked = df
+        .withColumn("rn", row_number().over(wg.orderBy($"v")))
+        .withColumn("n", count(lit(1)).over(wg))
+      def pct(p: Double) = {
+        val rowLo = floor((col("n") - 1) * p) + 1
+        val vlo = max(when(col("rn") === rowLo, col("v")))
+        val vhi = coalesce(max(when(col("rn") === rowLo + 1, col("v"))), vlo)
+        val idx = (max(col("n")) - 1) * p
+        vlo + (idx - floor(idx)) * (vhi - vlo)
+      }
+      val got = ranked.groupBy($"g").agg(pct(0.5).as("p50"), pct(0.99).as("p99"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      exact.foreach { case (g, (e50, e99)) =>
+        assert(math.abs(got(g)._1 - e50) < 1e-9 && math.abs(got(g)._2 - e99) < 1e-9,
+          s"seed $seed group $g: got ${got(g)}, exact ($e50, $e99)")
+      }
+    }
+  }
+
+  test("upsert laws: key partition, precedence, and replay idempotence") {
+    import spark.implicits._
+    import graft.operators.ProfileStore
+    for (seed <- 1 to 3) {
+      val rnd = new Random(200 + seed)
+      val state = Seq.fill(60)((rnd.nextInt(40).toLong, "old"))
+        .distinctBy(_._1).toDF("k", "v")
+      val updates = Seq.fill(30)((rnd.nextInt(40).toLong, "new"))
+        .distinctBy(_._1).toDF("k", "v")
+      val stateKeys = state.select("k").as[Long].collect().toSet
+      val updKeys = updates.select("k").as[Long].collect().toSet
+
+      val ins = ProfileStore.insertIfAbsent(state, updates, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ins.keySet == stateKeys ++ updKeys)
+      stateKeys.foreach(k => assert(ins(k) == "old")) // never overwrites
+      (updKeys -- stateKeys).foreach(k => assert(ins(k) == "new"))
+
+      val up = ProfileStore.upsert(state, updates, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(up.keySet == stateKeys ++ updKeys)
+      updKeys.foreach(k => assert(up(k) == "new")) // updates win
+      (stateKeys -- updKeys).foreach(k => assert(up(k) == "old"))
+      // replay: applying the same batch again changes nothing
+      val replayed = ProfileStore.upsert(
+        ProfileStore.upsert(state, updates, Seq("k")), updates, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(replayed == up, s"seed $seed")
+    }
+  }
+
   test("rangeJoin matches a naive filter join on random intervals") {
     import spark.implicits._
     for (seed <- 1 to 3) {

@@ -223,6 +223,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
+    // per-round lineage truncation: executor-local by default (fast, no
+    // durable storage needed); when a cluster checkpoint dir is set, use
+    // reliable checkpoints instead so a 100 TB run survives executor loss
+    // mid-iteration (localCheckpoint blocks are unrecoverable by design)
+    val durable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint() else df.localCheckpoint()
 
     // canonical directed form: (u, v) with u > v, no self-loops, distinct
     def canon(e: DataFrame): DataFrame = e
@@ -248,12 +255,11 @@ object Dedup {
       canon(moved.union(mn.select(col("u"), col("m").as("v"))))
     }
 
-    var cur = canon(pairs.select(col("doc1").as("u"), col("doc2").as("v")))
-      .localCheckpoint()
+    var cur = truncate(canon(pairs.select(col("doc1").as("u"), col("doc2").as("v"))))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = truncate(smallStar(largeStar(cur)))
       // converged when the canonical edge set is stable (then every edge
       // already points straight at its component root); both set
       // differences evaluate inside ONE action so each round pays a

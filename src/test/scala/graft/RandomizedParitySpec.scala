@@ -41,6 +41,22 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents is identical with durable checkpointing enabled") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val local = Dedup.connectedComponents(edges.toDF("doc1", "doc2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val durable = Dedup.connectedComponents(edges.toDF("doc1", "doc2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(durable == local)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("asOfJoin matches a naive per-row scan on random data") {
     import spark.implicits._
     for (seed <- 1 to 3) {

@@ -254,6 +254,57 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T11: PII detection + redaction — the scrub pass every training-data
+    // pipeline runs before release. Deterministic PII is planted from
+    // doc_id (the corpus itself is synthetic), then counted and redacted
+    // with pure regexp columns; patterns stay in the RE2 ∩ Java-regex
+    // dialect so both engines agree.
+    "t11_pii_redact" -> ((s, dir) => {
+      val body = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0.1 call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val redacted = regexp_replace(
+        regexp_replace(regexp_replace(body, email, "<EMAIL>"), phone, "<PHONE>"),
+        ip, "<IP>")
+      Catalog.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(body, lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(body, lit(phone), lit(0))).cast("long").as("n_phones"),
+          size(regexp_extract_all(body, lit(ip), lit(0))).cast("long").as("n_ips"),
+          md5(redacted).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D9: chunk-level exact dedup ACROSS the corpus (paragraph dedup at
+    // fixed 10-token grain): every chunk is fingerprinted, the first
+    // occurrence (lexicographic (doc_id, chunk)) is canonical, and each
+    // doc reports how much of it is repeated elsewhere. One exchange on
+    // the fingerprint — never a pairwise comparison.
+    "d9_chunk_dedup" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val chunks = Catalog.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("c", explode(when(size(col("toks")) > 0,
+          sequence(lit(0), ceil(size(col("toks")) / 10.0).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), col("c"),
+          md5(concat_ws(" ", slice(col("toks"), col("c") * 10 + 1, lit(10)))).as("fp"))
+      val canonical = chunks.groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("c"))).as("first"))
+        .select(col("fp"), col("first.doc_id").as("cdoc"), col("first.c").as("cc"))
+      chunks.join(canonical, Seq("fp"))
+        .withColumn("dup", (col("doc_id") =!= col("cdoc") || col("c") =!= col("cc")).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("dup")).as("n_dup_chunks"),
+          round(sum(col("dup")).cast("double") / count(lit(1)), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -383,6 +434,44 @@ object PipelineQueries {
        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t11_pii_redact" ->
+      """WITH b AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 call 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(body, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(body, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(body,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS redacted_fp
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "d9_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |cidx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS c
+        |  FROM t WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, c,
+        |    md5(array_to_string(toks[c*10+1 : c*10+10], ' ')) AS fp
+        |  FROM cidx),
+        |canon AS (
+        |  SELECT fp, doc_id AS cdoc, c AS cc FROM (
+        |    SELECT fp, doc_id, c,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, c) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.c <> canon.cc THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  ROUND(CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.c <> canon.cc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        |FROM ch JOIN canon ON ch.fp = canon.fp
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
     "t10_decontaminate" ->
       s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(${shinglesSql(toksSql)}) AS shd

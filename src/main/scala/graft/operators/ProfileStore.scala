@@ -96,6 +96,12 @@ object ProfileStore {
     * overwrites cells in place): update rows replace state rows with the
     * same key; unmatched state survives. Re-running the same batch is a
     * no-op — the idempotence the reference gets from HBase row identity.
+    *
+    * Contract: the update batch should carry one row per key. If it
+    * doesn't, `dropDuplicates` keeps an arbitrary one (exactly as
+    * concurrent HBase Puts race on timestamp) — resolve conflicts
+    * upstream (e.g. a window over an ordering column) when the winner
+    * matters.
     */
   def upsert(state: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
     updates.dropDuplicates(keyCols)

@@ -70,13 +70,16 @@ object Retention {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val staging = stagingDir(path)
     if (!fs.exists(staging)) return
-    if (!fs.exists(markerFile(path))) {
-      // staging write never finished: the purge never started deleting,
-      // so dropping the partial staging restores the pre-call state
+    // a missing OR partially-written marker both mean the crash happened
+    // BEFORE any delete ran (the marker is written, and closed, first):
+    // dropping the staging dir restores the pre-call state exactly
+    val marker =
+      if (fs.exists(markerFile(path))) readMarker(fs, path).trim.split("\n") else Array[String]()
+    if (marker.length != 2 || marker.exists(_.isEmpty)) {
       fs.delete(staging, true)
       return
     }
-    val Array(cutoffDate, runId) = readMarker(fs, path).trim.split("\n")
+    val Array(cutoffDate, runId) = marker
     deleteOldPartitions(fs, path, cutoffDate, runId)
     restoreStaged(fs, path, runId)
     fs.delete(staging, true)

@@ -75,6 +75,23 @@ class RetentionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2) // table untouched
   }
 
+  test("a corrupt (partially-written) marker rolls the staging back safely") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention_badmark").toString
+    val rows = Seq(("2026-01-01 10:00:00", 1L, 0), ("2026-01-10 10:00:00", 2L, 0))
+      .toDF("ts_s", "id", "priority")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    Retention.writePartitioned(rows, "ts", dir)
+    Seq((1L, "x")).toDF("id", "junk").write
+      .parquet(s"$dir/_purge_staging/ds=2026-01-01")
+    // crash mid-marker-write: only the cutoff line made it to disk
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_purge_staging", "_CUTOFF"),
+      "2026-01-05".getBytes("UTF-8"))
+    Retention.recoverPendingPurge(spark, dir)
+    assert(!new java.io.File(s"$dir/_purge_staging").exists())
+    assert(spark.read.parquet(dir).count() == 2) // table untouched
+  }
+
   test("linearSvc learns a separable boundary (M6 dormant path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -74,6 +74,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts == Seq(2L, 1L)) // each record consumed exactly once
   }
 
+  test("the full detector DAG runs per micro-batch with profile feedback between batches") {
+    import spark.implicits._
+    import graft.detectors.HogzillaBatch
+    val myNets = Seq("10.0.")
+    // 5-port probe + benign background, identical in both batches
+    val rows =
+      (1 to 5).map(i => ("10.0.0.7", "99.9.9.9", "41000", (20 + i).toString, "6", 60L, 1L, "0x02", 50L + i)) ++
+      (1 to 5).map(i => ("10.0.0.100", "93.1.1." + i, "50000", "443", "6", 1000L, 10L, "0x18", 1000L + i))
+    val source = MemoryStream[(String, String, String, String, String, Long, Long, String, Long)](spark, 6)
+    val stream = source.toDF().toDF("srcIP", "dstIP", "srcPort", "dstPort",
+      "IPprotocol", "packetSize", "samplingRate", "tcpFlags", "timestamp")
+    // the reference's 6-hourly read-then-delete loop as foreachBatch:
+    // profiles learned by batch N are the state batch N+1 detects against
+    var profiles = HogzillaBatch.emptyProfileTables(spark)
+    val perBatch = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, vPortScan alerts)
+    val blacklist = Seq.empty[String].toDF("prefix")
+    val osRepos = Seq.empty[(String, String)].toDF("repo_ip", "os")
+    val q = StreamingJobs.consumeMicroBatches(stream, 1) { (batch, id) =>
+      if (!batch.isEmpty) {
+        val (alerts, updated, _) = HogzillaBatch.run(spark, batch, myNets, profiles, blacklist, osRepos)
+        val n = alerts.filter(col("detector") === "vPortScan").count()
+        profiles = HogzillaBatch.ProfileTables(
+          updated.hist01.localCheckpoint(), updated.hist02.localCheckpoint(),
+          updated.hist02snap.localCheckpoint(), updated.hist03.localCheckpoint(),
+          updated.hist04.localCheckpoint(), updated.hist05.localCheckpoint(),
+          updated.hist06.localCheckpoint(), updated.hist07.localCheckpoint(),
+          updated.hist08.localCheckpoint())
+        perBatch.synchronized { perBatch += ((id, n)) }
+      }
+    }
+    source.addData(rows: _*)
+    q.processAllAvailable()
+    source.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = perBatch.synchronized(perBatch.toSeq.sortBy(_._1).map(_._2))
+    // cold start learns silently; the second batch detects against the
+    // learned HIST08 profile (same burst, still typical → still silent),
+    // and the profile table itself advanced between batches
+    assert(got == Seq(0L, 0L), s"per-batch vPortScan counts: $got")
+    assert(profiles.hist08.filter(col("name") === "10.0.0.7").count() == 1)
+  }
+
   test("watermark evicts state and drops late data (beyond-reference semantics)") {
     import spark.implicits._
     val source = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 5)

@@ -29,6 +29,7 @@ object SparkEntry {
       (MlQueries.queries, MlQueries.oracles),
       (StateQueries.queries, StateQueries.oracles),
       (ProfileQueries.queries, ProfileQueries.oracles),
+      (AnalyticsQueries.queries, AnalyticsQueries.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Catalog
+import graft.operators.{EventAnalytics, Robust, RuntimeFilter}
+
+/** Beyond-reference event-analytics and join-acceleration operators:
+  * ordered funnels, cohort retention, robust (median/MAD) outliers, and
+  * bloom-runtime-filtered semi-joins. Each has a DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  private val FunnelStages = Seq("signup", "view", "click", "purchase")
+
+  val queries: Map[String, Q] = Map(
+    // G1: ordered funnel — users per max stage reached; stages must occur
+    // in strictly increasing event-time order, each within a 24 h
+    // conversion window of the previous stage.
+    "g1_funnel" -> ((s, dir) => {
+      EventAnalytics.funnelReach(Catalog.events(s, dir), FunnelStages,
+          maxGapUs = Some(24L * 3600 * 1000000))
+        .orderBy(col("reached"))
+    }),
+
+    // G2: weekly cohort retention triangle.
+    "g2_cohort_retention" -> ((s, dir) => {
+      EventAnalytics.cohortRetention(Catalog.events(s, dir))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // A21: robust outliers — median/MAD per event type, |v−med| > 3·MAD.
+    "a21_mad_outliers" -> ((s, dir) => {
+      Robust.madOutlierSummary(Catalog.events(s, dir), Seq("event_type"),
+          col("value"), cutoff = 3.0)
+        .orderBy(col("event_type"))
+    }),
+
+    // B1: bloom-prefiltered exact semi-join — lineitems of urgent orders.
+    // The bloom bitmap (128 KiB for 2^20 bits) prunes non-matching probe
+    // rows before the shuffle; the exact semi-join keeps results exact.
+    "b1_bloom_semijoin" -> ((s, dir) => {
+      val urgent = Catalog.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      RuntimeFilter.bloomSemiJoin(Catalog.lineitem(s, dir), "l_orderkey",
+          urgent, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'signup'
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1,
+        |    MIN(CASE WHEN v.ts > s1.t1
+        |             AND epoch_us(v.ts) - epoch_us(s1.t1) <= 86400000000
+        |             THEN v.ts END) AS t2
+        |  FROM s1 LEFT JOIN (SELECT user_id, ts FROM e WHERE event_type = 'view') v
+        |    ON v.user_id = s1.user_id
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2,
+        |    MIN(CASE WHEN c.ts > s2.t2
+        |             AND epoch_us(c.ts) - epoch_us(s2.t2) <= 86400000000
+        |             THEN c.ts END) AS t3
+        |  FROM s2 LEFT JOIN (SELECT user_id, ts FROM e WHERE event_type = 'click') c
+        |    ON c.user_id = s2.user_id
+        |  GROUP BY 1, 2, 3),
+        |s4 AS (
+        |  SELECT s3.user_id, s3.t1, s3.t2, s3.t3,
+        |    MIN(CASE WHEN p.ts > s3.t3
+        |             AND epoch_us(p.ts) - epoch_us(s3.t3) <= 86400000000
+        |             THEN p.ts END) AS t4
+        |  FROM s3 LEFT JOIN (SELECT user_id, ts FROM e WHERE event_type = 'purchase') p
+        |    ON p.user_id = s3.user_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(reached AS BIGINT) AS reached,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+        |  SELECT (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN t4 IS NULL THEN 0 ELSE 1 END) AS reached
+        |  FROM s4) t
+        |GROUP BY 1 ORDER BY reached""".stripMargin,
+
+    "g2_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    date_trunc('week', ts::TIMESTAMP)::DATE AS wk
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  CAST((wk.wk - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM wk JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "a21_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * md.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(ANY_VALUE(d.med), 6) AS med,
+        |  ROUND(ANY_VALUE(md.mad), 6) AS mad
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "b1_bloom_semijoin" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+  )
+}

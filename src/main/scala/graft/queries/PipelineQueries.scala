@@ -280,6 +280,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T12: BM25 relevance of every document against a fixed query-term
+    // bag (retrieval ranking / topicality filter; one explode+groupBy
+    // pass builds tf/df, the vocabulary-sized model tables broadcast).
+    "t12_bm25" -> ((s, dir) => {
+      graft.operators.Relevance.bm25(Catalog.documents(s, dir),
+          Seq("spark", "join", "window"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T13: corpus-unigram log-probability per document — the cheap
+    // perplexity proxy for quality-ranking crawl documents.
+    "t13_lm_score" -> ((s, dir) => {
+      graft.operators.Relevance.unigramLogProb(Catalog.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // D9: chunk-level exact dedup ACROSS the corpus (paragraph dedup at
     // fixed 10-token grain): every chunk is fingerprinted, the first
     // occurrence (lexicographic (doc_id, chunk)) is canonical, and each
@@ -450,6 +466,36 @@ object PipelineQueries {
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
         |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS redacted_fp
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "t12_bm25" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  ROUND(SUM(
+        |    ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |    * (tf.tf * (1.2 + 1.0))
+        |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS bm25
+        |FROM tf
+        |JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "t13_lm_score" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt)
+        |SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(ln(CAST(cnt.c AS DOUBLE) / CAST(tot.total AS DOUBLE))), 6)
+        |    AS avg_logprob
+        |FROM toks JOIN cnt USING (term) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "d9_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

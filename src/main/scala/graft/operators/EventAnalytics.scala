@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over an append-only event log — ordered
@@ -63,6 +64,32 @@ object EventAnalytics {
       .reduce(_ + _)
     f.select(reached.as("reached"))
       .groupBy(col("reached")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Batch sessionization: split each user's event stream into sessions at
+    * gaps > `gapUs` microseconds (the batch twin of `StreamingJobs.
+    * sessionCounts`' gap-based session windows), and emit one row per
+    * session with start/end/size.
+    *
+    * One window pass (lag + running sum over the same (user, ts) sort — a
+    * single exchange + sort serves both) and one aggregate that reuses the
+    * user-key partitioning. Boundary flags depend only on timestamp VALUES,
+    * so equal-timestamp ties can't flip session assignment whatever order
+    * the sort breaks them in — the output is deterministic.
+    */
+  def sessionize(events: DataFrame, gapUs: Long,
+                 userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("__gap",
+        when(unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_idx",
+        sum(col("__gap")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
   }
 
   /** Weekly cohort retention: users grouped by the ISO week of their first

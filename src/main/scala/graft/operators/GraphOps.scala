@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over an edge-list DataFrame — degree
+  * statistics and exact triangle counting. Complements `Dedup.
+  * connectedComponents` (the other graph op in the library): CC answers
+  * "which docs are the same", triangles/degrees answer structure questions
+  * over co-occurrence graphs (shared-entity, co-purchase, flow peering).
+  *
+  * Scale notes (100 TB edge logs):
+  *   - Everything is edge-list relational algebra — no vertex-program
+  *     framework, no driver-side adjacency. Joins shuffle on node keys and
+  *     Catalyst/AQE plan them like any other equi-join.
+  *   - Triangle counting uses the degree-ordered orientation (each
+  *     undirected edge directed from its lower-(degree, id) endpoint to the
+  *     higher one). Every triangle then has exactly one source node with
+  *     two outgoing oriented edges, so the 2-path intermediate is bounded
+  *     by Σ C(outdeg, 2) = O(m^{3/2}) instead of Σ C(deg, 2), which a hub
+  *     node (degree 10^6 ⇒ 5·10^11 pairs) would otherwise make intractable.
+  */
+object GraphOps {
+
+  /** Canonical undirected edge list: self-loops dropped, endpoints ordered
+    * `u < v`, duplicates collapsed. One shuffle (the distinct).
+    */
+  def canonicalEdges(df: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val u = col(uCol); val v = col(vCol)
+    df.filter(u =!= v)
+      .select(least(u, v).as("u"), greatest(u, v).as("v"))
+      .distinct()
+  }
+
+  /** Per-node degree over a canonical edge list. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** Degree histogram: how many nodes have each degree. */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Exact global triangle count over a canonical edge list.
+    *
+    * Orientation: `src → dst` iff (degree, id) of src < (degree, id) of
+    * dst — a total order, so each undirected edge gets exactly one
+    * direction and each triangle is generated exactly once (from its
+    * least endpoint in that order). The 2-path build joins oriented edges
+    * on their shared source; the closing join checks the third side in the
+    * SAME orientation, so it can use the oriented table again (no second
+    * canonical-edge scan).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    // (degree, id) order packed into one comparable struct-free key is not
+    // needed — compare lexicographically with a boolean expression.
+    val e = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    // 2-paths from a shared source; id order a<b makes the wedge unique.
+    val paths = e.as("e1").join(e.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+    // Closing edge: (u, v) with u<v is exactly the canonical form, so the
+    // check is a plain equi-join against the canonical list (hash/SMJ —
+    // an OR-of-directions condition would degrade to nested-loop).
+    paths.join(edges, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -58,4 +58,34 @@ object Robust {
         round(max(col("med")), 6).as("med"),
         round(max(col("mad")), 6).as("mad"))
   }
+
+  /** Single-pass approximate per-group quantile via fixed-width value
+    * bins — the bounded-memory alternative to `groupedQuantile`'s exact
+    * window sort. Aggregation state is one count per occupied bin (≤
+    * range/width entries), so at 100 TB this is one map-side-combined
+    * shuffle with no global sort; error is bounded by `width`.
+    *
+    * Estimate: with `target = p·n`, find the first bin whose cumulative
+    * count reaches target and interpolate linearly inside it:
+    * `width · (bin + (target − cum_below)/bin_count)`. Deterministic —
+    * identical double math re-derives identically in the DuckDB oracle.
+    */
+  def binnedQuantile(df: DataFrame, keys: Seq[String], value: Column,
+                     width: Double, p: Double, out: String): DataFrame = {
+    require(width > 0 && p > 0 && p <= 1, s"need width>0, 0<p<=1; got $width, $p")
+    val binned = df
+      .select(keys.map(col) :+ floor(value.cast("double") / width).cast("long").as("__bin"): _*)
+      .groupBy(keys.map(col) :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(keys.map(col): _*)
+    val cum = binned
+      .withColumn("__cum", sum(col("__c")).over(wg.orderBy(col("__bin"))))
+      .withColumn("__n", sum(col("__c")).over(wg))
+    val target = lit(p) * col("__n")
+    cum.filter(col("__cum") >= target && (col("__cum") - col("__c")) < target)
+      .groupBy(keys.map(col): _*)
+      .agg(round(
+        lit(width) * (max(col("__bin")) + (max(target) - max(col("__cum") - col("__c"))) /
+          max(col("__c"))), 6).as(out))
+  }
 }

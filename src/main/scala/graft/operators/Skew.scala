@@ -36,4 +36,34 @@ object Skew {
       .groupBy(gs: _*)
       .agg(sum(col("__d")).as(resultName))
   }
+
+  /** Exact salted inner equi-join for a skewed probe side: the probe rows
+    * scatter across `salts` sub-partitions per key (salt = deterministic
+    * hash of the probe row's OTHER columns, so re-runs are stable), and the
+    * build side replicates once per salt. Each probe row meets exactly one
+    * replica of each matching build row, so the result multiset is
+    * identical to `large.join(small, keys)`.
+    *
+    * When to prefer this over AQE's skew-join split: AQE splits a skewed
+    * SHUFFLE partition, but all replicas of one hot key still hash-join
+    * against the same build rows read by a handful of tasks, and AQE only
+    * triggers on sort-merge joins it can see at runtime. Salting commits to
+    * key-splitting up front — e.g. under a `groupBy` directly on the join
+    * output, or inside iterative plans AQE won't re-plan per iteration.
+    * Cost: the build side shuffles `salts`× — keep it the small side.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int = 8): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val nonKey = large.columns.filterNot(keys.contains).map(col)
+    // A key-only probe table has nothing to scatter on; any constant salt
+    // keeps the join exact (each row still meets exactly one replica).
+    val salt =
+      if (nonKey.isEmpty) lit(0L)
+      else pmod(xxhash64(nonKey: _*), lit(salts.toLong))
+    val salted = large.withColumn("__salt", salt)
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.sources.Catalog
-import graft.operators.{EventAnalytics, Robust, RuntimeFilter}
+import graft.operators.{EventAnalytics, GraphOps, Robust, RuntimeFilter, Skew}
 
 /** Beyond-reference event-analytics and join-acceleration operators:
   * ordered funnels, cohort retention, robust (median/MAD) outliers, and
@@ -18,6 +18,22 @@ object AnalyticsQueries {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
   private val FunnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** Suppliers co-occurring in an order, as a canonical undirected edge
+    * list (u < v, distinct).
+    */
+  private def coSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    // The quantity filter keeps the graph sparse/irregular (the unfiltered
+    // co-supplier graph saturates to a near-clique, which exercises
+    // nothing); it also demonstrates scan-level pushdown under the pair join.
+    val ls = Catalog.lineitem(s, dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    GraphOps.canonicalEdges(
+      ls.as("a").join(ls.as("b"), col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")),
+      "u", "v")
+  }
 
   val queries: Map[String, Q] = Map(
     // G1: ordered funnel — users per max stage reached; stages must occur
@@ -40,6 +56,54 @@ object AnalyticsQueries {
       Robust.madOutlierSummary(Catalog.events(s, dir), Seq("event_type"),
           col("value"), cutoff = 3.0)
         .orderBy(col("event_type"))
+    }),
+
+    // E2: batch sessionization — 30-minute-gap sessions per user over the
+    // event log (one window pass; the user-key exchange is reused by the
+    // per-session aggregate). Timestamps surface as epoch micros so the
+    // oracle compare is pure integer.
+    "e2_sessionize" -> ((s, dir) => {
+      EventAnalytics.sessionize(Catalog.events(s, dir), gapUs = 1800L * 1000000)
+        .select(col("user_id"), col("session_idx"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // GR1/GR2: graph structure over the co-supplier graph (suppliers
+    // linked when they serve the same order — per-order supplier sets are
+    // small, so the pair expansion is bounded by orders × C(7,2)).
+    "gr1_degree_dist" -> ((s, dir) => {
+      GraphOps.degreeDistribution(coSupplierEdges(s, dir))
+        .orderBy(col("degree"))
+    }),
+
+    // Exact triangle count with degree-ordered orientation — the
+    // O(m^{3/2})-bounded 2-path join, closed by a canonical-edge semi-join.
+    "gr2_triangles" -> ((s, dir) => {
+      GraphOps.triangleCount(coSupplierEdges(s, dir))
+    }),
+
+    // A22: single-pass binned quantile estimate (width-1 value bins,
+    // p95 via cumulative counts + in-bin interpolation) — the bounded-
+    // memory alternative to the a17/a21 exact window sort.
+    "a22_binned_quantile" -> ((s, dir) => {
+      Robust.binnedQuantile(Catalog.events(s, dir), Seq("event_type"),
+          col("value"), width = 1.0, p = 0.95, out = "p95_est")
+        .orderBy(col("event_type"))
+    }),
+
+    // J11: salted exact join — probe-side salt scatter + build-side
+    // replication; result identical to the plain join, but no single
+    // reducer ever owns a hot key's full probe set.
+    "j11_salted_join" -> ((s, dir) => {
+      val small = Catalog.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(Catalog.lineitem(s, dir), small, Seq("l_suppkey"), salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
     }),
 
     // B1: bloom-prefiltered exact semi-join — lineitems of urgent orders.
@@ -126,6 +190,69 @@ object AnalyticsQueries {
         |  ROUND(ANY_VALUE(md.mad), 6) AS mad
         |FROM d JOIN md USING (event_type)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "e2_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |    CASE WHEN epoch_us(ts::TIMESTAMP)
+        |           - epoch_us(lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts))
+        |         > 1800000000 THEN 1 ELSE 0 END AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(gap) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM o)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+        |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "gr1_degree_dist" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |            WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e) n
+        |        GROUP BY 1)
+        |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "gr2_triangles" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |            WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.v
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "a22_binned_quantile" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b)
+        |SELECT event_type,
+        |  ROUND(1.0 * (bin + (0.95 * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
+        |                       / CAST(c AS DOUBLE)), 6) AS p95_est
+        |FROM cum
+        |WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE)
+        |  AND CAST(cum - c AS DOUBLE) < 0.95 * CAST(n AS DOUBLE)
+        |ORDER BY event_type""".stripMargin,
+
+    "j11_salted_join" ->
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
 
     "b1_bloom_semijoin" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,

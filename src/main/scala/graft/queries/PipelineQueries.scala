@@ -321,6 +321,47 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T14: corpus-wide top-K bigrams — the collocation/phrase-mining pass
+    // (vocabulary pruning, boilerplate discovery). Shingling runs through
+    // the codegen posexplode+lead path; the count is one map-side-combined
+    // shuffle on the bigram key and top-K is a global sort of the (small)
+    // distinct-bigram aggregate, never of the exploded rows.
+    "t14_top_ngrams" -> ((s, dir) => {
+      explodedShingles(Catalog.documents(s, dir), "doc_id", "text", 2)
+        .groupBy(col("shingle").as("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    }),
+
+    // T15: inverted index — per term: document frequency and a bounded,
+    // sorted posting-list prefix (the retrieval-index build pass; the cap
+    // keeps per-term state bounded no matter how common the term).
+    "t15_inverted_index" -> ((s, dir) => {
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          slice(sort_array(collect_set(col("doc_id"))), 1, 20).as("postings"))
+        .filter(col("df") >= 100)
+        .orderBy(col("term"))
+    }),
+
+    // T16: deterministic stratified train/val/test split (80/10/10 by
+    // content-addressed md5 bucket, stratified per language) — reruns and
+    // engines agree on every document's split, so downstream shards are
+    // reproducible with no RNG state.
+    "t16_stratified_split" -> ((s, dir) => {
+      val bucket = sampleBucket(col("doc_id"))
+      Catalog.documents(s, dir)
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -821,6 +862,30 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t14_top_ngrams" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+        |g AS (
+        |  SELECT array_to_string(toks[i:i+1], ' ') AS ngram
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1)
+        |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "t15_inverted_index" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |  (list_sort(list(doc_id)))[1:20] AS postings
+        |FROM tok GROUP BY term HAVING COUNT(*) >= 100
+        |ORDER BY term""".stripMargin,
+
+    "t16_stratified_split" ->
+      """SELECT lang,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "t1_token_stats" ->
       s"""SELECT doc_id,

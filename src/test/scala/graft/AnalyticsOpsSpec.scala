@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventAnalytics, Robust}
+
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    import spark.implicits._
+    // user 1: events at 0, 10, 40, 41 min with a 30-min gap threshold —
+    // the 10→40 gap (30 min exactly) does NOT split; add 0→31 for user 2
+    // which does.
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(40)), (1L, ts(41)),
+      (2L, ts(0)), (2L, ts(31))).toDF("user_id", "ts")
+    val out = EventAnalytics.sessionize(events, gapUs = 30L * 60 * 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 0L, 4L), (2L, 0L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("sessionize is insensitive to equal-timestamp tie order") {
+    import spark.implicits._
+    val events = Seq((1L, ts(0)), (1L, ts(0)), (1L, ts(100)), (1L, ts(100)))
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.sessionize(events, gapUs = 30L * 60 * 1000000)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).sorted
+    assert(out.toSeq == Seq((0L, 2L), (1L, 2L)))
+  }
+
+  test("binnedQuantile lands within one bin width of the exact quantile") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", i / 10.0)).toDF("k", "v") // 0.1..100.0
+    val est = Robust.binnedQuantile(df, Seq("k"), col("v"), width = 1.0,
+        p = 0.95, out = "q").collect().head.getDouble(1)
+    val exact = Robust.groupedQuantile(df, Seq("k"), col("v"), 0.95, "q")
+      .collect().head.getDouble(1)
+    assert(math.abs(est - exact) <= 1.0, s"est=$est exact=$exact")
+  }
+
+  test("binnedQuantile p=1.0 sits in the max bin; negatives bin correctly") {
+    import spark.implicits._
+    val df = Seq(("g", -5.5), ("g", -0.1), ("g", 2.0), ("g", 7.25)).toDF("k", "v")
+    val est = Robust.binnedQuantile(df, Seq("k"), col("v"), width = 1.0,
+        p = 1.0, out = "q").collect().head.getDouble(1)
+    assert(est >= 7.0 && est <= 8.0, s"est=$est")
+  }
+}

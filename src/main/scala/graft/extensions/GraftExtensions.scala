@@ -65,6 +65,23 @@ object GraftFunctions {
     ("graft_strip_accents",
       new ExpressionInfo("graft", "graft_strip_accents"),
       arity("graft_strip_accents", 1)(args => graft.expressions.StripAccents(args.head))),
+    // graft_count_in_set(toks, array('the','a',...)): the word-set arg must
+    // be a foldable array literal — it becomes the expression's static set.
+    ("graft_count_in_set",
+      new ExpressionInfo("graft", "graft_count_in_set"),
+      arity("graft_count_in_set", 2)(args => {
+        val wordsArg = args(1)
+        if (!wordsArg.foldable) throw new IllegalArgumentException(
+          "graft_count_in_set expects a foldable array<string> literal as its second argument")
+        val words = wordsArg.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).filterNot(a.isNullAt)
+              .map(i => a.getUTF8String(i).toString)
+          case _ => throw new IllegalArgumentException(
+            "graft_count_in_set expects an array<string> literal as its second argument")
+        }
+        graft.expressions.CountInSet(args.head, words)
+      })),
   )
 
   /** Register into a live session (tests, notebooks). */

@@ -16,9 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+  /** Whitespace tokens, empties dropped — the maximal non-space runs.
+    * Expressed as trim + regex split (all codegen'd builtins) rather than
+    * `filter(split(text, " "), _ =!= "")`: the filter lambda evaluates
+    * interpreted per token, which dominated every corpus-wide text pass.
+    * The two forms agree exactly: splitting the space-trimmed string on
+    * runs of spaces yields precisely the non-empty single-space segments
+    * (the all-space/empty input, where split would return [""], is routed
+    * to an empty array explicitly).
+    */
+  def tokens(text: Column): Column = {
+    val trimmed = trim(text)
+    when(trimmed === "", array().cast("array<string>"))
+      .otherwise(split(trimmed, " +"))
+  }
 
   /** BPE-ish regex tokens: alphanumeric runs (a cheap proxy for subword
     * token counting when no tokenizer model is shipped).
@@ -72,13 +83,28 @@ object TextFunctions {
       .select(col(idCol), col("shingle"))
   }
 
+  /** Multiset count of tokens in a fixed word set — a codegen hash-probe
+    * per token ([[graft.expressions.CountInSet]]); the HOF form
+    * `size(filter(toks, isin))` runs interpreted with an O(|words|) scan
+    * per token and dominated the corpus language-ID pass.
+    */
+  def countInSet(toks: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CountInSet(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), words))
+
   /** Fraction of tokens found in `words` (a small function-word list) —
     * the language-ID / quality signal.
     */
-  def stopwordRatio(toks: Column, words: Seq[String]): Column = {
-    val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
-    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
-  }
+  def stopwordRatio(toks: Column, words: Seq[String]): Column =
+    // branch-free on purpose: a when(size>0, ...) guard puts the count and
+    // the token expression inside a conditional branch, which excludes
+    // them from whole-stage codegen's common-subexpression elimination —
+    // language-ID then re-tokenizes the text once PER PROFILE. Divide
+    // yields null on a zero denominator (ANSI off), so coalesce restores
+    // the 0.0-for-empty contract with every subtree unconditionally
+    // evaluated and shareable.
+    coalesce(countInSet(toks, words).cast("double") / size(toks), lit(0.0))
 
   /** Per-language function-word profiles (public-knowledge closed classes;
     * deliberately tiny so the oracle SQL can inline them).
@@ -95,14 +121,18 @@ object TextFunctions {
     * all-zero scores → "und" i.e. undetermined, ISO 639-3 style).
     */
   def predictLang(toks: Column): Column = {
-    val scored = LangProfiles.map { case (code, words) => (code, stopwordRatio(toks, words)) }
-    // fold over profiles tracking (bestCode, bestScore); strictly-greater
-    // keeps the earliest profile on ties, "und" when every score is 0
-    val init: (Column, Column) = (lit("und"), lit(0.0))
-    val (codeCol, _) = scored.foldLeft(init) { case ((bc, bs), (code, s)) =>
-      (when(s > bs, lit(code)).otherwise(bc), greatest(s, bs))
+    // Argmax via struct max over (score, -profileIndex): the max struct has
+    // the highest score, ties resolving to the highest -index = EARLIEST
+    // profile (same semantics as a strictly-greater fold). Each profile's
+    // score expression appears exactly once — a when/greatest fold instead
+    // embeds every earlier score in every later comparison, a quadratic
+    // expression tree that dominated the corpus language-ID pass.
+    val scored = LangProfiles.zipWithIndex.map { case ((_, words), i) =>
+      struct(stopwordRatio(toks, words).as("s"), lit(-i).as("ni"))
     }
-    codeCol
+    val codes = array(LangProfiles.map(p => lit(p._1)): _*)
+    val best = array_max(array(scored: _*))
+    when(best("s") > 0.0, element_at(codes, lit(1) - best("ni"))).otherwise(lit("und"))
   }
 
   /** Composite quality score in [0,1]: rewards reasonable length, function
@@ -111,8 +141,11 @@ object TextFunctions {
     */
   def qualityScore(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
-    val meanLen = when(nTok > 0,
-      aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / nTok).otherwise(lit(0.0))
+    // Σ token lengths == length of the concatenation (array_join) — one
+    // codegen call instead of an interpreted per-token aggregate lambda;
+    // branch-free for the same CSE reason as stopwordRatio.
+    val meanLen = coalesce(
+      length(array_join(toks, "")).cast("double") / nTok, lit(0.0))
     val stop = stopwordRatio(toks, LangProfiles.flatMap(_._2).distinct)
     val lenScore = least(nTok / 50.0, lit(1.0))
     val wordScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)

@@ -82,6 +82,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaCol == "œil Angstrom")
   }
 
+  test("graft_count_in_set counts multiset hits; null array → null") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_count_in_set(array('the','cat','the',''), array('the','a'))").head()
+    assert(r.getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT graft_count_in_set(CAST(NULL AS ARRAY<STRING>), array('a'))").head().isNullAt(0))
+    // matches the interpreted HOF formulation on a real column
+    import spark.implicits._
+    val df = Seq("the a the b", "x y", "", "a A").toDF("text")
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val words = Seq("the", "a")
+    val viaExpr = df.select(
+      graft.functions.TextFunctions.countInSet(col("toks"), words)).as[Int].collect().toSeq
+    val viaHof = df.select(
+      size(filter(col("toks"), t => t.isin(words.map(lit(_)): _*)))).as[Int].collect().toSeq
+    assert(viaExpr == viaHof)
+    // non-foldable word-set arg is rejected at analysis time
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_count_in_set(array('a'), array(CAST(rand() AS STRING)))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("injected functions stay codegen-native (no UDF node in the plan)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT graft_logbin(x) FROM VALUES (1.0) AS t(x)")

@@ -74,4 +74,44 @@ object GraphOps {
     paths.join(edges, Seq("u", "v"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-point (integer-arithmetic) PageRank over an undirected canonical
+    * edge list, `iters` synchronous rounds.
+    *
+    * Ranks are BIGINT micro-units (`unit` = 1.0): each round every node
+    * keeps `15% · unit` and receives `85% · Σ incoming (r DIV deg)` — all
+    * floor divisions on longs. Floating-point PageRank is NOT portable
+    * across engines (parallel double sums associate differently); the
+    * fixed-point form is bit-exact everywhere at the cost of losing a
+    * little mass to flooring each round — fine for ranking use.
+    *
+    * Scale shape: each round is one equi-join of the rank vector to the
+    * directed edge list (both partitioned by the source key — the join and
+    * the follow-up groupBy on dst reuse one exchange each) plus one
+    * aggregate; rounds are a fixed count, no convergence action.
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 10,
+                         unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // both directions: undirected rank flow
+    val dir = edges.select(col("u").as("s"), col("v").as("d"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("d")))
+    val deg = dir.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val keep = lit(15L * unit / 100)
+    // carry deg in the rank state so each round joins once, not twice
+    var state = deg.select(col("s").as("node"), col("deg"), lit(unit).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(state.withColumnRenamed("node", "s"), Seq("s"))
+        .select(col("d").as("node"), expr("r DIV deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      state = state.drop("r")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (keep + expr("85 * coalesce(m, CAST(0 AS BIGINT)) DIV 100")).as("r"))
+      // (at a 10^9-node scale, truncate lineage every few rounds with
+      // localCheckpoint/checkpoint, as connectedComponents does)
+    }
+    state.select(col("node"), col("r"))
+  }
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine table fingerprinting — the migration-validation primitive:
+  * after copying/transforming 100 TB between systems, compare per-bucket
+  * (row count, order-independent content hash) summaries instead of rows.
+  * A mismatch localizes to a bucket (~1/N of the table), so re-checks
+  * re-read only that slice.
+  *
+  * Portability: row hash and bucket assignment derive from md5 over a
+  * canonical string encoding (same convention as the sketch/sampling
+  * functions — both engines compute identical 60-bit values); the bucket
+  * combiner is XOR, which is order- and partitioning-independent and
+  * cannot overflow, so ANY engine/row-order produces the same summary.
+  *
+  * One map-side-combinable aggregate over the table — a single shuffle of
+  * N tiny rows, no sort.
+  */
+object Integrity {
+
+  /** 60 bits of md5 over the '|'-joined string encoding of `cols`.
+    * Callers choose columns with engine-stable casts (integers, strings,
+    * dates — NOT floats, whose to-string formatting differs by engine).
+    */
+  def rowHash(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|", cols.map(_.cast("string")): _*)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Per-bucket fingerprint summary: (bucket, n_rows, xor of row hashes). */
+  def tableFingerprint(df: DataFrame, cols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val h = rowHash(cols.map(col))
+    df.select(pmod(h, lit(buckets.toLong)).as("bucket"), h.as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("xor_hash"))
+  }
+}

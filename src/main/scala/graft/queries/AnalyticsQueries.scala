@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.sources.Catalog
-import graft.operators.{EventAnalytics, GraphOps, Robust, RuntimeFilter, Skew}
+import graft.operators.{EventAnalytics, GraphOps, Integrity, Robust, RuntimeFilter, Scd, Skew}
 
 /** Beyond-reference event-analytics and join-acceleration operators:
   * ordered funnels, cohort retention, robust (median/MAD) outliers, and
@@ -85,6 +85,36 @@ object AnalyticsQueries {
       GraphOps.triangleCount(coSupplierEdges(s, dir))
     }),
 
+    // GR3: fixed-point PageRank, 10 synchronous rounds of integer rank
+    // flow — bit-exact across engines (floating-point PageRank isn't:
+    // parallel double sums associate differently).
+    "gr3_pagerank" -> ((s, dir) => {
+      GraphOps.pageRankFixedPoint(coSupplierEdges(s, dir), iters = 10)
+        .orderBy(col("node"))
+    }),
+
+    // E3: SCD2 dimension build from the event log — validity intervals
+    // per (user, event_type) change, no-op changes collapsed; epoch-micro
+    // interval bounds for pure-integer oracle compare.
+    "e3_scd2" -> ((s, dir) => {
+      Scd.scd2(Catalog.events(s, dir), Seq("user_id"), "ts",
+          Seq("event_type"), orderCols = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("from_us"))
+    }),
+
+    // C1: cross-engine table fingerprint — per-bucket (count, xor of
+    // 60-bit md5 row hashes): order/partitioning-independent, localizes a
+    // migration mismatch to 1/16 of the table.
+    "c1_table_fingerprint" -> ((s, dir) => {
+      Integrity.tableFingerprint(Catalog.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag"), buckets = 16)
+        .orderBy(col("bucket"))
+    }),
+
     // A22: single-pass binned quantile estimate (width-1 value bins,
     // p95 via cumulative counts + in-bin interpolation) — the bounded-
     // memory alternative to the a17/a21 exact window sort.
@@ -120,7 +150,60 @@ object AnalyticsQueries {
     }),
   )
 
+  /** 10 unrolled PageRank rounds (mirrors GraphOps.pageRankFixedPoint's
+    * integer arithmetic exactly; DuckDB `//` = Spark `DIV` on positives).
+    */
+  private val pageRankSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT dg.node, 150000 + (85 * COALESCE(c.m, 0)) // 100 AS r
+         |  FROM deg dg LEFT JOIN (
+         |    SELECT e.d AS node, SUM(pr.r // sd.deg) AS m
+         |    FROM e JOIN r${i - 1} pr ON pr.node = e.s
+         |           JOIN deg sd ON sd.node = e.s
+         |    GROUP BY 1) c ON c.node = dg.node)"""
+    }.mkString(",\n")
+    s"""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+       |            WHERE l_quantity > 45),
+       |ce AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+       |       FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+       |e AS (SELECT u AS s, v AS d FROM ce UNION ALL SELECT v AS s, u AS d FROM ce),
+       |deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$rounds
+       |SELECT node, CAST(r AS BIGINT) AS r FROM r10 ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "gr3_pagerank" -> pageRankSql,
+
+    "e3_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |eff AS (
+        |  SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS from_us,
+        |  CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    AS BIGINT) AS to_us,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+        |    AS is_current
+        |FROM eff ORDER BY user_id, from_us""".stripMargin,
+
+    "c1_table_fingerprint" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag),
+        |    1, 15))::BIGINT AS hv
+        |  FROM lineitem)
+        |SELECT hv % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  bit_xor(hv) AS xor_hash
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "g1_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),

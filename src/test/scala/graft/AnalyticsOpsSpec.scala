@@ -46,6 +46,54 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(est - exact) <= 1.0, s"est=$est exact=$exact")
   }
 
+  test("scd2 collapses no-op changes and closes intervals at the next change") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, ts(0), 10L, "bronze"), (1L, ts(5), 11L, "bronze"), // no-op
+      (1L, ts(10), 12L, "gold"), (1L, ts(20), 13L, "bronze"),
+      (2L, ts(0), 14L, "gold"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val out = graft.operators.Scd.scd2(log, Seq("user_id"), "ts", Seq("tier"),
+        orderCols = Seq("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 60000, Option(r.getTimestamp(3)).map(_.getTime / 60000),
+        r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1L, "bronze", 0L, Some(10L), false),
+      (1L, "gold", 10L, Some(20L), false),
+      (1L, "bronze", 20L, None, true),
+      (2L, "gold", 0L, None, true)))
+  }
+
+  test("scd2 breaks equal-timestamp ties deterministically by order column") {
+    import spark.implicits._
+    val log = Seq((1L, ts(0), 2L, "b"), (1L, ts(0), 1L, "a"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val out = graft.operators.Scd.scd2(log, Seq("user_id"), "ts", Seq("tier"),
+        orderCols = Seq("event_id"))
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).sortBy(_._1)
+    // event_id 1 ("a") precedes 2 ("b"): a closed, b current
+    assert(out.toSeq == Seq(("a", false), ("b", true)))
+  }
+
+  test("tableFingerprint is invariant to row order and partitioning") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"v${i % 37}")).toDF("k", "s")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Integrity.tableFingerprint(d, Seq("k", "s"), buckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val base = fp(df)
+    val shuffled = fp(df.orderBy(rand(42)).repartition(13))
+    assert(base == shuffled)
+    // any single-row change flips exactly one bucket's hash
+    val mutated = fp(df.withColumn("s",
+      when(col("k") === 123L, lit("CHANGED")).otherwise(col("s"))))
+    assert(base != mutated)
+    assert(base.zip(mutated).count { case (a, b) => a != b } <= 2)
+  }
+
   test("binnedQuantile p=1.0 sits in the max bin; negatives bin correctly") {
     import spark.implicits._
     val df = Seq(("g", -5.5), ("g", -0.1), ("g", 2.0), ("g", 7.25)).toDF("k", "v")

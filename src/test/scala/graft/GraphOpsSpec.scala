@@ -47,6 +47,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.triangleCount(e).collect().head.getLong(0) == 4L)
   }
 
+  test("fixed-point PageRank: symmetric graph stays uniform (exact fixpoint)") {
+    import spark.implicits._
+    // 2-cycle: every node keeps exactly unit rank: 150000 + 85% of 1000000
+    val e = GraphOps.canonicalEdges(Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+    val ranks = GraphOps.pageRankFixedPoint(e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("fixed-point PageRank: star hub outranks identical leaves") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val e = GraphOps.canonicalEdges(star, "a", "b")
+    val ranks = GraphOps.pageRankFixedPoint(e, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(1L) > ranks(2L))
+    assert(ranks(2L) == ranks(3L) && ranks(3L) == ranks(4L))
+    // integer arithmetic ⇒ bit-identical on re-run
+    val again = GraphOps.pageRankFixedPoint(e, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == ranks)
+  }
+
   test("triangle-free graph counts zero") {
     import spark.implicits._
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")

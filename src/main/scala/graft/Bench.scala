@@ -20,14 +20,20 @@ object Bench {
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
     // bounded: warmup must never eat a driver-side timeout as the query
     // set grows — 150s covers the full surface today with headroom
-    val warmDeadline = System.nanoTime() + 150L * 1000000000L
+    val warmStart = System.nanoTime()
+    val warmDeadline = warmStart + 150L * 1000000000L
+    var warmed = 0
     SparkEntry.queries.foreach { case (_, fn) =>
-      if (System.nanoTime() < warmDeadline)
+      if (System.nanoTime() < warmDeadline) {
         // warm with the same noop-sink action the timed runs use so the
         // Janino classes compiled here are the ones the timed plan hits
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
+        warmed += 1
+      }
     }
+    System.err.println(s"[bench] warmed $warmed/${SparkEntry.queries.size} queries in " +
+      f"${(System.nanoTime() - warmStart) / 1e9}%.1f s")
     try {
       spark.catalog.clearCache()
       spark.catalog.listTables().collect()

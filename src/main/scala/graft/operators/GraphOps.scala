@@ -93,9 +93,17 @@ object GraphOps {
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 10,
                          unit: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // both directions: undirected rank flow
-    val dir = edges.select(col("u").as("s"), col("v").as("d"))
-      .unionAll(edges.select(col("v").as("s"), col("u").as("d")))
+    val spark = edges.sparkSession
+    val durable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint() else df.localCheckpoint()
+    // both directions: undirected rank flow. The edge list and the rank
+    // state are both lineage-truncated: without this every round's plan
+    // embeds all previous rounds (and re-derives the edge list), and
+    // optimizer time alone grows superlinearly in `iters` — the 10-round
+    // plan took ~10× longer to PLAN than to run.
+    val dir = truncate(edges.select(col("u").as("s"), col("v").as("d"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("d"))))
     val deg = dir.groupBy(col("s")).agg(count(lit(1)).as("deg"))
     val keep = lit(15L * unit / 100)
     // carry deg in the rank state so each round joins once, not twice
@@ -105,12 +113,10 @@ object GraphOps {
         .join(state.withColumnRenamed("node", "s"), Seq("s"))
         .select(col("d").as("node"), expr("r DIV deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      state = state.drop("r")
+      state = truncate(state.drop("r")
         .join(contrib, Seq("node"), "left")
         .select(col("node"), col("deg"),
-          (keep + expr("85 * coalesce(m, CAST(0 AS BIGINT)) DIV 100")).as("r"))
-      // (at a 10^9-node scale, truncate lineage every few rounds with
-      // localCheckpoint/checkpoint, as connectedComponents does)
+          (keep + expr("85 * coalesce(m, CAST(0 AS BIGINT)) DIV 100")).as("r")))
     }
     state.select(col("node"), col("r"))
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.sources.Catalog
-import graft.operators.{EventAnalytics, GraphOps, Integrity, Robust, RuntimeFilter, Scd, Skew}
+import graft.operators.{DataSkipping, EventAnalytics, GraphOps, Integrity, Robust, RuntimeFilter, Scd, Skew}
 
 /** Beyond-reference event-analytics and join-acceleration operators:
   * ordered funnels, cohort retention, robust (median/MAD) outliers, and
@@ -112,6 +112,16 @@ object AnalyticsQueries {
     "c1_table_fingerprint" -> ((s, dir) => {
       Integrity.tableFingerprint(Catalog.lineitem(s, dir),
           Seq("l_orderkey", "l_linenumber", "l_returnflag"), buckets = 16)
+        .orderBy(col("bucket"))
+    }),
+
+    // C2: zone-map build — per-bucket (count, min/max ship date): the
+    // data-skipping stats a 100 TB scan consults to prune buckets before
+    // reading them (DataSkippingSpec proves the pruned scan is exact).
+    "c2_zonemap" -> ((s, dir) => {
+      DataSkipping.zoneMap(
+          Catalog.lineitem(s, dir).withColumn("sd", col("l_shipdate").cast("date")),
+          expr("l_orderkey DIV 4096"), Seq("sd"))
         .orderBy(col("bucket"))
     }),
 
@@ -312,6 +322,12 @@ object AnalyticsQueries {
         |FROM e e1
         |JOIN e e2 ON e2.u = e1.v
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "c2_zonemap" ->
+      """SELECT l_orderkey // 4096 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(CAST(l_shipdate AS DATE)) AS min_sd,
+        |  MAX(CAST(l_shipdate AS DATE)) AS max_sd
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "a22_binned_quantile" ->
       """WITH b AS (

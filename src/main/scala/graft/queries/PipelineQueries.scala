@@ -362,6 +362,22 @@ object PipelineQueries {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // T17: deterministic per-group sample — the k lexicographically-first
+    // md5(doc_id) docs per language (uniform-in-expectation, reproducible
+    // across runs/engines/partitionings; the per-stratum cap counterpart
+    // of t16's proportional split). Spark 4 plans the rank as a
+    // WindowGroupLimit, so no group ever fully sorts.
+    "t17_group_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 20)
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -878,6 +894,16 @@ object PipelineQueries {
         |  (list_sort(list(doc_id)))[1:20] AS postings
         |FROM tok GROUP BY term HAVING COUNT(*) >= 100
         |ORDER BY term""".stripMargin,
+
+    "t17_group_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
 
     "t16_stratified_split" ->
       """SELECT lang,

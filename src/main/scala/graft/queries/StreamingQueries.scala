@@ -58,6 +58,30 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_start_ms"))
     }),
 
+    // ST6: streaming heavy hitters — space-saving counters (bounded
+    // per-key state whatever the item cardinality) via
+    // flatMapGroupsWithState; capacity 128 ≥ the ~100 distinct props
+    // values here, so counts are exact and the DuckDB oracle can check
+    // them (capacity-bound eviction semantics are spec-tested).
+    "st6_stream_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val stream = StreamingJobs.eventsStream(s, dir)
+        .select(col("event_type").as("group"),
+          regexp_extract(col("props"), "[0-9]+", 0).as("item"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+        .as[StreamingJobs.ItemEvent]
+      val drained = StreamingJobs.runToTable(s,
+        StreamingJobs.streamingHeavyHitters(stream, capacity = 128)(s).toDF(),
+        OutputMode.Append)
+      // latest emission per (group, item) — counts only grow across
+      // micro-batches, so max = final
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("group")).orderBy(col("cnt").desc, col("item").asc)
+      drained.groupBy(col("group"), col("item")).agg(max(col("cnt")).as("cnt"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .orderBy(col("group"), col("rk"))
+    }),
+
     // ST5: stream-stream interval join — purchases ⋈ the same user's
     // clicks within the preceding hour; watermarks on BOTH sides bound
     // the join state (the genuine two-stream join path).
@@ -69,6 +93,18 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st6_stream_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type AS "group", regexp_extract(props, '[0-9]+', 0) AS item,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY "group" ORDER BY cnt DESC, item) AS INT) AS rk
+        |  FROM c)
+        |SELECT "group", item, cnt, rk FROM r WHERE rk <= 10
+        |ORDER BY "group", rk""".stripMargin,
+
     "st5_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         |  epoch_ms(p.ts::TIMESTAMP) AS pts_ms, epoch_ms(c.ts::TIMESTAMP) AS cts_ms

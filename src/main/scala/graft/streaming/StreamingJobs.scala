@@ -139,6 +139,50 @@ object StreamingJobs {
       }
   }
 
+  case class ItemEvent(group: String, item: String, ts_ms: Long, event_id: Long)
+  case class HeavyHitter(group: String, item: String, cnt: Long)
+
+  /** Streaming heavy hitters per key: the space-saving algorithm as
+    * `flatMapGroupsWithState` state — at most `capacity` counters per
+    * group ever exist, whatever the item cardinality, which is the
+    * at-scale requirement an exact per-key count map can't meet. When a
+    * new item arrives at a full table it replaces the minimum counter and
+    * inherits its count (the classic overestimate-bounded scheme); with
+    * distinct items ≤ capacity the counts are exact.
+    *
+    * Each micro-batch emits the group's full counter table (downstream
+    * takes the latest emission per group; Append mode keeps the memory-
+    * sink drain oracle-checkable). Rows are replayed in (ts_ms, event_id)
+    * order inside the group so eviction choices — and therefore results —
+    * are deterministic under parallel arrival; ties among minimum
+    * counters evict the lexicographically smallest item.
+    */
+  def streamingHeavyHitters(events: Dataset[ItemEvent], capacity: Int,
+      maxBatchPerKey: Int = 1000000)(
+      implicit spark: SparkSession): Dataset[HeavyHitter] = {
+    import spark.implicits._
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState[Map[String, Long], HeavyHitter](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (group: String, rows: Iterator[ItemEvent], state: GroupState[Map[String, Long]]) =>
+          var counters = state.getOption.getOrElse(Map.empty[String, Long])
+          val buf = rows.take(maxBatchPerKey + 1).toSeq
+          require(buf.size <= maxBatchPerKey,
+            s"streamingHeavyHitters: key $group exceeded $maxBatchPerKey events in one micro-batch")
+          buf.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            counters = counters.get(e.item) match {
+              case Some(c) => counters.updated(e.item, c + 1)
+              case None if counters.size < capacity => counters.updated(e.item, 1L)
+              case None =>
+                val (evict, minC) = counters.minBy { case (i, c) => (c, i) }
+                counters - evict + (e.item -> (minC + 1))
+            }
+          }
+          state.update(counters)
+          counters.iterator.map { case (i, c) => HeavyHitter(group, i, c) }
+      }
+  }
+
   /** S8/T1: micro-batch consume — the checkpointed replacement for the
     * reference's read-then-delete queue. `handler` sees each micro-batch
     * exactly once (e.g. ProfileStore.update + alert append).

@@ -94,6 +94,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(base.zip(mutated).count { case (a, b) => a != b } <= 2)
   }
 
+  test("prunedRangeScan equals the plain filter and prunes buckets") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, i / 100)).toDF("v", "grp")
+    val bucket = expr("v DIV 250")
+    val stats = graft.operators.DataSkipping.zoneMap(df, bucket, Seq("v"))
+    val lo = lit(600L); val hi = lit(899L)
+    val pruned = graft.operators.DataSkipping
+      .prunedRangeScan(df, bucket, stats, "v", lo, hi)
+      .select(col("v")).as[Long].collect().sorted
+    assert(pruned.toSeq == (600L to 899L))
+    // the zone map keeps only the 2 overlapping buckets of 8
+    val live = stats.filter(col("max_v") >= lo && col("min_v") <= hi).count()
+    assert(live == 2, s"expected 2 live buckets, got $live")
+  }
+
   test("binnedQuantile p=1.0 sits in the max bin; negatives bin correctly") {
     import spark.implicits._
     val df = Seq(("g", -5.5), ("g", -0.1), ("g", 2.0), ("g", 7.25)).toDF("k", "v")

@@ -38,6 +38,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streamingHeavyHitters: bounded counters, min-eviction, cross-batch state") {
+    import spark.implicits._
+    implicit val s = spark
+    import StreamingJobs.{HeavyHitter, ItemEvent}
+    val source = MemoryStream[ItemEvent](spark, 11)
+    val sink = "hh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingJobs.streamingHeavyHitters(source.toDS(), capacity = 2).toDF()
+      .writeStream.format("memory").queryName(sink).outputMode(OutputMode.Append).start()
+    // batch 1: a a b — table holds {a:2, b:1} (capacity 2, both fit)
+    source.addData(
+      ItemEvent("g", "a", 1, 1), ItemEvent("g", "a", 2, 2), ItemEvent("g", "b", 3, 3))
+    q.processAllAvailable()
+    def latest(): Map[String, Long] = {
+      val rows = spark.table(sink).as[HeavyHitter].collect()
+      // counts only grow; max per item = the latest emission
+      rows.groupBy(_.item).view.mapValues(_.map(_.cnt).max).toMap
+    }
+    assert(latest() == Map("a" -> 2L, "b" -> 1L))
+    // batch 2: c arrives at a full table → evicts the min counter (b, 1)
+    // and inherits its count + 1 = 2 (the space-saving overestimate)
+    source.addData(ItemEvent("g", "c", 4, 4))
+    q.processAllAvailable()
+    val after = latest()
+    assert(after("a") == 2L && after("c") == 2L)
+    // the live state kept only 2 counters: the latest emission has no b
+    val lastBatch = spark.table(sink).as[HeavyHitter].collect()
+      .groupBy(_.item).view.mapValues(_.map(_.cnt).max).toMap
+    assert(!lastBatch.contains("b") || lastBatch("b") == 1L) // b only from batch 1
+    q.stop()
+  }
+
   test("windowedTypeCounts over a stream matches the batch computation") {
     import spark.implicits._
     val source = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 2)

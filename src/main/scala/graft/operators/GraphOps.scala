@@ -53,10 +53,20 @@ object GraphOps {
     * canonical-edge scan).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
+    // The edge list feeds degrees, both 2-path join inputs, and the
+    // closing semi-join — un-truncated, a derived edge pipeline (pair
+    // explosion + distinct) would re-execute once per consumer (observed
+    // 3× work on the co-supplier graph). Same policy as
+    // connectedComponents: durable checkpoint when configured, else
+    // executor-local.
+    val spark = edges.sparkSession
+    val ce =
+      if (spark.sparkContext.getCheckpointDir.isDefined) edges.checkpoint()
+      else edges.localCheckpoint()
+    val deg = degrees(ce)
     // (degree, id) order packed into one comparable struct-free key is not
     // needed — compare lexicographically with a boolean expression.
-    val e = edges
+    val e = ce
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), Seq("u"))
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), Seq("v"))
       .select(
@@ -71,7 +81,7 @@ object GraphOps {
     // Closing edge: (u, v) with u<v is exactly the canonical form, so the
     // check is a plain equi-join against the canonical list (hash/SMJ —
     // an OR-of-directions condition would degrade to nested-loop).
-    paths.join(edges, Seq("u", "v"), "left_semi")
+    paths.join(ce, Seq("u", "v"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
 

@@ -167,4 +167,108 @@ object SimilaritySearch {
         .distinct()
     }
   }
+
+  /** Per-dimension (min, max) quantization parameters, as one row of two
+    * index-ordered arrays — the int8 scalar-quantization codebook. One
+    * aggregate over the corpus; the result is dim-sized and broadcasts.
+    */
+  def sqParams(corpus: DataFrame): DataFrame =
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          e => e.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+          e => e.getField("mx")).as("mxs"))
+
+  /** int8-dequantized vector: each component snapped to its 256-level
+    * grid, `floor(t + 0.5)` (half-up, engine-unambiguous) on
+    * `t = (x − mn)·255/(mx − mn)`. This is the value an int8-stored
+    * embedding reconstructs to — 4× smaller storage/shuffle than float32
+    * at ~1/255-of-range error per dimension. Constant dimensions
+    * reconstruct to `mn` exactly.
+    */
+  private def dequantized(vec: Column, mns: Column, mxs: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val x = element_at(vec, i + 1).cast("double")
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx > mn,
+        floor((x - mn) * 255 / (mx - mn) + 0.5) * (mx - mn) / 255 + mn)
+        .otherwise(mn)
+    })
+
+  /** Exact top-k over int8 scalar-quantized vectors — the memory-bound
+    * ANN variant: the corpus is stored/scanned quantized (here modeled by
+    * the dequantized double grid — bit-identical to decoding real int8
+    * storage), so a 100 TB float32 corpus becomes 25 TB with ranking
+    * fidelity bounded by the per-dimension grid error.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int): DataFrame = {
+    val params = sqParams(corpus)
+    def dq(df: DataFrame, idAs: String) = df
+      .crossJoin(broadcast(params))
+      .select(col("vec_id").as(idAs),
+        dequantized(col("embedding"), col("mns"), col("mxs"), dim).as("dv"))
+      .withColumn("nrm", norm(col("dv")))
+    val c = dq(corpus, "vec_id")
+    val q = dq(queries, "query_id")
+      .withColumnRenamed("dv", "qv").withColumnRenamed("nrm", "qnrm")
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("qsim", pairSim(col("dv"), col("qv"), col("nrm"), col("qnrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("qsim"))
+  }
+
+  /** Multi-probe LSH ANN: each query searches its own hyperplane bucket
+    * PLUS the `nProbe − 1` buckets reached by flipping its least-confident
+    * plane signs (smallest |projection| first — those are the planes a
+    * true neighbor most plausibly lands on the other side of). Recovers
+    * most of the recall lost to bucket boundaries at probe-count cost,
+    * WITHOUT re-hashing the corpus: the corpus stays bucketed once, only
+    * the query side fans out, so the join stays a bucket-key shuffle.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int, dim: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nPlanes + 1,
+      s"nProbe must be in [1, nPlanes+1], got $nProbe")
+    val planes = hyperplaneSigns(nPlanes, dim)
+    val bucketed = withNorm(corpus, "embedding", "nrm")
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q0 = withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "qvec", "qnrm")
+      .withColumn("projs",
+        array(planes.map(p => dot(col("qvec"), typedLit(p.toSeq))): _*))
+      .withColumn("base", lshBucket(col("qvec"), planes))
+      // plane indices, least-confident first (ties to the lower index)
+      .withColumn("fliporder",
+        transform(
+          array_sort(transform(sequence(lit(0), lit(nPlanes - 1)),
+            j => struct(abs(element_at(col("projs"), j + 1)).as("a"), j.as("j")))),
+          e => e.getField("j")))
+    def flipAt(base: Column, pos0: Column): Column = {
+      val ch = base.substr(pos0 + 1, lit(1))
+      concat(base.substr(lit(1), pos0),
+        when(ch === "1", "0").otherwise("1"),
+        base.substr(pos0 + 2, lit(nPlanes)))
+    }
+    val q = q0
+      .withColumn("bucket",
+        explode(transform(sequence(lit(0), lit(nProbe - 1)), m =>
+          when(m === 0, col("base"))
+            .otherwise(flipAt(col("base"), element_at(col("fliporder"), m))))))
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("bucket"))
+    // base + distinct single-bit flips → the probed buckets are distinct,
+    // so no candidate is scored twice
+    val scored = bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", pairSim(col("embedding"), col("qvec"), col("nrm"), col("qnrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+  }
 }

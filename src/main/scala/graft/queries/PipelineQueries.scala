@@ -107,6 +107,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // V5: int8 scalar-quantized top-k — the corpus scanned at 1/4 the
+    // bytes (256-level per-dimension grid); ranking fidelity bounded by
+    // grid error. Exactly models decode-from-int8-storage.
+    "v5_int8_knn" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      SimilaritySearch.sqTopK(emb, emb.filter(col("vec_id") < 5), 10, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // V6: multi-probe LSH — v2's buckets plus the 2 least-confident-bit
+    // flips per query; corpus hashed once, only queries fan out.
+    "v6_multiprobe_knn" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      SimilaritySearch.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 20), 5,
+          nPlanes = 6, dim = 64, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // D7: connected components over the LSH candidate pairs —
     // alternating large-star/small-star contraction (O(log n) rounds,
     // never O(diameter) propagation).
@@ -837,6 +855,71 @@ object PipelineQueries {
         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 20)
         |SELECT query_id, bucket, rank, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "v5_int8_knn" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |st AS (
+        |  SELECT i, MIN(v.v[CAST(i AS INT) + 1]) AS mn, MAX(v.v[CAST(i AS INT) + 1]) AS mx
+        |  FROM v CROSS JOIN range(0, 64) r(i) GROUP BY 1),
+        |stats AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+        |dq AS (
+        |  SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN s.mxs[i] > s.mns[i]
+        |      THEN floor((v.v[i] - s.mns[i]) * 255 / (s.mxs[i] - s.mns[i]) + 0.5)
+        |             * (s.mxs[i] - s.mns[i]) / 255 + s.mns[i]
+        |      ELSE s.mns[i] END) AS dv
+        |  FROM v CROSS JOIN stats s),
+        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x*x))) AS nrm FROM dq),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> q.dv[i] * c.dv[i])) / (q.nrm * c.nrm), 6) AS qsim
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, rank, vec_id, qsim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "v6_multiprobe_knn" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, [CASE WHEN (CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) & 1 = 1
+        |             THEN 1.0 ELSE -1.0 END
+        |             for a in [ascii(substr(md5(CAST(j AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)) for i in range(0, 64)]] AS p
+        |  FROM range(0, 6) r(j)),
+        |proj AS (
+        |  SELECT v.vec_id, planes.j,
+        |    list_sum(list_transform(range(1, 65), i -> v.v[i] * planes.p[i])) AS proj
+        |  FROM v CROSS JOIN planes),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket,
+        |    list(j ORDER BY abs(proj), j) AS fliporder
+        |  FROM proj GROUP BY vec_id),
+        |n AS (SELECT v.vec_id, sigs.bucket, sigs.fliporder, v.v,
+        |        sqrt(list_sum(list_transform(v.v, x -> x*x))) AS nrm
+        |      FROM v JOIN sigs USING (vec_id)),
+        |probes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN bucket
+        |         ELSE substr(bucket, 1, CAST(fliporder[CAST(m AS INT)] AS INT)) ||
+        |              (CASE WHEN substr(bucket, CAST(fliporder[CAST(m AS INT)] AS INT) + 1, 1) = '1'
+        |                    THEN '0' ELSE '1' END) ||
+        |              substr(bucket, CAST(fliporder[CAST(m AS INT)] AS INT) + 2, 6)
+        |    END AS pbucket
+        |  FROM n CROSS JOIN range(0, 3) r(m) WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS sim
+        |  FROM probes p
+        |  JOIN n q ON q.vec_id = p.vec_id
+        |  JOIN n c ON c.bucket = p.pbucket AND c.vec_id <> p.vec_id)
+        |SELECT query_id, rank, vec_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

@@ -121,6 +121,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH recall dominates single-probe vs brute-force truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 120L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = hits(SimilaritySearch.bruteForceTopK(corpus, qs, 5)
+      .select(col("query_id"), col("rank"), col("vec_id")))
+    val single = hits(SimilaritySearch.lshTopKMultiProbe(corpus, qs, 5, 4, 16, nProbe = 1))
+    val multi = hits(SimilaritySearch.lshTopKMultiProbe(corpus, qs, 5, 4, 16, nProbe = 3))
+    val rSingle = (truth & single).size
+    val rMulti = (truth & multi).size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+    assert(rMulti > 0)
+    // nProbe=1 must agree with the plain LSH path
+    val plain = hits(SimilaritySearch.lshTopK(corpus, qs, 5, 4, 16)
+      .select(col("query_id"), col("rank"), col("vec_id")))
+    assert(single == plain)
+  }
+
+  test("int8 scalar quantization preserves exact top-1 on separated vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 8)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, qs, 10)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sq = SimilaritySearch.sqTopK(corpus, qs, 10, dim = 16)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 256-level grid error is far below random-gaussian top-1 margins
+    assert(sq == exact)
+  }
+
   test("language-ID scores function words deterministically") {
     val docs = docsDf(Seq(
       1L -> "the cat is on the mat and the dog is in the house",

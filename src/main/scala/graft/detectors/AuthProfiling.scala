@@ -79,4 +79,37 @@ object AuthProfiling {
       .filter(col("atypical_city") === 1 || col("atypical_ua") === 1 ||
         col("atypical_service") === 1)
   }
+
+  /** Impossible-travel detector: consecutive logins of one user whose
+    * implied ground speed exceeds `maxKmh` (default ~airliner speed — a
+    * human can't beat it, a stolen credential can). The geo-velocity
+    * sibling of the reference's unseen-city check: that one needs a
+    * learned profile, this one fires from the second login on.
+    *
+    * One window pass per user (lag of coords/ts over the same (user, ts)
+    * sort); zero or negative gaps (clock skew, duplicate events) and
+    * unknown coordinates are skipped, not alerted.
+    */
+  def impossibleTravel(auth: DataFrame, maxKmh: Double = 900.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_name")).orderBy(col("ts"))
+    auth
+      .withColumn("prev_city", lag(col("city"), 1).over(w))
+      .withColumn("prev_coords", lag(col("coords"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("dist_km",
+        NetFunctions.haversineCoords(col("prev_coords"), col("coords")))
+      .withColumn("hours",
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(3.6e9))
+      // 9.99e8 is haversineCoords' malformed/missing-coords sentinel (it
+      // also fires when lag() is null on a user's first login) — such rows
+      // are unknowns, not alerts
+      .filter(col("dist_km") < 9.0e8 && col("hours").isNotNull && col("hours") > 0)
+      .withColumn("speed_kmh", col("dist_km") / col("hours"))
+      .filter(col("speed_kmh") > maxKmh)
+      .select(col("user_name"), col("prev_city"), col("city"),
+        col("prev_ts"), col("ts"),
+        round(col("dist_km"), 2).as("dist_km"),
+        round(col("speed_kmh"), 2).as("speed_kmh"))
+  }
 }

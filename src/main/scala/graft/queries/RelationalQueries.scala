@@ -234,6 +234,60 @@ object RelationalQueries {
 
     // A1 flagship: hash aggregation with partial (map-side) combine —
     // TPC-H Q1 shape over the flow-rollup monoid (HogSFlow.scala:877-882).
+    // Q2 (TPC-H Q3 shape): 3-table selective join — segment-filtered
+    // customers broadcast into orders, date-filtered lineitems aggregated
+    // per order. Exercises Catalyst's join ordering + broadcast pick +
+    // scan-level date pushdown; revenue sums in decimal so the top-10 is
+    // engine-exact.
+    "q2_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1995-03-15").cast("date")
+      val cust = Catalog.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      val ord = Catalog.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") < cutoff)
+        .select(col("o_custkey"), col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+      // exact revenue: the stored prices/discounts are 2-dp decimals, so
+      // price-cents x discount-complement-percent is integer arithmetic —
+      // no double->decimal rounding boundary for engines to disagree on
+      val li = Catalog.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") > cutoff)
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      li.join(ord.join(broadcast(cust), Seq("o_custkey")), Seq("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("rev_e4")) / 10000.0, 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q3 (TPC-H Q5 shape): 5-table star join — revenue by supplier nation
+    // where the customer is in the SAME nation (the local-supplier
+    // condition forces the c_nationkey = s_nationkey equi-edge through
+    // two fact hops).
+    "q3_local_supplier_volume" -> ((s, dir) => {
+      val li = Catalog.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          // same exact integer-cents formulation as q2
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      val ord = Catalog.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Catalog.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val supp = Catalog.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Catalog.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev_e4")) / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
       Catalog.lineitem(s, dir)
@@ -821,6 +875,32 @@ object RelationalQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q2_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q3_local_supplier_volume" ->
+      """SELECT n_name,
+        |  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

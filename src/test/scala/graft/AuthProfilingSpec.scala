@@ -46,4 +46,23 @@ class AuthProfilingSpec extends AnyFunSuite {
     assert(user == "alice" && city == "Berlin")
     assert(c == 1 && u == 1 && s == 0)
   }
+
+  test("impossibleTravel: flags superhuman hops, skips slow/degenerate ones") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val nyc = "40.71,-74.00"
+    val boston = "42.36,-71.06"
+    val berlin = "52.52,13.40"
+    val auth = Seq(
+      // NYC → Boston in 6h (~55 km/h) → fine
+      ("alice", ts(0), "NYC", nyc), ("alice", ts(360), "Boston", boston),
+      // Boston → Berlin in 1h (~6000 km/h) → alert
+      ("alice", ts(420), "Berlin", berlin),
+      // bob: malformed coords then zero gap — neither may alert
+      ("bob", ts(0), "Nowhere", "bad"), ("bob", ts(0), "Berlin", berlin),
+    ).toDF("user_name", "ts", "city", "coords")
+    val out = AuthProfiling.impossibleTravel(auth).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(("alice", "Boston", "Berlin")))
+  }
 }

@@ -134,6 +134,21 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A23: market-basket co-purchase pairs — top part pairs by order
+    // support. The pair expansion is per-order (≤ C(lines,2), bounded by
+    // the order size cap), then one count shuffle on the pair key — the
+    // frequent-itemset k=2 pass that never goes all-pairs across orders.
+    "a23_copurchase_pairs" -> ((s, dir) => {
+      val op = Catalog.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+        .limit(20)
+    }),
+
     // J11: salted exact join — probe-side salt scatter + build-side
     // replication; result identical to the plain join, but no single
     // reducer ever owns a hot key's full probe set.
@@ -346,6 +361,15 @@ object AnalyticsQueries {
         |WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE)
         |  AND CAST(cum - c AS DOUBLE) < 0.95 * CAST(n AS DOUBLE)
         |ORDER BY event_type""".stripMargin,
+
+    "a23_copurchase_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, support FROM pairs
+        |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin,
 
     "j11_salted_join" ->
       """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,

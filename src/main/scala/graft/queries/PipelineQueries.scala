@@ -396,6 +396,26 @@ object PipelineQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // T18: bigram language model — most likely successor per frequent
+    // word with its conditional probability (c1 = the word's count as a
+    // bigram head, so probabilities sum to 1 by construction). The corpus
+    // pass is the same codegen shingle explode as t14; the per-head
+    // argmax is one window over the (small) distinct-bigram table.
+    "t18_bigram_lm" -> ((s, dir) => {
+      val w1 = split(col("shingle"), " ").getItem(0)
+      val w2 = split(col("shingle"), " ").getItem(1)
+      val bi = explodedShingles(Catalog.documents(s, dir), "doc_id", "text", 2)
+        .select(w1.as("w1"), w2.as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val win = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+      bi.withColumn("c1", sum(col("c12")).over(win))
+        .withColumn("rk", row_number().over(win.orderBy(col("c12").desc, col("w2"))))
+        .filter(col("rk") === 1 && col("c1") >= 100)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          round(col("c12").cast("double") / col("c1"), 6).as("prob"))
+        .orderBy(col("w1"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -969,6 +989,19 @@ object PipelineQueries {
         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
         |c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1)
         |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "t18_bigram_lm" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+        |g AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM g GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |    CAST(row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) AS INT) AS rk
+        |  FROM c)
+        |SELECT w1, w2, c12, c1, ROUND(CAST(c12 AS DOUBLE) / c1, 6) AS prob
+        |FROM w WHERE rk = 1 AND c1 >= 100 ORDER BY w1""".stripMargin,
 
     "t15_inverted_index" ->
       s"""WITH tok AS (

@@ -33,10 +33,12 @@ object Scd {
     val ord = (col(tsCol) +: orderCols.map(col)).map(_.asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
     val attrs = struct(attrCols.map(col): _*)
-    // keep only rows that change the attribute tuple vs the previous row
+    // keep only rows that change the attribute tuple vs the previous row —
+    // null-safe (<=>): a plain =!= yields NULL when an attribute goes
+    // to/from NULL, silently dropping that change as a no-op
     val effective = changes
       .withColumn("__prev", lag(attrs, 1).over(w))
-      .filter(col("__prev").isNull || attrs =!= col("__prev"))
+      .filter(!(attrs <=> col("__prev")))
       .drop("__prev")
     // re-rank the surviving changes: each version closes at the next one
     val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)

@@ -67,6 +67,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (2L, "gold", 0L, None, true)))
   }
 
+  test("scd2 treats null attribute transitions as real changes (null-safe compare)") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, ts(0), 1L, Option("a")), (1L, ts(10), 2L, None), // a → null: change
+      (1L, ts(20), 3L, None), // null → null: no-op
+      (1L, ts(30), 4L, Option("a"))) // null → a: change
+      .toDF("user_id", "ts", "event_id", "tier")
+    val out = graft.operators.Scd.scd2(log, Seq("user_id"), "ts", Seq("tier"),
+        orderCols = Seq("event_id"))
+      .collect().map(r => (r.getTimestamp(2).getTime, Option(r.getString(1)), r.getBoolean(4)))
+      .sortBy(_._1).map(t => (t._2, t._3))
+    assert(out.toSeq == Seq((Some("a"), false), (None, false), (Some("a"), true)))
+  }
+
   test("scd2 breaks equal-timestamp ties deterministically by order column") {
     import spark.implicits._
     val log = Seq((1L, ts(0), 2L, "b"), (1L, ts(0), 1L, "a"))

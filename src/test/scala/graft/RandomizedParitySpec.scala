@@ -167,6 +167,77 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCount matches naive enumeration on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(300 + seed)
+      val n = 25
+      val raw = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val expected = (for {
+        Seq(x, y, z) <- canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+          .combinations(3)
+        if canon((x, y)) && canon((y, z)) && canon((x, z))
+      } yield 1).size.toLong
+      val got = graft.operators.GraphOps
+        .triangleCount(graft.operators.GraphOps.canonicalEdges(raw.toDF("a", "b"), "a", "b"))
+        .collect().head.getLong(0)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("sessionize matches a naive per-user fold on random event times") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(400 + seed)
+      val gapUs = 10L * 60 * 1000000
+      val events = Seq.fill(120)(
+        (rnd.nextInt(5).toLong, new java.sql.Timestamp(rnd.nextInt(90) * 60000L)))
+      val expected = events.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(_._2.getTime * 1000).sorted
+        // fold into sessions: new session when gap exceeds threshold
+        val sessions = ts.foldLeft(List.empty[List[Long]]) {
+          case (Nil, t) => List(List(t))
+          case (cur :: done, t) =>
+            if (t - cur.head > gapUs) List(t) :: cur :: done
+            else (t :: cur) :: done
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, i.toLong, s.min, s.max, s.size.toLong)
+        }
+      }.toSet
+      val got = graft.operators.EventAnalytics.sessionize(
+          events.toDF("user_id", "ts"), gapUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2).getTime * 1000, r.getTimestamp(3).getTime * 1000,
+          r.getLong(4))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("binnedQuantile is within one bin width of the exact quantile on random data") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(500 + seed)
+      val df = Seq.fill(500)(("g" + rnd.nextInt(3), rnd.nextDouble() * 80 - 10))
+        .toDF("k", "v")
+      val data = df.collect().map(r => r.getString(0) -> r.getDouble(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      for (p <- Seq(0.5, 0.9, 0.99)) {
+        val est = graft.operators.Robust.binnedQuantile(df, Seq("k"), col("v"), 2.0, p, "q")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // guarantee: the estimate lies in the bin of the ceil(p·n)-th order
+        // statistic (the type-1 quantile), i.e. within one bin width of it
+        data.foreach { case (k, vs) =>
+          val v1 = vs(math.ceil(p * vs.length).toInt - 1)
+          assert(math.abs(est(k) - v1) <= 2.0,
+            s"seed $seed p=$p k=$k est=${est(k)} orderstat=$v1")
+        }
+      }
+    }
+  }
+
   test("rangeJoin matches a naive filter join on random intervals") {
     import spark.implicits._
     for (seed <- 1 to 3) {

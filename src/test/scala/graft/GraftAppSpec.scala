@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftAppSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("GraftApp.run: cold start then warm run — alerts append, state swaps") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftapp").toFile.getAbsolutePath
+    val samplesPath = s"$root/samples"
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    // a UDP amplifier (1900 → high port, big packets) + benign background
+    val rows =
+      (1 to 6).map(i => ("10.0.0.9", "93.9.9." + i, "1900", "53713", "17", 5000L, 10L, "0x00", 100L + i)) ++
+      (1 to 5).map(i => ("10.0.0.100", "93.1.1." + i, "50000", "443", "6", 1000L, 10L, "0x18", 1000L + i))
+    rows.toDF("srcIP", "dstIP", "srcPort", "dstPort",
+        "IPprotocol", "packetSize", "samplingRate", "tcpFlags", "timestamp")
+      .write.parquet(samplesPath)
+
+    GraftApp.run(spark, samplesPath, stateDir, outDir, Seq("10.0."))
+    val alerts1 = spark.read.parquet(s"$outDir/alerts")
+    assert(alerts1.filter(col("detector") === "topTalkers").count() >= 1)
+    // profile families materialized into the state dir
+    assert(new java.io.File(s"$stateDir/hist01").exists())
+    val size1 = spark.read.parquet(s"$stateDir/hist01")
+      .agg(sum(col("size"))).head().getLong(0)
+
+    // second run: alerts append (count grows), profiles advance (size sums grow)
+    GraftApp.run(spark, samplesPath, stateDir, outDir, Seq("10.0."))
+    val alerts2 = spark.read.parquet(s"$outDir/alerts")
+    assert(alerts2.count() > alerts1.count())
+    val size2 = spark.read.parquet(s"$stateDir/hist01")
+      .agg(sum(col("size"))).head().getLong(0)
+    assert(size2 > size1, s"hist01 size should advance: $size1 -> $size2")
+    // no staging/old leftovers after a clean swap
+    val leftovers = new java.io.File(stateDir).list().filter(n => n.startsWith(".staging") || n.startsWith(".old"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.detectors.AuthProfiling
+import graft.functions.HistogramFunctions
+import graft.operators.ProfileStore
+import graft.streaming.StreamingJobs
+
+/** The continuous auth-profiling mode (`HogzillaContinuous.main` →
+  * `HogAuth.realRun`: scan auth table every 10 s, profile, delete) as a
+  * checkpointed streaming job — exactly-once batches instead of the
+  * reference's read-then-delete race:
+  *
+  * {{{
+  * spark-submit --class graft.GraftContinuousApp graft.jar \
+  *   <authStreamDir> <stateDir> <outDir> [intervalSecs]
+  * }}}
+  *
+  * `authStreamDir`: a directory the auth pipeline appends parquet files
+  * into (columns: user_name, ts, city, coords "lat,lon", user_agent,
+  * service). Each micro-batch runs the HIST20/21/22 atypical-access
+  * checks plus the geo-velocity impossible-travel detector against the
+  * profiles learned from all PREVIOUS batches, appends alerts, then
+  * merges the batch into the profiles (learn-after-detect, the
+  * reference's ordering).
+  */
+object GraftContinuousApp {
+
+  private val Families = Seq(
+    ("HIST20", "city"), ("HIST21", "user_agent"), ("HIST22", "service"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: graft.GraftContinuousApp <authStreamDir> <stateDir> <outDir> [intervalSecs]")
+    val Array(authDir, stateDir, outDir) = args.take(3)
+    val interval = if (args.length > 3) args(3).toInt else 10
+    val spark = GraftSession.build()
+    val schema = spark.read.parquet(authDir).schema
+    val stream = spark.readStream.schema(schema).parquet(authDir)
+    val q = run(spark, stream, stateDir, outDir, interval)
+    q.awaitTermination()
+  }
+
+  /** Wire the per-batch step onto any streaming frame (file source in
+    * production, MemoryStream in tests).
+    */
+  def run(spark: SparkSession, stream: DataFrame, stateDir: String,
+          outDir: String, intervalSecs: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingJobs.consumeMicroBatches(stream, intervalSecs) { (batch, _) =>
+      if (!batch.isEmpty) processBatch(spark, batch, stateDir, outDir)
+    }
+
+  /** One micro-batch: detect against saved profiles, append alerts,
+    * learn, stage-swap the profile state.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+                   outDir: String): Unit = {
+    val profPath = s"$stateDir/auth_profiles"
+    val profiles =
+      if (new java.io.File(profPath).exists()) spark.read.parquet(profPath)
+      else graft.detectors.HogzillaBatch.emptyProfiles(spark)
+
+    // known city coordinates: every (city, coords) this state has seen —
+    // derived from the same stream and persisted beside the profiles
+    // (the reference keeps coords in histogram labels)
+    val coordsPath = s"$stateDir/city_coords"
+    val savedCoords =
+      if (new java.io.File(coordsPath).exists()) spark.read.parquet(coordsPath)
+      else batch.sparkSession.emptyDataFrame
+        .withColumn("city", lit(null).cast("string"))
+        .withColumn("coords", lit(null).cast("string"))
+    val cityCoords = savedCoords
+      .unionByName(batch.select(col("city"), col("coords")))
+      .groupBy(col("city")).agg(min(col("coords")).as("coords"))
+
+    val atypical = AuthProfiling.atypicalAccess(batch, profiles, cityCoords)
+      .withColumn("detector", lit("atypicalAccess"))
+    val travel = AuthProfiling.impossibleTravel(batch)
+      .select(col("user_name"), col("city"), lit(null).cast("string").as("user_agent"),
+        lit(null).cast("string").as("service"), col("speed_kmh").as("min_city_dist_km"),
+        lit(1).as("atypical_city"), lit(0).as("atypical_ua"), lit(0).as("atypical_service"))
+      .withColumn("detector", lit("impossibleTravel"))
+    atypical.unionByName(travel)
+      .write.mode(SaveMode.Append).parquet(s"$outDir/auth_alerts")
+
+    // learn pass: merge this batch into every family's histograms
+    val current = Families.map { case (family, column) =>
+      HistogramFunctions.buildHistogram(
+        batch.groupBy(concat(lit(s"$family-"), col("user_name")).as("name"),
+            col(column).as("bucket"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("name"))
+    }.reduce(_ unionByName _)
+    val updated = ProfileStore.update(profiles, current)
+
+    stageSwap(updated, profPath)
+    stageSwap(cityCoords, coordsPath)
+  }
+
+  private def stageSwap(df: DataFrame, target: String): Unit = {
+    val staging = target + ".staging"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    val t = new java.io.File(target)
+    val old = new java.io.File(target + ".old")
+    if (t.exists()) t.renameTo(old)
+    new java.io.File(staging).renameTo(t)
+    if (old.exists()) deleteRec(old)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+}

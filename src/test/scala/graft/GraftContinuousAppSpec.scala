@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftContinuousAppSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("continuous auth mode: learn batch then detect batch, state persists") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftcont").toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    val sp = "-23.55,-46.63" // São Paulo
+    val berlin = "52.52,13.40"
+    val source = MemoryStream[(String, Timestamp, String, String, String, String)](spark, 21)
+    val stream = source.toDF()
+      .toDF("user_name", "ts", "city", "coords", "user_agent", "service")
+    val q = GraftContinuousApp.run(spark, stream, stateDir, outDir, 1)
+
+    // batch 1: 12 São Paulo logins — profiles cold (empty) → no alerts, learn only
+    source.addData((1 to 12).map(i =>
+      ("alice", ts(i), "SaoPaulo", sp, "Firefox", "ssh")): _*)
+    q.processAllAvailable()
+    val a1 = spark.read.parquet(s"$outDir/auth_alerts")
+    assert(a1.filter(col("detector") === "atypicalAccess").count() == 0)
+    assert(spark.read.parquet(s"$stateDir/auth_profiles")
+      .filter(col("name") === "HIST20-alice").head().getLong(1) == 12L)
+
+    // batch 2: Berlin 30 min after the last São Paulo login — the mature
+    // profile flags the unseen far city AND the hop is impossible travel
+    source.addData(("alice", ts(42), "Berlin", berlin, "Firefox", "ssh"))
+    q.processAllAvailable()
+    q.stop()
+    val a2 = spark.read.parquet(s"$outDir/auth_alerts")
+    val atyp = a2.filter(col("detector") === "atypicalAccess").collect()
+    assert(atyp.length == 1 && atyp.head.getAs[Int]("atypical_city") == 1)
+    // impossible travel only sees within-batch consecutive logins; batch 2
+    // has a single row, so the alert (if any) must come from batch 1 — none
+    assert(a2.filter(col("detector") === "impossibleTravel").count() == 0)
+    // the Berlin observation was learned after detection
+    val h20 = spark.read.parquet(s"$stateDir/auth_profiles")
+      .filter(col("name") === "HIST20-alice").head()
+    assert(h20.getLong(1) == 13L)
+  }
+}

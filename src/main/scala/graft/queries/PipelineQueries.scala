@@ -416,6 +416,27 @@ object PipelineQueries {
         .orderBy(col("w1"))
     }),
 
+    // T19: sliding-window chunking (RAG/pretraining shape): 50-token
+    // windows at stride 30 (20-token overlap), each chunk
+    // content-addressed by md5 so downstream chunk dedup/retrieval is
+    // reproducible. Window starts are row-local math over the token
+    // array — one explode, no shuffle until the final sort.
+    "t19_chunk_windows" -> ((s, dir) => {
+      val win = 50; val stride = 30
+      val toks = tokens(col("text"))
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), floor((size(col("toks")) - 1) / stride).cast("int"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride + 1).as("start_tok"),
+          least(size(col("toks")) - col("chunk_idx") * stride, lit(win)).as("n_toks"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("chunk_idx") * stride + 1, lit(win)))).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -989,6 +1010,19 @@ object PipelineQueries {
         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
         |c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1)
         |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "t19_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx, toks
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, (len(toks) - 1) // 30 + 1)) AS i
+        |        FROM t WHERE len(toks) > 0))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(chunk_idx * 30 + 1 AS INT) AS start_tok,
+        |  CAST(least(len(toks) - chunk_idx * 30, 50) AS INT) AS n_toks,
+        |  md5(array_to_string(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 50], ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "t18_bigram_lm" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

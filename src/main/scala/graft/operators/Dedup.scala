@@ -329,4 +329,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc1"), col("doc2"), col("hamming"))
   }
+
+  /** Blocked edit-distance record linkage: candidate pairs share a
+    * blocking key (the classic entity-resolution move — all-pairs
+    * Levenshtein is O(n²·len²) and never runs at scale), then the exact
+    * distance filters within blocks. Same degenerate-block guard as the
+    * LSH/SimHash candidate generators: one megablock (a useless blocking
+    * key) would otherwise own the runtime.
+    *
+    * Levenshtein is a Spark builtin with identical semantics in DuckDB,
+    * so linkage results are oracle-checkable cross-engine.
+    */
+  def blockedEditDistancePairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[org.apache.spark.sql.Column], maxDist: Int,
+      maxBlock: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = df
+      .withColumn("__block", concat_ws("", blockCols: _*))
+      .repartition(col("__block"))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__block"))))
+      .filter(col("__bsz").between(2, maxBlock))
+      .select(col("__block"), col(idCol), col(nameCol))
+    val a = blocked.select(col("__block"), col(idCol).as("id1"), col(nameCol).as("name1"))
+    val b = blocked.select(col("__block"), col(idCol).as("id2"), col(nameCol).as("name2"))
+    a.join(b, Seq("__block")).filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
 }

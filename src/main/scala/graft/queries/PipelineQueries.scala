@@ -125,6 +125,16 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // D10: blocked edit-distance record linkage — part names blocked on
+    // (first word, size), exact Levenshtein ≤ 2 within blocks.
+    "d10_blocked_editdist" -> ((s, dir) => {
+      val p = Catalog.part(s, dir)
+      Dedup.blockedEditDistancePairs(p, "p_partkey", "p_name",
+          Seq(split(col("p_name"), " ").getItem(0), col("p_size").cast("string")),
+          maxDist = 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // D7: connected components over the LSH candidate pairs —
     // alternating large-star/small-star contraction (O(log n) rounds,
     // never O(diameter) propagation).
@@ -1010,6 +1020,17 @@ object PipelineQueries {
         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
         |c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1)
         |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "d10_blocked_editdist" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] || '|' || CAST(p_size AS VARCHAR) AS blk
+        |  FROM part)
+        |SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id1, id2""".stripMargin,
 
     "t19_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** SQL-surface registration for the engine's domain functions. Most are
   * native Catalyst expression trees (compositions of codegen'd builtins —
@@ -65,6 +65,38 @@ object GraftFunctions {
     ("graft_strip_accents",
       new ExpressionInfo("graft", "graft_strip_accents"),
       arity("graft_strip_accents", 1)(args => graft.expressions.StripAccents(args.head))),
+    // graft_haversine(lat1, lon1, lat2, lon2): km on the reference's
+    // 6372.8 km sphere — built as native Catalyst nodes (a Column-bridge
+    // round-trip yields unresolved ColumnNode wrappers the registry path
+    // can't resolve), grouped exactly like NetFunctions.haversine so SQL
+    // and Column forms are bit-identical.
+    ("graft_haversine",
+      new ExpressionInfo("graft", "graft_haversine"),
+      arity("graft_haversine", 4)(args => {
+        val Seq(lat1, lon1, lat2, lon2) = args.map(Cast(_, DoubleType)).toSeq
+        def sin2half(d: Expression) =
+          Pow(Sin(Divide(ToRadians(d), Literal(2.0))), Literal(2.0))
+        val a = Add(
+          sin2half(Subtract(lat2, lat1)),
+          Multiply(Multiply(sin2half(Subtract(lon2, lon1)),
+            Cos(ToRadians(lat1))), Cos(ToRadians(lat2))))
+        Multiply(Literal(2 * 6372.8), Asin(Sqrt(a)))
+      })),
+    // graft_human_bytes(n): the reference's pretty-printer (humanBytes).
+    ("graft_human_bytes",
+      new ExpressionInfo("graft", "graft_human_bytes"),
+      arity("graft_human_bytes", 1)(args => {
+        val b = Cast(args.head, DoubleType)
+        val kb = 1024.0; val mb = kb * 1024; val gb = mb * 1024
+        def fmt(suffix: String, div: Double) =
+          FormatString(Literal(s"%.1f$suffix"), Divide(b, Literal(div)))
+        CaseWhen(Seq(
+          (LessThan(b, Literal(kb)),
+            Concat(Seq(Cast(Cast(b, LongType), StringType), Literal("B")))),
+          (LessThan(b, Literal(mb)), fmt("KB", kb)),
+          (LessThan(b, Literal(gb)), fmt("MB", mb))),
+          Some(fmt("GB", gb)))
+      })),
     // graft_count_in_set(toks, array('the','a',...)): the word-set arg must
     // be a foldable array literal — it becomes the expression's static set.
     ("graft_count_in_set",

@@ -134,6 +134,24 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A24: hourly volume anomaly — per event type, hours whose count
+    // exceeds that type's mean + 3σ (the z-score detector at the
+    // time-bucket grain: one count pass, one tiny stats table joined
+    // back broadcast).
+    "a24_hourly_anomaly" -> ((s, dir) => {
+      val hourly = Catalog.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(avg(col("n")).as("mu"), stddev_pop(col("n")).as("sd"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), unix_millis(col("hr")).as("hr_ms"), col("n"),
+          (col("n") > col("mu") + lit(3) * col("sd")).cast("int").as("flag"),
+          round(col("mu"), 6).as("mu"), round(col("sd"), 6).as("sd"))
+        .orderBy(col("event_type"), col("hr_ms"))
+    }),
+
     // A23: market-basket co-purchase pairs — top part pairs by order
     // support. The pair expansion is per-order (≤ C(lines,2), bounded by
     // the order size cap), then one count shuffle on the pair key — the
@@ -361,6 +379,21 @@ object AnalyticsQueries {
         |WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE)
         |  AND CAST(cum - c AS DOUBLE) < 0.95 * CAST(n AS DOUBLE)
         |ORDER BY event_type""".stripMargin,
+
+    "a24_hourly_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, AVG(CAST(n AS DOUBLE)) AS mu,
+        |    stddev_pop(CAST(n AS DOUBLE)) AS sd
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, CAST(epoch_ms(hr) AS BIGINT) AS hr_ms, n,
+        |  CAST(n > mu + 3 * sd AS INT) AS flag,
+        |  ROUND(mu, 6) AS mu, ROUND(sd, 6) AS sd
+        |FROM h JOIN s USING (event_type)
+        |ORDER BY event_type, hr_ms""".stripMargin,
 
     "a23_copurchase_pairs" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

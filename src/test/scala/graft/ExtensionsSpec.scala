@@ -106,6 +106,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("graft_haversine and graft_human_bytes SQL forms match the Column forms") {
+    GraftFunctions.register(spark)
+    val km = spark.sql(
+      "SELECT graft_haversine(-23.55, -46.63, 52.52, 13.40)").head().getDouble(0)
+    assert(math.abs(km - 10255) < 50, s"SP-Berlin ~10255km, got $km") // sanity
+    import spark.implicits._
+    val viaCol = Seq((-23.55, -46.63, 52.52, 13.40)).toDF("a", "b", "c", "d")
+      .select(graft.functions.NetFunctions.haversine($"a", $"b", $"c", $"d"))
+      .head().getDouble(0)
+    assert(km == viaCol)
+    assert(spark.sql("SELECT graft_human_bytes(1536)").head().getString(0) == "1.5KB")
+    assert(spark.sql("SELECT graft_human_bytes(10)").head().getString(0) == "10B")
+  }
+
   test("injected functions stay codegen-native (no UDF node in the plan)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT graft_logbin(x) FROM VALUES (1.0) AS t(x)")

@@ -36,4 +36,39 @@ object Integrity {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("xor_hash"))
   }
+
+  /** Data-quality gate: one pass over the table counting violations of
+    * each named predicate (null checks, range checks, format checks, …) —
+    * ALL checks share a single scan and aggregate (each is a conditional
+    * count, map-side combinable), so adding a rule costs no extra pass.
+    * Output: one row per rule, (check, n_violations, n_rows).
+    */
+  def qualityReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "qualityReport needs at least one rule")
+    val counts = df.agg(
+      count(lit(1)).as("n_rows"),
+      rules.map { case (name, violated) =>
+        sum(when(violated, 1L).otherwise(0L)).as(s"__v_$name")
+      }: _*)
+    counts.select(explode(map(
+        rules.flatMap { case (name, _) =>
+          Seq(lit(name), col(s"__v_$name")) }: _*)).as(Seq("check", "n_violations")),
+      col("n_rows"))
+      .select(col("check"), col("n_violations"), col("n_rows"))
+  }
+
+  /** Referential-integrity check as a quality row: children whose
+    * `fkCol` has no match in `parent.pkCol` (null FKs are violations of a
+    * null rule, not orphans — excluded here). One anti-join, broadcast
+    * when the parent key set is small, shuffle otherwise.
+    */
+  def orphanCount(child: DataFrame, fkCol: String, parent: DataFrame,
+                  pkCol: String, checkName: String): DataFrame =
+    child
+      .join(parent.select(col(pkCol).as(fkCol)).distinct()
+        .withColumn("__matched", lit(1)), Seq(fkCol), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__matched").isNull && col(fkCol).isNotNull, 1L)
+          .otherwise(0L)).as("n_violations"))
+      .select(lit(checkName).as("check"), col("n_violations"), col("n_rows"))
 }

@@ -134,6 +134,33 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // C3: data-quality gate — null/range/format rules in ONE shared scan
+    // (each rule is a conditional count) plus a referential orphan check;
+    // the pipeline admission test run before 100 TB enters curation.
+    "c3_quality_report" -> ((s, dir) => {
+      val li = Catalog.lineitem(s, dir)
+      val rules = Seq(
+        "null_orderkey" -> col("l_orderkey").isNull,
+        "qty_out_of_range" -> !col("l_quantity").between(0, 50),
+        "bad_returnflag" -> !col("l_returnflag").isin("A", "N", "R"),
+        "discount_over_10pct" -> (col("l_discount") > 0.10))
+      Integrity.qualityReport(li, rules)
+        .unionByName(Integrity.orphanCount(li, "l_orderkey",
+          Catalog.orders(s, dir), "o_orderkey", "orphan_orderkey"))
+        .orderBy(col("check"))
+    }),
+
+    // A25: unpivot/melt — wide part attributes to long (attr, val) form,
+    // the inverse of a19's pivot.
+    "a25_unpivot" -> ((s, dir) => {
+      Catalog.part(s, dir)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))
+    }),
+
     // A24: hourly volume anomaly — per event type, hours whose count
     // exceeds that type's mean + 3σ (the z-score detector at the
     // time-bucket grain: one count pass, one tiny stats table joined
@@ -379,6 +406,33 @@ object AnalyticsQueries {
         |WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE)
         |  AND CAST(cum - c AS DOUBLE) < 0.95 * CAST(n AS DOUBLE)
         |ORDER BY event_type""".stripMargin,
+
+    "c3_quality_report" ->
+      """WITH r AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+        |    CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 0 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+        |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
+        |    CAST(SUM(CASE WHEN l_discount > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS discount_over_10pct
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT 'null_orderkey' AS check, null_orderkey AS n_violations, n_rows FROM r
+        |UNION ALL SELECT 'qty_out_of_range', qty_out_of_range, n_rows FROM r
+        |UNION ALL SELECT 'bad_returnflag', bad_returnflag, n_rows FROM r
+        |UNION ALL SELECT 'discount_over_10pct', discount_over_10pct, n_rows FROM r
+        |UNION ALL SELECT 'orphan_orderkey', v, n_rows FROM orph
+        |ORDER BY "check"""".stripMargin,
+
+    "a25_unpivot" ->
+      """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, attr""".stripMargin,
 
     "a24_hourly_anomaly" ->
       """WITH h AS (

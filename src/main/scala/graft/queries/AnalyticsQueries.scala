@@ -161,6 +161,35 @@ object AnalyticsQueries {
         .orderBy(col("p_partkey"), col("attr"))
     }),
 
+    // A26: equal-frequency binning — order totals cut into deciles
+    // (ntile), per-bin count and value range: the calibration/binning
+    // pass (monotone, deterministic with the total tie-break order).
+    "a26_ntile_bins" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Catalog.orders(s, dir)
+        .withColumn("decile", ntile(10).over(w).cast("int"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("decile"))
+    }),
+
+    // A27: rolling time-range window — per user, events in the PRECEDING
+    // hour (range frame on event time, not row count): the rate-limit /
+    // burst-detection shape a18's cumulative rows frame can't express.
+    "a27_rolling_count" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000, 0)
+      Catalog.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // A24: hourly volume anomaly — per event type, hours whose count
     // exceeds that type's mean + 3σ (the z-score detector at the
     // time-bucket grain: one count pass, one tiny stats table joined
@@ -433,6 +462,24 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "a26_ntile_bins" ->
+      """WITH d AS (
+        |  SELECT o_totalprice,
+        |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+        |  FROM orders)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "a27_rolling_count" ->
+      """SELECT user_id, event_id,
+        |  CAST(epoch_us(ts::TIMESTAMP) AS BIGINT) AS ts_us,
+        |  CAST(COUNT(*) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_last_hour
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "a24_hourly_anomaly" ->
       """WITH h AS (

@@ -20,11 +20,13 @@ object Retention {
     df.withColumn("ds", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.partitionBy("ds").mode("overwrite").parquet(path)
 
-  /** Underscore prefix keeps the staging dir invisible to parquet
+  /** Underscore prefix keeps the staging dirs invisible to parquet
     * readers of `path` (Spark skips `_`/`.`-prefixed children).
     */
   private def stagingDir(path: String) = new Path(path, "_purge_staging")
   private def markerFile(path: String) = new Path(stagingDir(path), "_CUTOFF")
+  private def delStagingDir(path: String) = new Path(path, "_delete_staging")
+  private def delMarkerFile(path: String) = new Path(delStagingDir(path), "_KEYS")
 
   /** Drop partitions older than `cutoffDate` (yyyy-MM-dd), keeping rows
     * matching `keepPredicate` (the reference's "flows with priority-1
@@ -91,9 +93,14 @@ object Retention {
     */
   private def deleteOldPartitions(fs: FileSystem, path: String,
       cutoffDate: String, runId: String): Unit =
+    deleteMatchingPartitions(fs, path, _ < cutoffDate, runId)
+
+  /** Same spare-the-restored semantics, generic over which ds values die. */
+  private def deleteMatchingPartitions(fs: FileSystem, path: String,
+      dsPred: String => Boolean, runId: String): Unit =
     fs.listStatus(new Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("ds="))
-      .filter(_.getPath.getName.stripPrefix("ds=") < cutoffDate)
+      .filter(s => dsPred(s.getPath.getName.stripPrefix("ds=")))
       .foreach { dir =>
         val files = fs.listStatus(dir.getPath)
         val (keep, drop) = files.partition(_.getPath.getName.startsWith(s"restored-$runId-"))
@@ -105,8 +112,11 @@ object Retention {
     * `restored-<runId>-` name: rename is a metadata op, and the prefix
     * is what [[deleteOldPartitions]] keys its idempotence on.
     */
-  private def restoreStaged(fs: FileSystem, path: String, runId: String): Unit = {
-    val staging = stagingDir(path)
+  private def restoreStaged(fs: FileSystem, path: String, runId: String): Unit =
+    restoreStagedFrom(fs, path, stagingDir(path), runId)
+
+  private def restoreStagedFrom(fs: FileSystem, path: String,
+      staging: Path, runId: String): Unit = {
     if (!fs.exists(staging)) return
     fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("ds="))
@@ -122,13 +132,73 @@ object Retention {
       }
   }
 
-  private def writeMarker(fs: FileSystem, path: String, content: String): Unit = {
-    val out = fs.create(markerFile(path), true)
+  /** Delete every row whose `keyCol` value appears in `keys` (the GDPR /
+    * right-to-erasure pass), rewriting ONLY partitions that contain at
+    * least one matching row — erasing one user from a 100 TB table costs
+    * the partitions that user touched, not a full rewrite. Same
+    * survivors-durable-before-delete sequencing and crash contract as
+    * [[purgeOlderThan]], on its own staging dir so the two operations
+    * can't corrupt each other's recovery.
+    */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverPendingDelete(spark, path)
+    val table = spark.read.parquet(path)
+    val k = keys.select(col(keyCol)).distinct()
+    // the affected-partition list is dates — tiny — so the collect is safe
+    val affected = table.join(k, Seq(keyCol), "left_semi")
+      .select(col("ds").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return
+    val survivors = table
+      .filter(col("ds").cast("string").isin(affected.toSeq: _*))
+      .join(k, Seq(keyCol), "left_anti")
+    val staging = delStagingDir(path)
+    fs.delete(staging, true)
+    survivors.write.partitionBy("ds").mode("overwrite").parquet(staging.toString)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    writeMarkerTo(fs, delMarkerFile(path), affected.toSeq.sorted.mkString(",") + "\n" + runId)
+    deleteMatchingPartitions(fs, path, affected.contains, runId)
+    restoreStagedFrom(fs, path, staging, runId)
+    fs.delete(staging, true)
+  }
+
+  /** Complete a keyed delete whose process died mid-swap; no-op
+    * otherwise. Same partial-marker semantics as [[recoverPendingPurge]].
+    */
+  def recoverPendingDelete(spark: SparkSession, path: String): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staging = delStagingDir(path)
+    if (!fs.exists(staging)) return
+    val marker =
+      if (fs.exists(delMarkerFile(path)))
+        readMarkerFrom(fs, delMarkerFile(path)).trim.split("\n")
+      else Array[String]()
+    if (marker.length != 2 || marker.exists(_.isEmpty)) {
+      fs.delete(staging, true)
+      return
+    }
+    val Array(dsList, runId) = marker
+    val affected = dsList.split(",").toSet
+    deleteMatchingPartitions(fs, path, affected.contains, runId)
+    restoreStagedFrom(fs, path, staging, runId)
+    fs.delete(staging, true)
+  }
+
+  private def writeMarker(fs: FileSystem, path: String, content: String): Unit =
+    writeMarkerTo(fs, markerFile(path), content)
+
+  private def writeMarkerTo(fs: FileSystem, marker: Path, content: String): Unit = {
+    val out = fs.create(marker, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readMarker(fs: FileSystem, path: String): String = {
-    val in = fs.open(markerFile(path))
+  private def readMarker(fs: FileSystem, path: String): String =
+    readMarkerFrom(fs, markerFile(path))
+
+  private def readMarkerFrom(fs: FileSystem, marker: Path): String = {
+    val in = fs.open(marker)
     try {
       val buf = new java.io.ByteArrayOutputStream()
       val tmp = new Array[Byte](4096)

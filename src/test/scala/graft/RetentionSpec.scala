@@ -92,6 +92,59 @@ class RetentionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2) // table untouched
   }
 
+  test("deleteKeys erases listed keys, rewriting only affected partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delkeys").toString
+    val rows = Seq(
+      ("2026-01-01 10:00:00", 1L, 10), ("2026-01-01 11:00:00", 2L, 20),
+      ("2026-01-02 10:00:00", 1L, 30), ("2026-01-03 10:00:00", 3L, 40))
+      .toDF("ts_s", "user_id", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    Retention.writePartitioned(rows, "ts", dir)
+    val before = new java.io.File(s"$dir/ds=2026-01-03").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    Retention.deleteKeys(spark, dir, Seq(1L).toDF("user_id"), "user_id")
+    val left = spark.read.parquet(dir).select("user_id", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(left.toSeq == Seq((2L, 20), (3L, 40)))
+    // the untouched partition kept its exact files (no full-table rewrite)
+    val after = new java.io.File(s"$dir/ds=2026-01-03").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    assert(after == before)
+    // re-running with the same key list is a no-op
+    Retention.deleteKeys(spark, dir, Seq(1L).toDF("user_id"), "user_id")
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("a keyed delete killed mid-swap completes on recovery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delkeys_crash").toString
+    val rows = Seq(
+      ("2026-01-01 10:00:00", 1L, 10), ("2026-01-01 11:00:00", 2L, 20),
+      ("2026-01-02 10:00:00", 3L, 30))
+      .toDF("ts_s", "user_id", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    Retention.writePartitioned(rows, "ts", dir)
+    // durable prefix of a crashed run: survivors staged + marker written,
+    // affected partition deleted, death before restore
+    val staging = s"$dir/_delete_staging"
+    spark.read.parquet(dir)
+      .filter(col("ds") === "2026-01-01" && col("user_id") =!= 1L)
+      .write.partitionBy("ds").parquet(staging)
+    val runId = "cafef00d"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$staging/_KEYS"),
+      s"2026-01-01\n$runId".getBytes("UTF-8"))
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(s"$dir/ds=2026-01-01"))
+    // recovery completes the swap: survivor restored, other partition intact
+    Retention.recoverPendingDelete(spark, dir)
+    val left = spark.read.parquet(dir).select("user_id").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(2L, 3L))
+    assert(!new java.io.File(staging).exists())
+  }
+
   test("linearSvc learns a separable boundary (M6 dormant path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -62,6 +62,20 @@ object Integrity {
     * null rule, not orphans — excluded here). One anti-join, broadcast
     * when the parent key set is small, shuffle otherwise.
     */
+  /** Row-level reconciliation of two table versions: multiset differences
+    * in both directions, side-tagged — the drill-down step after
+    * [[tableFingerprint]] localizes a mismatch (diff only the rows of the
+    * differing bucket, not the whole table). exceptAll keeps duplicate
+    * multiplicity, so a row that appears twice in `a` and once in `b`
+    * correctly surfaces once.
+    */
+  def diffTables(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    val pa = a.select(cols.map(col): _*)
+    val pb = b.select(cols.map(col): _*)
+    pa.exceptAll(pb).withColumn("side", lit("only_in_a"))
+      .unionByName(pb.exceptAll(pa).withColumn("side", lit("only_in_b")))
+  }
+
   def orphanCount(child: DataFrame, fkCol: String, parent: DataFrame,
                   pkCol: String, checkName: String): DataFrame =
     child

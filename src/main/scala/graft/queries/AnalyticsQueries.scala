@@ -134,6 +134,19 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // C4: version reconciliation — row-level two-sided diff between the
+    // table and a deterministically mutated copy (the drill-down after a
+    // c1 fingerprint mismatch localizes a bucket).
+    "c4_table_diff" -> ((s, dir) => {
+      val base = Catalog.lineitem(s, dir)
+      val mutated = base.withColumn("l_quantity",
+        when(col("l_orderkey") % 997 === 0, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+      Integrity.diffTables(base, mutated,
+          Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .orderBy(col("side"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // C3: data-quality gate — null/range/format rules in ONE shared scan
     // (each rule is a conditional count) plus a referential orphan check;
     // the pipeline admission test run before 100 TB enters curation.
@@ -435,6 +448,18 @@ object AnalyticsQueries {
         |WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE)
         |  AND CAST(cum - c AS DOUBLE) < 0.95 * CAST(n AS DOUBLE)
         |ORDER BY event_type""".stripMargin,
+
+    "c4_table_diff" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+        |mut AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 997 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity
+        |  FROM lineitem)
+        |SELECT *, 'only_in_a' AS side FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM mut)
+        |UNION ALL
+        |SELECT *, 'only_in_b' FROM (SELECT * FROM mut EXCEPT ALL SELECT * FROM base)
+        |ORDER BY side, l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "c3_quality_report" ->
       """WITH r AS (

@@ -106,6 +106,25 @@ object HistogramQueries {
         .orderBy(col("k"), col("bucket"))
     }),
 
+    // H12 (H3): histogram difference — un-merge the late window from the
+    // all-time histogram, recovering the early-period distribution
+    // ((b1·s1 − b2·s2)/(s1 − s2), Histograms.scala difference).
+    "h12_hist_difference" -> ((s, dir) => {
+      val all = buildHistogram(
+        Catalog.orders(s, dir)
+          .withColumn("k", expr("o_custkey % 10"))
+          .groupBy(col("k"), col("o_orderpriority").as("bucket"))
+          .agg(count(lit(1)).as("cnt")), Seq("k"))
+      val late = periodHist(s, dir, cur = true, "o_custkey % 10")
+      all.select(col("k"), col("size").as("s1"), col("buckets").as("b1"))
+        .join(late.select(col("k"), col("size").as("s2"), col("buckets").as("b2")), Seq("k"))
+        .select(col("k"), (col("s1") - col("s2")).as("new_size"),
+          explode(differenceBuckets(col("s1"), col("b1"), col("s2"), col("b2")))
+            .as(Seq("bucket", "freq")))
+        .select(col("k"), col("new_size"), col("bucket"), round(col("freq"), 6).as("freq"))
+        .orderBy(col("k"), col("bucket"))
+    }),
+
     // H7: log-binning of a heavy-tailed measure (HogSFlow.scala:1791).
     "h7_logbin" -> ((s, dir) => {
       Catalog.orders(s, dir)
@@ -116,6 +135,33 @@ object HistogramQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "h12_hist_difference" ->
+      """WITH allc AS (
+        |  SELECT o_custkey % 10 AS k, o_orderpriority AS bucket, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |allh AS (
+        |  SELECT k, bucket, CAST(cnt AS DOUBLE)/SUM(cnt) OVER (PARTITION BY k) AS freq,
+        |    SUM(cnt) OVER (PARTITION BY k) AS size FROM allc),
+        |latec AS (
+        |  SELECT o_custkey % 10 AS k, o_orderpriority AS bucket, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1, 2),
+        |lateh AS (
+        |  SELECT k, bucket, CAST(cnt AS DOUBLE)/SUM(cnt) OVER (PARTITION BY k) AS freq,
+        |    SUM(cnt) OVER (PARTITION BY k) AS size FROM latec),
+        |sizes AS (
+        |  SELECT a.k, a.size AS s1, l.size AS s2 FROM
+        |    (SELECT DISTINCT k, size FROM allh) a
+        |    JOIN (SELECT DISTINCT k, size FROM lateh) l USING (k))
+        |SELECT a.k, CAST(s1 - s2 AS BIGINT) AS new_size, a.bucket,
+        |  ROUND(CASE WHEN l.freq IS NOT NULL
+        |    THEN (a.freq * CAST(s1 AS DOUBLE) - l.freq * CAST(s2 AS DOUBLE))
+        |         / (CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE))
+        |    ELSE a.freq END, 6) AS freq
+        |FROM allh a
+        |JOIN sizes USING (k)
+        |LEFT JOIN lateh l ON a.k = l.k AND a.bucket = l.bucket
+        |ORDER BY a.k, a.bucket""".stripMargin,
+
     "h1_merge_decay" ->
       """WITH prof AS (
         |  SELECT o_custkey % 10 AS k, o_orderpriority AS bucket, COUNT(*) AS cnt

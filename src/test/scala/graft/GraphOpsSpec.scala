@@ -70,6 +70,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(again == ranks)
   }
 
+  test("fixed-point PageRank: disconnected components don't leak rank") {
+    import spark.implicits._
+    // a 2-cycle and a separate triangle — both symmetric, so every node
+    // sits at the exact fixpoint; no cross-component flow can perturb it
+    val e = GraphOps.canonicalEdges(
+      Seq((1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b"), "a", "b")
+    val ranks = GraphOps.pageRankFixedPoint(e, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 5)
+    assert(ranks.values.forall(_ == 1000000L), ranks.toString)
+  }
+
   test("triangle-free graph counts zero") {
     import spark.implicits._
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")

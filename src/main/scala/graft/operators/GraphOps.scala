@@ -85,6 +85,41 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node triangle counts and local clustering coefficient
+    * (2·T(v) / (deg(v)·(deg(v)−1))) — the community-structure signal.
+    * Same oriented 2-path join as [[triangleCount]], but each closed
+    * wedge credits ALL THREE corners: the wedge source, and both closing
+    * endpoints. Coefficient is exact rational-to-double (deterministic).
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val ce =
+      if (spark.sparkContext.getCheckpointDir.isDefined) edges.checkpoint()
+      else edges.localCheckpoint()
+    val deg = degrees(ce)
+    val e = ce
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("w"), col("e1.dst").as("u"), col("e2.dst").as("v"))
+    val closed = wedges.join(ce, Seq("u", "v"), "left_semi")
+    val perNode = closed.select(explode(array(col("w"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+  }
+
   /** Fixed-point (integer-arithmetic) PageRank over an undirected canonical
     * edge list, `iters` synchronous rounds.
     *

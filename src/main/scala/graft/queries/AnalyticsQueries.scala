@@ -85,6 +85,13 @@ object AnalyticsQueries {
       GraphOps.triangleCount(coSupplierEdges(s, dir))
     }),
 
+    // GR4: local clustering coefficient — per-node triangle participation
+    // over the co-supplier graph (the community-density signal).
+    "gr4_clustering" -> ((s, dir) => {
+      GraphOps.clusteringCoefficient(coSupplierEdges(s, dir))
+        .orderBy(col("node"))
+    }),
+
     // GR3: fixed-point PageRank, 10 synchronous rounds of integer rank
     // flow — bit-exact across engines (floating-point PageRank isn't:
     // parallel double sums associate differently).
@@ -288,6 +295,29 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "gr3_pagerank" -> pageRankSql,
+
+    "gr4_clustering" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |            WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e) n GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) x
+        |  GROUP BY 1)
+        |SELECT d.node, d.degree, COALESCE(pn.n_triangles, 0) AS n_triangles,
+        |  ROUND(CASE WHEN d.degree >= 2
+        |    THEN 2.0 * COALESCE(pn.n_triangles, 0) / (d.degree * (d.degree - 1))
+        |    ELSE 0.0 END, 6) AS clustering
+        |FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |ORDER BY d.node""".stripMargin,
 
     "e3_scd2" ->
       """WITH c AS (

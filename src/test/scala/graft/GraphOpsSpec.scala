@@ -47,6 +47,16 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.triangleCount(e).collect().head.getLong(0) == 4L)
   }
 
+  test("clustering coefficient on the bowtie") {
+    val e = GraphOps.canonicalEdges(bowtie(), "a", "b")
+    val cc = GraphOps.clusteringCoefficient(e)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(cc(1L) == ((1L, 1.0)))        // deg 2, in 1 triangle
+    assert(cc(3L) == ((2L, 0.333333)))   // deg 4, in both triangles: 4/12
+    assert(cc(6L) == ((0L, 0.0)))        // pendant
+    assert(cc(7L) == ((0L, 0.0)))        // isolated edge
+  }
+
   test("fixed-point PageRank: symmetric graph stays uniform (exact fixpoint)") {
     import spark.implicits._
     // 2-cycle: every node keeps exactly unit rank: 150000 + 85% of 1000000

@@ -223,6 +223,52 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("qsim"))
   }
 
+  /** Product-quantization encoding: the vector splits into `nSub`
+    * contiguous subvectors; each is coded as its nearest subspace
+    * centroid (here the per-`partitionCol` subspace means — a k-means
+    * coarse assignment in a full pipeline, the fixture's label column in
+    * the oracle tests, mirroring [[ivfCentroids]]). A 64-dim float32
+    * vector becomes nSub bytes — 32× smaller than the raw floats — at
+    * reconstruction-error cost, which asymmetric-distance search then
+    * absorbs.
+    *
+    * Centroid components round to 6 dp (the ivfCentroids portability
+    * contract) so code assignment can't flip on a last-ulp difference;
+    * distances accumulate per-dimension left-to-right; ties break to the
+    * smallest code.
+    *
+    * Output: (vec_id, sub, code, err) — err the subvector's squared
+    * reconstruction distance, rounded.
+    */
+  def pqCodes(corpus: DataFrame, partitionCol: String, nSub: Int, dim: Int): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    // subspace centroids, long form: (code, sub, j, c) — j inside the sub
+    val cent = ivfCentroids(corpus, partitionCol)
+      .select(col("part").as("code"), (col("i") / subDim).cast("int").as("sub"),
+        pmod(col("i"), lit(subDim)).cast("int").as("j"), col("c"))
+      .groupBy(col("code"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        e => e.getField("c")).as("cvec"))
+    val subs = corpus
+      .select(col("vec_id"), explode(sequence(lit(0), lit(nSub - 1))).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        transform(sequence(lit(0), lit(subDim - 1)),
+          j => element_at(col("embedding"), col("sub") * subDim + j + 1).cast("double"))
+          .as("sv"))
+    val dist = aggregate(
+      zip_with(col("sv"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, d) => acc + d)
+    val scored = subs.join(broadcast(cent), Seq("sub"))
+      .withColumn("err", round(dist, 6))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("err").asc, col("code").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"), col("err"))
+  }
+
   /** Multi-probe LSH ANN: each query searches its own hyperplane bucket
     * PLUS the `nProbe − 1` buckets reached by flipping its least-confident
     * plane signs (smallest |projection| first — those are the planes a

@@ -135,6 +135,15 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // V7: product-quantization codes — 8 subspaces × nearest subspace
+    // centroid: a 64-dim float32 vector stored as 8 small codes (32×
+    // compression) plus the per-subvector reconstruction error.
+    "v7_pq_codes" -> ((s, dir) => {
+      SimilaritySearch.pqCodes(Catalog.embeddings(s, dir), "label",
+          nSub = 8, dim = 64)
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
     // D7: connected components over the LSH candidate pairs —
     // alternating large-star/small-star contraction (O(log n) rounds,
     // never O(diameter) propagation).
@@ -974,6 +983,29 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "v7_pq_codes" ->
+      """WITH centl AS (
+        |  SELECT label AS code, i,
+        |    ROUND(AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 6) AS c
+        |  FROM embeddings CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT code, CAST(i // 8 AS INT) AS sub, list(c ORDER BY i) AS cvec
+        |  FROM centl GROUP BY 1, 2),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, CAST(s AS INT) AS sub, v[CAST(s*8+1 AS INT) : CAST(s*8+8 AS INT)] AS sv
+        |  FROM v CROSS JOIN range(0, 8) r(s)),
+        |scored AS (
+        |  SELECT vec_id, sub, code,
+        |    ROUND(list_sum(list_transform(range(1, 9),
+        |      j -> (sv[j] - cvec[j]) * (sv[j] - cvec[j]))), 6) AS err
+        |  FROM subs JOIN cent USING (sub))
+        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, err
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY vec_id, sub ORDER BY err, code) AS rk FROM scored) t
+        |WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin,
 
     "v3_ivf_centroids" ->
       """SELECT label AS part, i,

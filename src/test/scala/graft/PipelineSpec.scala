@@ -161,6 +161,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(sq == exact)
   }
 
+  test("PQ codes pick the own-cluster centroid with zero error on separated clusters") {
+    import spark.implicits._
+    val a = Array.fill(16)(1.0f).toSeq
+    val b = Array.fill(16)(-1.0f).toSeq
+    val emb = ((0L until 10L).map(i => (i, a, 0)) ++ (10L until 20L).map(i => (i, b, 1)))
+      .toDF("vec_id", "embedding", "label")
+    val codes = SimilaritySearch.pqCodes(emb, "label", nSub = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(codes.length == 20 * 4)
+    codes.foreach { case (vec, _, code, err) =>
+      assert(code == (if (vec < 10) 0L else 1L), s"vec $vec got code $code")
+      assert(err == 0.0)
+    }
+  }
+
   test("language-ID scores function words deterministically") {
     val docs = docsDf(Seq(
       1L -> "the cat is on the mat and the dog is in the house",

@@ -45,14 +45,16 @@ object Integrity {
     */
   def qualityReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "qualityReport needs at least one rule")
+    // internal columns are index-named: a rule DISPLAY name with dots or
+    // spaces must never reach col()'s nested-field parser
     val counts = df.agg(
       count(lit(1)).as("n_rows"),
-      rules.map { case (name, violated) =>
-        sum(when(violated, 1L).otherwise(0L)).as(s"__v_$name")
+      rules.zipWithIndex.map { case ((_, violated), i) =>
+        sum(when(violated, 1L).otherwise(0L)).as(s"__v_$i")
       }: _*)
     counts.select(explode(map(
-        rules.flatMap { case (name, _) =>
-          Seq(lit(name), col(s"__v_$name")) }: _*)).as(Seq("check", "n_violations")),
+        rules.zipWithIndex.flatMap { case ((name, _), i) =>
+          Seq(lit(name), col(s"__v_$i")) }: _*)).as(Seq("check", "n_violations")),
       col("n_rows"))
       .select(col("check"), col("n_violations"), col("n_rows"))
   }

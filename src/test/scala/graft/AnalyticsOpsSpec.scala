@@ -108,6 +108,15 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(base.zip(mutated).count { case (a, b) => a != b } <= 2)
   }
 
+  test("qualityReport accepts rule names with dots/spaces") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String]), (-1L, "y")).toDF("k", "s")
+    val out = graft.operators.Integrity.qualityReport(df, Seq(
+        "k.negative check" -> (col("k") < 0), "s.null" -> col("s").isNull))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("k.negative check" -> 1L, "s.null" -> 1L))
+  }
+
   test("prunedRangeScan equals the plain filter and prunes buckets") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i.toLong, i / 100)).toDF("v", "grp")

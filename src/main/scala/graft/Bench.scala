@@ -59,10 +59,19 @@ object Bench {
       } catch { case _: Throwable => }
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full line above is ~5 KB — longer than the harness's 2000-char
+    // stdout tail, so its leading total was unparseable in r2/r3. Repeat
+    // the headline numbers (plus the 10 slowest queries) as a compact
+    // FINAL line that always fits inside the tail window.
+    val slow = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      f""""mean_sec_per_query":${if (results.isEmpty) 0.0 else total / results.size}%.4f,""" +
+      s""""slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,7 @@ object GraftApp {
     "hist04", "hist05", "hist06", "hist07", "hist08")
 
   private def readOr(spark: SparkSession, path: String, fallback: => DataFrame): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path) else fallback
+    graft.operators.StateSwap.readOrElse(spark, path, fallback)
 
   private def emptyTable(spark: SparkSession, cols: (String, String)*): DataFrame = {
     import org.apache.spark.sql.types._
@@ -80,8 +80,9 @@ object GraftApp {
     reputation.bigProviders.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/big_providers")
 
-    // profile state: stage-then-swap so a crash mid-write can't leave a
-    // family half-replaced (the read side sees old or new, never partial)
+    // profile state: crash-safe stage-then-swap (Hadoop FS, loud renames,
+    // marker-file recovery — StateSwap) so a crash mid-write can't leave a
+    // family half-replaced OR silently cold-start the next run
     val updatedSeq = Seq(
       "hist01" -> updated.hist01, "hist02" -> updated.hist02,
       "hist02snap" -> updated.hist02snap, "hist03" -> updated.hist03,
@@ -89,18 +90,7 @@ object GraftApp {
       "hist06" -> updated.hist06, "hist07" -> updated.hist07,
       "hist08" -> updated.hist08)
     updatedSeq.foreach { case (name, df) =>
-      val staging = s"$stateDir/.staging_$name"
-      df.write.mode(SaveMode.Overwrite).parquet(staging)
-      val target = new java.io.File(s"$stateDir/$name")
-      val tmpOld = new java.io.File(s"$stateDir/.old_$name")
-      if (target.exists()) { target.renameTo(tmpOld) }
-      new java.io.File(staging).renameTo(target)
-      if (tmpOld.exists()) deleteRec(tmpOld)
+      graft.operators.StateSwap.swap(df, s"$stateDir/$name")
     }
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
   }
 }

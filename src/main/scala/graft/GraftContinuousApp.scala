@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.detectors.AuthProfiling
 import graft.functions.HistogramFunctions
-import graft.operators.ProfileStore
+import graft.operators.{ProfileStore, StateSwap}
 import graft.streaming.StreamingJobs
 
 /** The continuous auth-profiling mode (`HogzillaContinuous.main` →
@@ -44,12 +44,16 @@ object GraftContinuousApp {
   }
 
   /** Wire the per-batch step onto any streaming frame (file source in
-    * production, MemoryStream in tests).
+    * production, MemoryStream in tests). The checkpoint under `stateDir`
+    * is what makes the exactly-once claim true across restarts: without
+    * it the file source would replay all of authStreamDir, double-merging
+    * history into auth_profiles and re-appending every alert.
     */
   def run(spark: SparkSession, stream: DataFrame, stateDir: String,
           outDir: String, intervalSecs: Int)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    StreamingJobs.consumeMicroBatches(stream, intervalSecs) { (batch, _) =>
+    StreamingJobs.consumeMicroBatches(stream, intervalSecs,
+        checkpointDir = Some(s"$stateDir/checkpoint")) { (batch, _) =>
       if (!batch.isEmpty) processBatch(spark, batch, stateDir, outDir)
     }
 
@@ -59,19 +63,19 @@ object GraftContinuousApp {
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                    outDir: String): Unit = {
     val profPath = s"$stateDir/auth_profiles"
-    val profiles =
-      if (new java.io.File(profPath).exists()) spark.read.parquet(profPath)
-      else graft.detectors.HogzillaBatch.emptyProfiles(spark)
+    // recover-then-read via StateSwap: a crash mid-swap on the previous
+    // batch is completed here instead of silently cold-starting
+    val profiles = StateSwap.readOrElse(spark, profPath,
+      graft.detectors.HogzillaBatch.emptyProfiles(spark))
 
     // known city coordinates: every (city, coords) this state has seen —
     // derived from the same stream and persisted beside the profiles
     // (the reference keeps coords in histogram labels)
     val coordsPath = s"$stateDir/city_coords"
-    val savedCoords =
-      if (new java.io.File(coordsPath).exists()) spark.read.parquet(coordsPath)
-      else batch.sparkSession.emptyDataFrame
+    val savedCoords = StateSwap.readOrElse(spark, coordsPath,
+      batch.sparkSession.emptyDataFrame
         .withColumn("city", lit(null).cast("string"))
-        .withColumn("coords", lit(null).cast("string"))
+        .withColumn("coords", lit(null).cast("string")))
     val cityCoords = savedCoords
       .unionByName(batch.select(col("city"), col("coords")))
       .groupBy(col("city")).agg(min(col("coords")).as("coords"))
@@ -96,22 +100,7 @@ object GraftContinuousApp {
     }.reduce(_ unionByName _)
     val updated = ProfileStore.update(profiles, current)
 
-    stageSwap(updated, profPath)
-    stageSwap(cityCoords, coordsPath)
-  }
-
-  private def stageSwap(df: DataFrame, target: String): Unit = {
-    val staging = target + ".staging"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
-    val t = new java.io.File(target)
-    val old = new java.io.File(target + ".old")
-    if (t.exists()) t.renameTo(old)
-    new java.io.File(staging).renameTo(t)
-    if (old.exists()) deleteRec(old)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
+    StateSwap.swap(updated, profPath)
+    StateSwap.swap(cityCoords, coordsPath)
   }
 }

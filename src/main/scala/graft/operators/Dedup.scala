@@ -345,7 +345,11 @@ object Dedup {
       maxBlock: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val blocked = df
-      .withColumn("__block", concat_ws("", blockCols: _*))
+      // '|' separator matches the d10 oracle's block key exactly; a
+      // collapsible or exotic separator would let block keys drift from
+      // the oracle's and (worst case) let distinct block-col tuples
+      // collide into one block, emitting extra Spark-only pairs.
+      .withColumn("__block", concat_ws("|", blockCols: _*))
       .repartition(col("__block"))
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__block"))))
       .filter(col("__bsz").between(2, maxBlock))

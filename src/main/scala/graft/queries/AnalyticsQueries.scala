@@ -19,6 +19,33 @@ object AnalyticsQueries {
 
   private val FunnelStages = Seq("signup", "view", "click", "purchase")
 
+  /** Degenerate-basket cap for co-purchase pair expansion: a basket of n
+    * items expands to C(n,2) pairs inside ONE task, so an uncapped 10⁵-item
+    * basket means 5·10⁹ rows from a single order. TPC-H orders carry ≤7
+    * lines, so 64 is semantics-neutral on the oracle data while bounding
+    * worst-case expansion to C(64,2)=2016 pairs per basket.
+    */
+  val MaxBasketSize = 64
+
+  /** Market-basket co-purchase pair support (frequent-itemset k=2 pass)
+    * with the basket-size window guard applied BEFORE the self-join —
+    * the same shape as Dedup.lshCandidatePairs' maxBucket cap. Exposed
+    * for direct testing with synthetic degenerate baskets.
+    */
+  def copurchasePairs(lineitem: DataFrame, maxBasket: Int = MaxBasketSize): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))
+    val op = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz").between(2, maxBasket))
+      .drop("bsz")
+    op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+  }
+
   /** Suppliers co-occurring in an order, as a canonical undirected edge
     * list (u < v, distinct).
     */
@@ -229,19 +256,15 @@ object AnalyticsQueries {
     }),
 
     // A23: market-basket co-purchase pairs — top part pairs by order
-    // support. The pair expansion is per-order (≤ C(lines,2), bounded by
-    // the order size cap), then one count shuffle on the pair key — the
-    // frequent-itemset k=2 pass that never goes all-pairs across orders.
-    "a23_copurchase_pairs" -> ((s, dir) => {
-      val op = Catalog.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      op.as("a").join(op.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
-        .orderBy(col("support").desc, col("p1"), col("p2"))
-        .limit(20)
-    }),
+    // support. The pair expansion is per-order (≤ C(lines,2)), then one
+    // count shuffle on the pair key — the frequent-itemset k=2 pass that
+    // never goes all-pairs across orders. Baskets above MaxBasketSize are
+    // dropped before the self-join: one 10⁵-item degenerate basket would
+    // otherwise expand to 5·10⁹ pairs inside a single task (same guard
+    // shape as Dedup.lshCandidatePairs' maxBucket cap); single-item
+    // baskets produce no pairs and are pruned for free too.
+    "a23_copurchase_pairs" -> ((s, dir) =>
+      copurchasePairs(Catalog.lineitem(s, dir)).limit(20)),
 
     // J11: salted exact join — probe-side salt scatter + build-side
     // replication; result identical to the plain join, but no single
@@ -552,10 +575,14 @@ object AnalyticsQueries {
         |ORDER BY event_type, hr_ms""".stripMargin,
 
     "a23_copurchase_pairs" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (
+        |  SELECT ok, pk FROM (
+        |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM op)
+        |  WHERE bsz BETWEEN 2 AND $MaxBasketSize),
         |pairs AS (
         |  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS support
-        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  FROM sized a JOIN sized b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2)
         |SELECT p1, p2, support FROM pairs
         |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin,

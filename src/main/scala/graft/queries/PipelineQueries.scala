@@ -373,14 +373,19 @@ object PipelineQueries {
 
     // T15: inverted index — per term: document frequency and a bounded,
     // sorted posting-list prefix (the retrieval-index build pass; the cap
-    // keeps per-term state bounded no matter how common the term).
+    // keeps per-term state bounded no matter how common the term). The
+    // posting list is rendered as a comma-joined string so the result is
+    // flat-hashable by any downstream comparator.
     "t15_inverted_index" -> ((s, dir) => {
       Catalog.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .distinct()
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"),
-          slice(sort_array(collect_set(col("doc_id"))), 1, 20).as("postings"))
+          array_join(
+            transform(slice(sort_array(collect_set(col("doc_id"))), 1, 20),
+              _.cast("string")),
+            ",").as("postings"))
         .filter(col("df") >= 100)
         .orderBy(col("term"))
     }),
@@ -1094,7 +1099,7 @@ object PipelineQueries {
       s"""WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents)
         |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-        |  (list_sort(list(doc_id)))[1:20] AS postings
+        |  array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
         |FROM tok GROUP BY term HAVING COUNT(*) >= 100
         |ORDER BY term""".stripMargin,
 

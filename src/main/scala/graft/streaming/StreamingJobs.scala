@@ -185,15 +185,20 @@ object StreamingJobs {
 
   /** S8/T1: micro-batch consume — the checkpointed replacement for the
     * reference's read-then-delete queue. `handler` sees each micro-batch
-    * exactly once (e.g. ProfileStore.update + alert append).
+    * exactly once (e.g. ProfileStore.update + alert append) — but ONLY
+    * when `checkpointDir` is set: without a checkpoint the source replays
+    * everything after a restart. Production callers (GraftContinuousApp)
+    * must pass one; tests over in-memory sources may omit it.
     */
-  def consumeMicroBatches(stream: DataFrame, intervalSecs: Int)(
-      handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+  def consumeMicroBatches(stream: DataFrame, intervalSecs: Int,
+      checkpointDir: Option[String] = None)(
+      handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime(s"$intervalSecs seconds"))
       .foreachBatch(handler)
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 
   /** Drain a streaming DataFrame through a memory sink with
     * Trigger.AvailableNow (process everything currently in the source,

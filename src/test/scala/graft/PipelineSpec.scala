@@ -243,4 +243,20 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
       (9L, 9L, 9L, true)))
   }
+
+  test("copurchasePairs drops degenerate baskets past the size cap") {
+    import spark.implicits._
+    // order 1: a plain 3-item basket → 3 pairs; order 2: a degenerate
+    // 100-item basket that would expand to C(100,2)=4950 pairs — the
+    // window guard must drop it entirely before the self-join
+    val normal = Seq((1L, 10L), (1L, 11L), (1L, 12L))
+    val degenerate = (0L until 100L).map(i => (2L, 1000L + i))
+    val li = (normal ++ degenerate).toDF("l_orderkey", "l_partkey")
+    val pairs = graft.queries.AnalyticsQueries.copurchasePairs(li, maxBasket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    // and with a cap above the basket size, the big basket contributes
+    val uncapped = graft.queries.AnalyticsQueries.copurchasePairs(li, maxBasket = 128)
+    assert(uncapped.count() == 3 + 4950)
+  }
 }

@@ -513,16 +513,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // M1: multimodal feature extraction — binary payload → batched
-    // partition-level decode (stubbed codec) → fixed-shape float features.
-    // No SQL oracle (binary + mapPartitions path): rows-only check +
-    // MultimodalSpec asserts determinism and shape.
+    // M1: multimodal feature extraction — REAL PNG payloads decoded with
+    // javax.imageio in a batched partition-level pass. The fixture's
+    // images are solid fills whose dims/color are analytic functions of
+    // the document row, so the oracle recomputes every decoded feature
+    // from `documents` in SQL: a content check of the decode itself.
     "m1_media_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Catalog.documents(s, dir))
       Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("kind"), col("width"), col("height"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feat_sum"),
-          size(col("features")).cast("long").as("feat_dim"))
+        .filter(col("kind") === "image")
+        .select(col("media_id"), col("kind"),
+          col("decoded_width"), col("decoded_height"), col("channels"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("mean_r"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("mean_g"),
+          round(element_at(col("features"), 3).cast("double"), 4).as("mean_b"))
         .orderBy(col("media_id"))
     }),
 
@@ -1185,6 +1189,19 @@ object PipelineQueries {
         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_exact,
         |  md5(array_to_string(list_sort(list_distinct(list_transform(sh, s -> md5(s))))[1:4], '|')) AS fp_sketch
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // the decode oracle: a correct javax.imageio decode of the solid-fill
+    // PNGs must return exactly these analytically-derived values
+    "m1_media_features" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(16 + doc_id % 48 AS INT) AS decoded_width,
+        |  CAST(16 + n_chars % 32 AS INT) AS decoded_height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
 
     "m2_frame_sample" ->
       """WITH media AS (

@@ -6,12 +6,40 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 import graft.sources.Catalog
 
-/** The multimodal path: binary payload plumbing is real (schema,
-  * partition-level batch iteration, fixed-shape float output); only the
-  * codec itself is a deterministic stub.
+/** The multimodal path: image payloads are REAL PNGs decoded through
+  * javax.imageio (content-checked); audio/video keep the deterministic
+  * stub codec over the same batched partition-level plumbing.
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
+
+  test("decodeImage recovers dimensions, channels, and exact pixel means") {
+    // hand-built 2×2 with four distinct pixels — means are channel
+    // averages over all pixels, not any single pixel
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.decodeImage(bos.toByteArray)
+    assert((d.width, d.height, d.channels) == (2, 2, 3))
+    assert(d.means.toSeq == Seq(63.75f, 63.75f, 63.75f)) // 255/4 per channel
+  }
+
+  test("syntheticPng roundtrips through the real decoder") {
+    val (id, nChars) = (42L, 1234L)
+    val d = Multimodal.decodeImage(Multimodal.syntheticPng(id, nChars))
+    assert(d.width == Multimodal.imageWidth(id))
+    assert(d.height == Multimodal.imageHeight(nChars))
+    val (r, g, b) = Multimodal.imageRgb(id)
+    assert(d.means.toSeq == Seq(r.toFloat, g.toFloat, b.toFloat)) // PNG is lossless
+  }
+
+  test("decodeImage fails loudly on undecodable bytes") {
+    intercept[RuntimeException] {
+      Multimodal.decodeImage("not an image".getBytes("UTF-8"))
+    }
+  }
 
   test("media table has the declared schema shape") {
     val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, SparkTestSession.sfDir))
@@ -31,14 +59,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(Array.empty[Byte]).toSeq == Seq.fill(16)(0f))
   }
 
-  test("extractFeatures preserves rows, drops bytes, emits array<float>[16]") {
+  test("extractFeatures preserves rows, drops bytes, routes codecs by kind") {
     val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, SparkTestSession.sfDir))
     val feats = Multimodal.extractFeatures(media)
     assert(feats.count() == media.count())
     assert(!feats.schema.fieldNames.contains("bytes"))
-    val row = feats.select(size(col("features"))).head()
-    assert(row.getInt(0) == 16)
-    // deterministic across runs (stub codec → same features)
+    // image rows: real decode → 3 channel means + decoded dims matching
+    // the metadata columns; stub kinds: 16 bins, null decoded fields
+    val dims = feats.groupBy(col("kind"), size(col("features")).as("dim"))
+      .count().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dims == Map("image" -> 3, "audio" -> 16, "video" -> 16))
+    assert(feats.filter(col("kind") === "image" &&
+      (col("decoded_width") =!= col("width") ||
+       col("decoded_height") =!= col("height"))).count() == 0)
+    assert(feats.filter(col("kind") =!= "image" && col("channels").isNotNull).count() == 0)
+    // deterministic across runs
     val a = feats.select("media_id", "features").orderBy("media_id").collect()
     val b = Multimodal.extractFeatures(media).select("media_id", "features").orderBy("media_id").collect()
     assert(a.sameElements(b))

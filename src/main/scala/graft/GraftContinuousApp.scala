@@ -87,7 +87,22 @@ object GraftContinuousApp {
         lit(null).cast("string").as("service"), col("speed_kmh").as("min_city_dist_km"),
         lit(1).as("atypical_city"), lit(0).as("atypical_ua"), lit(0).as("atypical_service"))
       .withColumn("detector", lit("impossibleTravel"))
+    // event-row fidelity (HogEvent.scala:61-82, HogAuth.scala:414-432):
+    // auth alerts carry the numeric signature of the family that fired
+    // (location/user-agent/service; the combined "Atypical user access"
+    // id when several fired at once), the username, and the city coords
     atypical.unionByName(travel)
+      .withColumn("signature_id",
+        when(col("detector") === "impossibleTravel",
+            lit(graft.detectors.SignatureCatalog.byDetector("impossibleTravel")))
+          .when(col("atypical_city") + col("atypical_ua") + col("atypical_service") > 1,
+            lit(826001204L)) // HZ/Auth: Atypical user access (HogAuth.scala:71)
+          .when(col("atypical_city") === 1, lit(826001201L))
+          .when(col("atypical_ua") === 1, lit(826001202L))
+          .otherwise(lit(826001203L)))
+      .withColumn("username", col("user_name"))
+      .join(broadcast(cityCoords.withColumnRenamed("coords", "coords_known")), Seq("city"), "left")
+      .withColumn("coords", col("coords_known")).drop("coords_known")
       .write.mode(SaveMode.Append).parquet(s"$outDir/auth_alerts")
 
     // learn pass: merge this batch into every family's histograms

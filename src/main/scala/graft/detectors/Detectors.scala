@@ -22,16 +22,21 @@ import graft.functions.NetFunctions
   *    (SURVEY §3.1 step 5's driver round-trips disappear);
   *  - every rollup is a hash aggregation with map-side partial combine.
   *
-  * Alert schema: (detector, my_ip, alien_ip?, metric, n_flows, note).
+  * Alert schema: (detector, my_ip, alien_ip?, metric, n_flows, note,
+  * ports?) — `ports` is the reference's rendered port field
+  * (HogEvent.scala:70 `event.ports`), populated by the same four
+  * detectors that set it there (HogSFlow.scala:269,295,381,553).
   */
 object Detectors {
 
   val FlowListLimit = 1000 // alert.maxFlowList
 
   private def alert(detector: String, myIp: Column, alienIp: Column,
-      metric: Column, nFlows: Column, note: Column): Seq[Column] = Seq(
+      metric: Column, nFlows: Column, note: Column,
+      ports: Column = lit(null).cast("string")): Seq[Column] = Seq(
     lit(detector).as("detector"), myIp.as("my_ip"), alienIp.as("alien_ip"),
-    metric.cast("double").as("metric"), nFlows.cast("long").as("n_flows"), note.as("note"))
+    metric.cast("double").as("metric"), nFlows.cast("long").as("n_flows"), note.as("note"),
+    ports.as("ports"))
 
   /** Effective (sampled) bytes both ways. */
   private val scaledBytes: Column =
@@ -275,7 +280,8 @@ object Detectors {
       .select(col("my_ip"),
         explode(HistogramFunctions.atypicalKeys(col("pbuckets"), col("buckets"))).as("port"))
       .select(alert("atypicalPorts", col("my_ip"), lit(null).cast("string"),
-        col("port").cast("double"), lit(1), concat(lit("atypical open port "), col("port"))): _*)
+        col("port").cast("double"), lit(1), concat(lit("atypical open port "), col("port")),
+        ports = concat(lit("TCP: "), col("port"))): _*)
   }
 
   /** The current-window HIST02 histogram: alien ports contacted per local
@@ -348,7 +354,8 @@ object Detectors {
       .select("my_ip", "port")
     candidates.join(confirming, Seq("my_ip", "port"), "left_semi")
       .select(alert("atypicalAlienPorts", col("my_ip"), lit(null).cast("string"),
-        col("port").cast("double"), lit(1), concat(lit("atypical alien port "), col("port"))): _*)
+        col("port").cast("double"), lit(1), concat(lit("atypical alien port "), col("port")),
+        ports = concat(lit("TCP: "), col("port"))): _*)
   }
 
   /** Atypical port on an alien /24 network (HIST05, HogSFlow.scala:1993-2113):
@@ -369,7 +376,8 @@ object Detectors {
         explode(HistogramFunctions.atypicalKeys(col("pbuckets"), col("buckets"))).as("port"))
       .select(alert("alienNetworkAtypicalPorts", lit(null).cast("string"), col("net"),
         col("port").cast("double"), lit(1),
-        concat(lit("atypical port on alien network "), col("port"))): _*)
+        concat(lit("atypical port on alien network "), col("port")),
+        ports = concat(lit("TCP: "), col("port"))): _*)
   }
 
   /** Current-window HIST05 build (HogSFlow.scala:1950-1991): per external
@@ -467,10 +475,16 @@ object Detectors {
     summary
       .filter(!FlowSummary.isLocalIp(col("alien_ip"), myNets))
       .groupBy("alien_ip")
-      .agg(countDistinct("my_ip").as("pairs"), count(lit(1)).as("nf"))
+      .agg(countDistinct("my_ip").as("pairs"), count(lit(1)).as("nf"),
+        // the rendered port set (HogEvent.ports via HogSFlow.scala:381);
+        // bounded: an alien sweeping every port would otherwise collect
+        // an unbounded set into one aggregation buffer
+        concat_ws(",", slice(sort_array(collect_set(col("my_port"))), 1, 20))
+          .as("ports_list"))
       .filter(col("pairs") > minPairs)
       .select(alert("alienAccess", lit(null).cast("string"), col("alien_ip"),
-        col("pairs"), col("nf"), lit("alien touching many local hosts")): _*)
+        col("pairs"), col("nf"), lit("alien touching many local hosts"),
+        ports = concat(lit("Ports: "), col("ports_list"))): _*)
 
   /** UDP amplification reflector (A3, HogSFlow.scala:2155-2191): UDP from
     * an amplification service port with a huge packet count and
@@ -575,7 +589,8 @@ object Detectors {
         element_at(col("pbuckets"), col("port")) < col("pairs").cast("double"))
       .select(alert("hPortScan", col("my_ip"), lit(null).cast("string"),
         col("pairs"), col("nf"),
-        concat(lit("horizontal scan beyond learned max on port "), col("port"))): _*)
+        concat(lit("horizontal scan beyond learned max on port "), col("port")),
+        ports = concat(lit("Ports: "), col("port"))): _*)
   }
 
   /** Per-(my_ip, alien_ip) distinct-low-port counts feeding HIST08 and the

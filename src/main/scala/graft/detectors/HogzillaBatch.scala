@@ -115,12 +115,25 @@ object HogzillaBatch {
     val detailAlien = Detectors.flowDetail(summary,
       bare.filter(col("my_ip").isNull && col("alien_ip").isNotNull), "alien_ip")
       .withColumnRenamed("flows_detail", "flows_detail_alien")
+    // event-row fidelity (HogEvent.scala:61-82): every alert carries the
+    // reference's numeric signature (id/title/priority — broadcast join
+    // against the in-code catalog) plus the ports/username/coords columns
+    // the events table schema has. Flow alerts never carry username/coords
+    // (only the auth pipeline populates them — HogAuth.scala:414-432), so
+    // they are typed nulls here; osDiscovery keeps a null signature_id
+    // because the reference routes OS findings to inventory, not events.
     val withDetail = bare
       .join(detailMy, Seq("my_ip"), "left")
       .join(detailAlien, Seq("alien_ip"), "left")
       .withColumn("flows", coalesce(col("flows_detail"), col("flows_detail_alien")))
       .drop("flows_detail", "flows_detail_alien")
-      .select("detector", "my_ip", "alien_ip", "metric", "n_flows", "note", "flows")
+      .join(broadcast(SignatureCatalog.detectorLookup(spark)), Seq("detector"), "left")
+      .withColumn("title", col("signature_name"))
+      .withColumn("priority", col("signature_priority"))
+      .withColumn("username", lit(null).cast("string"))
+      .withColumn("coords", lit(null).cast("string"))
+      .select("signature_id", "detector", "title", "priority", "my_ip", "alien_ip",
+        "metric", "n_flows", "note", "ports", "username", "coords", "flows")
 
     // learn pass: current-window histograms merged into the profiles
     // (decayed weighted mean, cold-start-safe) — S6's delete+put upsert

@@ -98,6 +98,19 @@ object StateQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // SIG1: the seeded numeric signature catalog (HogSignature.scala:32,
+    // seeded per detector at HogSFlow.scala:61-77 etc.) — seeding twice
+    // must be a no-op (saveHBase only puts absent rowkeys), and a
+    // pre-existing row must survive re-seeding with its exact values.
+    "sig1_catalog" -> ((s, dir) => {
+      import graft.detectors.SignatureCatalog
+      val pre = SignatureCatalog.catalog(s)
+        .filter(col("signature_id") === 826001001L)
+        .withColumn("signature_revision", lit(7)) // operator-edited row
+      val seeded = SignatureCatalog.seed(s, SignatureCatalog.seed(s, pre))
+      seeded.orderBy(col("signature_id"), col("signature_name"))
+    }),
+
     // S7b: last-write-wins upsert (inventory/sensor sink semantics,
     // HogHBaseInventory.scala:40-49): batch rows replace matching state
     // rows, unmatched state survives, replay is a no-op.
@@ -114,7 +127,30 @@ object StateQueries {
     }),
   )
 
+  /** Expected catalog after sig1's double seed: the operator-edited
+    * 826001001 row (revision 7) survives re-seeding; everything else is
+    * the declared catalog verbatim.
+    */
+  private def sig1OracleSql: String = {
+    val rows = graft.detectors.SignatureCatalog.all.map { s =>
+      val rev = if (s.signature_id == 826001001L) 7 else s.signature_revision
+      s"(${s.signature_id}, ${s.signature_class}, '${s.signature_name}', " +
+        s"${s.signature_priority}, $rev, ${s.signature_group_id})"
+    }.mkString(",\n")
+    s"""SELECT CAST(signature_id AS BIGINT) AS signature_id,
+       |  CAST(signature_class AS INT) AS signature_class, signature_name,
+       |  CAST(signature_priority AS INT) AS signature_priority,
+       |  CAST(signature_revision AS INT) AS signature_revision,
+       |  CAST(signature_group_id AS INT) AS signature_group_id
+       |FROM (VALUES
+       |$rows) AS t(signature_id, signature_class, signature_name,
+       |  signature_priority, signature_revision, signature_group_id)
+       |ORDER BY signature_id, signature_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sig1_catalog" -> sig1OracleSql,
+
     "s7_signature_upsert" ->
       """WITH state AS (
         |  SELECT c_custkey, c_name, 'v1' AS rev FROM customer WHERE c_custkey % 3 <> 0),

@@ -25,6 +25,18 @@ class GraftAppSpec extends AnyFunSuite {
     GraftApp.run(spark, samplesPath, stateDir, outDir, Seq("10.0."))
     val alerts1 = spark.read.parquet(s"$outDir/alerts")
     assert(alerts1.filter(col("detector") === "topTalkers").count() >= 1)
+    // event-row fidelity: the alert schema is a superset of the
+    // reference's events-table columns (HogEvent.scala:61-82)
+    val required = Set("signature_id", "detector", "title", "priority",
+      "my_ip", "alien_ip", "metric", "n_flows", "note", "ports",
+      "username", "coords", "flows")
+    assert(required.subsetOf(alerts1.schema.fieldNames.toSet),
+      s"missing: ${required -- alerts1.schema.fieldNames.toSet}")
+    // and detector rows resolve to their reference signature ids
+    val tt = alerts1.filter(col("detector") === "topTalkers").head()
+    assert(tt.getAs[Long]("signature_id") == 826001001L)
+    assert(tt.getAs[String]("title") == "HZ: Top talker identified")
+    assert(tt.getAs[Int]("priority") == 2)
     // profile families materialized into the state dir
     assert(new java.io.File(s"$stateDir/hist01").exists())
     val size1 = spark.read.parquet(s"$stateDir/hist01")
@@ -37,8 +49,9 @@ class GraftAppSpec extends AnyFunSuite {
     val size2 = spark.read.parquet(s"$stateDir/hist01")
       .agg(sum(col("size"))).head().getLong(0)
     assert(size2 > size1, s"hist01 size should advance: $size1 -> $size2")
-    // no staging/old leftovers after a clean swap
-    val leftovers = new java.io.File(stateDir).list().filter(n => n.startsWith(".staging") || n.startsWith(".old"))
+    // no staging/old/marker leftovers after a clean swap
+    val leftovers = new java.io.File(stateDir).list().filter(n =>
+      n.endsWith(".staging") || n.endsWith(".old") || n.endsWith(".swap"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 }

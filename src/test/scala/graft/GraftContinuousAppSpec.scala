@@ -41,6 +41,11 @@ class GraftContinuousAppSpec extends AnyFunSuite {
     val a2 = spark.read.parquet(s"$outDir/auth_alerts")
     val atyp = a2.filter(col("detector") === "atypicalAccess").collect()
     assert(atyp.length == 1 && atyp.head.getAs[Int]("atypical_city") == 1)
+    // event-row fidelity: numeric signature of the family that fired,
+    // username, and the learned city coords (HogEvent.scala:61-82)
+    assert(atyp.head.getAs[Long]("signature_id") == 826001201L)
+    assert(atyp.head.getAs[String]("username") == "alice")
+    assert(atyp.head.getAs[String]("coords") == berlin)
     // impossible travel only sees within-batch consecutive logins; batch 2
     // has a single row, so the alert (if any) must come from batch 1 — none
     assert(a2.filter(col("detector") === "impossibleTravel").count() == 0)

@@ -70,23 +70,23 @@ object Detectors {
     * flowSet in a driver HashSet. `array_sort` over (rank, line) structs
     * restores the display order deterministically regardless of how the
     * aggregation interleaves partitions. Returns (keyCol, flows_detail).
+    *
+    * ONE window pass: Spark's InsertWindowGroupLimit turns the
+    * row_number+filter pattern into a map-side partial top-K (local Sort
+    * + WindowGroupLimit BEFORE the exchange), so a hot alerted host ships
+    * at most `limit` rows per input partition to its reducer — the same
+    * skew bound a hand-written two-phase rank gives, with one exchange
+    * and one global sort instead of two of each. The render groupBy then
+    * reuses the window's hash partitioning (no further exchange).
     */
   def flowDetail(summary: DataFrame, keys: DataFrame, keyCol: String = "my_ip",
       limit: Int = FlowListLimit): DataFrame = {
-    def order(w: org.apache.spark.sql.expressions.WindowSpec) =
-      w.orderBy((col("bytes_up") + col("bytes_down")).desc,
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy((col("bytes_up") + col("bytes_down")).desc,
         col("alien_ip"), col("alien_port"), col("my_ip"), col("my_port"), col("proto"))
-    val pruned = summary
+    summary
       .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
-      // phase 1: top-limit within (key, input partition) — full-width
-      // parallelism and no skew concentration; a hot alerted host never
-      // funnels all its flows through one task just to rank them
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__prn", row_number().over(order(Window.partitionBy(col(keyCol), col("__pid")))))
-      .filter(col("__prn") <= limit)
-    // phase 2: exact global rank over the ≤ limit·partitions survivors
-    pruned
-      .withColumn("__rn", row_number().over(order(Window.partitionBy(col(keyCol)))))
+      .withColumn("__rn", row_number().over(order))
       .filter(col("__rn") <= limit)
       .withColumn("__line", flowLine)
       .groupBy(col(keyCol))

@@ -18,6 +18,38 @@ object ScalarQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** 12 real-world user-agent strings with their known-correct parse
+    * (browser_family, browser_major, os_family, device_class) — the p9
+    * fixture AND its oracle's expected constants. Public example UAs of
+    * the major browser/OS/device combinations.
+    */
+  val RealWorldUas: Seq[(String, (String, String, String, String))] = Seq(
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+      ("Chrome", "120", "Windows", "desktop")),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:115.0) Gecko/20100101 Firefox/115.0",
+      ("Firefox", "115", "Linux", "desktop")),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+      ("Safari", "17", "macOS", "desktop")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+      ("Edge", "120", "Windows", "desktop")),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.144 Mobile Safari/537.36",
+      ("Chrome", "120", "Android", "mobile")),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+      ("Safari", "17", "iOS", "mobile")),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/120.0.6099.119 Mobile/15E148 Safari/604.1",
+      ("Chrome Mobile iOS", "120", "iOS", "mobile")),
+    ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+      ("Samsung Internet", "23", "Android", "mobile")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0",
+      ("Opera", "105", "Windows", "desktop")),
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+      ("IE", "11", "Windows", "desktop")),
+    ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; Googlebot/2.1; +http://www.google.com/bot.html) Chrome/120.0.6099.129 Safari/537.36",
+      ("Googlebot", "2", "Other", "bot")),
+    ("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+      ("Safari", "16", "iOS", "tablet")),
+  )
+
   val queries: Map[String, Q] = Map(
     // F2: haversine over "lat,lon" coordinate strings incl. the 9.99e8
     // malformed-input sentinel (HogGeograph.scala:35-58). Distances are
@@ -94,6 +126,25 @@ object ScalarQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // P9: real-world UA parsing through the ordered uap-style rule chain
+    // (functions/UaParser). The fixture cycles 12 REAL browser/bot UA
+    // strings — each full of decoy tokens (Edge says Chrome, Chrome says
+    // Safari, iPhone says Mac OS X) — and the oracle pins the known-
+    // correct families as constants per index: the parse itself is what
+    // is being checked, not a SQL re-implementation of it.
+    "p9_ua_families" -> ((s, dir) => {
+      val uaArr = array(RealWorldUas.map(u => lit(u._1)): _*)
+      val idx = (col("c_custkey") % RealWorldUas.size).cast("int")
+      Catalog.customer(s, dir)
+        .select(col("c_custkey"), element_at(uaArr, idx + lit(1)).as("ua"))
+        .select(col("c_custkey"),
+          graft.functions.UaParser.browserFamily(col("ua")).as("browser_family"),
+          graft.functions.UaParser.browserMajor(col("ua")).as("browser_major"),
+          graft.functions.UaParser.osFamily(col("ua")).as("os_family"),
+          graft.functions.UaParser.deviceClass(col("ua")).as("device_class"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // F11 (beyond-reference): semi-structured extraction — JSON path into
     // a string column (the typed version of the reference's stringly row
     // maps). get_json_object is codegen'd; the avg derives from the exact
@@ -125,7 +176,26 @@ object ScalarQueries {
     }),
   )
 
+  /** p9's oracle: the parse targets are pinned as constants per fixture
+    * index — DuckDB never re-runs the regexes, it asserts the known-
+    * correct families for each real UA string.
+    */
+  private def p9OracleSql: String = {
+    val n = RealWorldUas.size
+    def caseOver(pick: ((String, String, String, String)) => String, alias: String) =
+      RealWorldUas.zipWithIndex.map { case ((_, exp), i) =>
+        s"WHEN $i THEN '${pick(exp)}'"
+      }.mkString(s"CASE c_custkey % $n ", " ", s" END AS $alias")
+    s"""SELECT c_custkey,
+       |  ${caseOver(_._1, "browser_family")},
+       |  ${caseOver(_._2, "browser_major")},
+       |  ${caseOver(_._3, "os_family")},
+       |  ${caseOver(_._4, "device_class")}
+       |FROM customer ORDER BY c_custkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "p9_ua_families" -> p9OracleSql,
     "f11_json_extract" ->
       """WITH k AS (
         |  SELECT event_type,

@@ -118,20 +118,28 @@ object Dedup {
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Exact n-gram Jaccard verification of candidate pairs. The candidate
-    * set is tiny after LSH, so the raw TEXT (cheap) is joined to the pairs
-    * and shingle sets are built per candidate — that's 2·|candidates|
-    * shingle computations instead of re-shingling the whole corpus on
-    * both join sides.
+  /** Exact n-gram Jaccard verification of candidate pairs. Shingle sets
+    * are computed ONCE PER DOCUMENT over the set of docs that appear in
+    * any candidate pair (left_semi prune), then joined onto the pairs —
+    * never per pair. This matters precisely when dedup matters: in a
+    * clone-heavy corpus a document sits in O(cloneGroup) candidate pairs,
+    * and building its shingle set per pair turns the verify stage
+    * quadratic in clone-group size (observed 110× blowup at a 10×
+    * scale-up of a fully-duplicated corpus; per-doc precompute restores
+    * ~linear cost — the same fix simhashCandidatePairs carries).
     */
   def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
-    val texts = df.select(col("doc_id"), col("text"))
-    val cands = lshCandidatePairs(df)
-    val shd = (t: Column) => array_distinct(shingles(tokens(t), ShingleSize))
+    // the pair list feeds both the doc-set prune and the verify join;
+    // cache it (it's the small post-LSH set) so minhashing runs once
+    val cands = lshCandidatePairs(df).cache()
+    val docsInPairs = cands.select(col("doc1").as("doc_id"))
+      .union(cands.select(col("doc2").as("doc_id"))).distinct()
+    val shingleSets = df.join(docsInPairs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), ShingleSize)).as("sh"))
     cands
-      .join(texts.select(col("doc_id").as("doc1"), col("text").as("t1")), Seq("doc1"))
-      .join(texts.select(col("doc_id").as("doc2"), col("text").as("t2")), Seq("doc2"))
-      .withColumn("sh1", shd(col("t1"))).withColumn("sh2", shd(col("t2")))
+      .join(shingleSets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
+      .join(shingleSets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))

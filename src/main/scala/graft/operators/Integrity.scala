@@ -45,6 +45,12 @@ object Integrity {
     */
   def qualityReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "qualityReport needs at least one rule")
+    // the rule names become map keys below; duplicates would otherwise
+    // surface as an opaque runtime duplicate-map-key error
+    // (spark.sql.mapKeyDedupPolicy defaults to EXCEPTION)
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"qualityReport rule names must be unique; duplicates: " +
+        rules.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
     // internal columns are index-named: a rule DISPLAY name with dots or
     // spaces must never reach col()'s nested-field parser
     val counts = df.agg(

@@ -135,13 +135,21 @@ object ScalarQueries {
     "p9_ua_families" -> ((s, dir) => {
       val uaArr = array(RealWorldUas.map(u => lit(u._1)): _*)
       val idx = (col("c_custkey") % RealWorldUas.size).cast("int")
-      Catalog.customer(s, dir)
+      val withUa = Catalog.customer(s, dir)
         .select(col("c_custkey"), element_at(uaArr, idx + lit(1)).as("ua"))
-        .select(col("c_custkey"),
+      // dimension extraction: run the ~35-regex rule chain once per
+      // DISTINCT UA string, broadcast the tiny parsed dimension back —
+      // real UA columns have cardinality ≪ row count, so this is the
+      // shape that survives a 100× fact-table scale-up
+      val parsed = withUa.select(col("ua")).distinct()
+        .select(col("ua"),
           graft.functions.UaParser.browserFamily(col("ua")).as("browser_family"),
           graft.functions.UaParser.browserMajor(col("ua")).as("browser_major"),
           graft.functions.UaParser.osFamily(col("ua")).as("os_family"),
           graft.functions.UaParser.deviceClass(col("ua")).as("device_class"))
+      withUa.join(broadcast(parsed), Seq("ua"))
+        .select(col("c_custkey"), col("browser_family"), col("browser_major"),
+          col("os_family"), col("device_class"))
         .orderBy(col("c_custkey"))
     }),
 

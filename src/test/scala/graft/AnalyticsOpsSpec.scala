@@ -117,6 +117,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == Map("k.negative check" -> 1L, "s.null" -> 1L))
   }
 
+  test("qualityReport rejects duplicate rule names with a clear message") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Integrity.qualityReport(df, Seq(
+        "dup" -> (col("k") < 0), "dup" -> col("s").isNull))
+    }
+    assert(e.getMessage.contains("dup"))
+  }
+
   test("prunedRangeScan equals the plain filter and prunes buckets") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i.toLong, i / 100)).toDF("v", "grp")

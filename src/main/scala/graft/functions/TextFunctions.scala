@@ -152,6 +152,48 @@ object TextFunctions {
     round(lenScore * 0.4 + wordScore * 0.3 + least(stop * 5.0, lit(1.0)) * 0.3, 6)
   }
 
+  /** The published Gopher document-quality rules (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", §A1.1 — public paper) as one
+    * struct of integer pass-flags, all computed in a single projection
+    * over (text, toks, lines):
+    *  1. word count in [minWords, maxWords]
+    *  2. mean word length in [3, 10]
+    *  3. hash/ellipsis symbol-to-word ratio ≤ 0.1
+    *  4. < 90% of lines start with a bullet
+    *  5. < 30% of lines end with an ellipsis
+    *  6. ≥ 80% of words contain an alphabetic character
+    *  7. at least `minStopwords` distinct common-word hits
+    * Flags are ints (not booleans) so the frame hashes identically across
+    * engines; `keep` is the conjunction.
+    */
+  def gopherFlags(text: Column, toks: Column, minWords: Int = 50,
+      maxWords: Int = 100000, minStopwords: Int = 2): Column = {
+    val nWords = size(toks).cast("double")
+    val meanLen = coalesce(length(array_join(toks, "")).cast("double") / nWords, lit(0.0))
+    def occurrences(needle: String) =
+      (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
+        .cast("double") / needle.length
+    val symbolRatio = (occurrences("#") + occurrences("...") + occurrences("…")) / nWords
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val nLines = greatest(size(lines).cast("double"), lit(1.0))
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("double")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("double")
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+    val stopHits = size(array_intersect(toks,
+      typedLit(LangProfiles.flatMap(_._2).distinct))).cast("int")
+    val f = (c: Column) => c.cast("int")
+    struct(
+      f(nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
+      f(meanLen >= 3 && meanLen <= 10).as("ok_mean_word_len"),
+      f(coalesce(symbolRatio <= 0.1, lit(false))).as("ok_symbol_ratio"),
+      f(bulletLines / nLines < 0.9).as("ok_bullets"),
+      f(ellipsisLines / nLines < 0.3).as("ok_ellipses"),
+      f(coalesce(alphaWords / nWords, lit(0.0)) >= 0.8).as("ok_alpha_words"),
+      f(stopHits >= minStopwords).as("ok_stopwords"))
+  }
+
   /** Sketch fingerprint: md5 over the k lexicographically-smallest distinct
     * shingle hashes (a winnowing-style content signature robust to small
     * edits at the end of the document).

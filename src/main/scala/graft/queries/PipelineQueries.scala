@@ -493,6 +493,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T20: the published Gopher document-quality rules (Rae et al. 2021
+    // §A1.1) as per-doc integer pass-flags + the conjunctive keep bit —
+    // the rule-based filter pass every large-corpus curation pipeline
+    // runs before model-based scoring. One projection, no shuffle.
+    "t20_gopher_rules" -> ((s, dir) => {
+      val g = gopherFlags(col("text"), tokens(col("text")))
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), g.as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .withColumn("keep",
+          (col("ok_word_count") * col("ok_mean_word_len") * col("ok_symbol_ratio")
+            * col("ok_bullets") * col("ok_ellipses") * col("ok_alpha_words")
+            * col("ok_stopwords")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T4: document fingerprints — exact (normalized md5) and sketch
     // (md5 of the 4 smallest distinct shingle hashes, winnowing-style).
     "t4_fingerprint" -> ((s, dir) => {
@@ -1061,6 +1077,42 @@ object PipelineQueries {
         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
         |c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1)
         |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "t20_gopher_rules" -> {
+      val stops = graft.functions.TextFunctions.LangProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |    CAST(len(toks) AS DOUBLE) AS nw,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+        |      ELSE 0 END AS mean_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |       + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3
+        |       + CAST(length(text) - length(replace(text, '…', '')) AS DOUBLE))
+        |      / len(toks) END AS sym_ratio,
+        |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lines,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS alpha_w,
+        |    len(list_filter(list_distinct(toks), x -> list_contains($stops, x))) AS stop_hits
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(nw >= 50 AND nw <= 100000 AS INT) AS ok_word_count,
+        |    CAST(mean_len >= 3 AND mean_len <= 10 AS INT) AS ok_mean_word_len,
+        |    CAST(COALESCE(sym_ratio <= 0.1, FALSE) AS INT) AS ok_symbol_ratio,
+        |    CAST(CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%')) AS DOUBLE)
+        |         / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) < 0.9 AS INT) AS ok_bullets,
+        |    CAST(CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE)
+        |         / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) < 0.3 AS INT) AS ok_ellipses,
+        |    CAST(COALESCE(alpha_w / NULLIF(nw, 0), 0) >= 0.8 AS INT) AS ok_alpha_words,
+        |    CAST(stop_hits >= 2 AS INT) AS ok_stopwords
+        |  FROM m)
+        |SELECT *, ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_bullets
+        |  * ok_ellipses * ok_alpha_words * ok_stopwords AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "d10_blocked_editdist" ->
       """WITH p AS (

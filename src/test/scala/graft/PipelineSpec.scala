@@ -244,6 +244,34 @@ class PipelineSpec extends AnyFunSuite {
       (9L, 9L, 9L, true)))
   }
 
+  test("gopherFlags: each rule fires on its targeted degenerate document") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over a lazy dog and " * 6) + "ends here").trim
+    val docs = Seq(
+      1L -> good,                                          // passes everything
+      2L -> "too short",                                   // word count
+      3L -> ("supercalifragilisticexpialidocious " * 60).trim, // mean word len, stopwords
+      4L -> (("the and of " * 20) + "# ## ### #### ##### ###### ####### ########").trim, // symbol ratio
+      5L -> (1 to 10).map(i => s"- the bullet item $i of a list").mkString("\n"), // bullets
+      6L -> (("the a of and is " * 12).trim.split(" ").grouped(6).map(_.mkString(" ") + "...").mkString("\n")), // ellipses
+      7L -> (("123 456 789 0 " * 15) + "the a of").trim)   // alpha words
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.gopherFlags(col("text"),
+          graft.functions.TextFunctions.tokens(col("text")), minWords = 10).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+      .toMap
+    assert(out(1L) == (1, 1, 1, 1, 1, 1, 1))
+    assert(out(2L)._1 == 0, "word count")
+    assert(out(3L)._2 == 0 && out(3L)._7 == 0, "mean word length + stopwords")
+    assert(out(4L)._3 == 0, "symbol ratio")
+    assert(out(5L)._4 == 0, "bullet lines")
+    assert(out(6L)._5 == 0, "ellipsis lines")
+    assert(out(7L)._6 == 0, "alpha words")
+  }
+
   test("copurchasePairs drops degenerate baskets past the size cap") {
     import spark.implicits._
     // order 1: a plain 3-item basket → 3 pairs; order 2: a degenerate

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: no query may introduce a cartesian
+  * product or an unexpected broadcast nested-loop join. BNLJ is only
+  * acceptable when the broadcast side is tiny BY CONSTRUCTION — the
+  * allowlist below names each such query and why it qualifies. A new
+  * query landing here must either fix its plan or argue its way into
+  * the list.
+  */
+class PlanDisciplineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Queries whose BroadcastNestedLoopJoin is a deliberate small-side
+    * broadcast (non-equi or scalar-stats joins that cannot be hash
+    * joins, with a provably bounded build side):
+    *  - a9_znorm, h4_kl_divergence, t12_bm25, t13_lm_score: crossJoin of
+    *    a ONE-ROW global-stats frame onto the fact side;
+    *  - j1_prefix_semijoin: startsWith against the fixed myNets prefix
+    *    list (a handful of strings);
+    *  - j8_longest_prefix: dictionary-prefix match, broadcast side is the
+    *    (small) prefix dictionary;
+    *  - v1_knn_brute: the documented all-pairs recall baseline — the
+    *    broadcast side is the bounded query set;
+    *  - v4_ivf_topk, v5_int8_knn: ANN probes joining the bounded query
+    *    set against candidate cells.
+    */
+  private val allowedBnlj = Set(
+    "a9_znorm", "h4_kl_divergence", "t12_bm25", "t13_lm_score",
+    "j1_prefix_semijoin", "j8_longest_prefix",
+    "v1_knn_brute", "v4_ivf_topk", "v5_int8_knn")
+
+  test("no cartesian products; BNLJ only on the allowlisted tiny-broadcast queries") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, SparkTestSession.sfDir).queryExecution.executedPlan.toString()
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name))
+        Seq(s"$name: unexpected BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

@@ -240,16 +240,22 @@ object SimilaritySearch {
     * Output: (vec_id, sub, code, err) — err the subvector's squared
     * reconstruction distance, rounded.
     */
-  def pqCodes(corpus: DataFrame, partitionCol: String, nSub: Int, dim: Int): DataFrame = {
-    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
-    val subDim = dim / nSub
-    // subspace centroids, long form: (code, sub, j, c) — j inside the sub
-    val cent = ivfCentroids(corpus, partitionCol)
+  /** Per-(code, sub) subspace centroid vectors — the PQ codebook shared
+    * by [[pqCodes]] (encode) and [[pqAdcTopK]] (query-time LUT).
+    */
+  private def subspaceCentroids(corpus: DataFrame, partitionCol: String,
+      subDim: Int): DataFrame =
+    ivfCentroids(corpus, partitionCol)
       .select(col("part").as("code"), (col("i") / subDim).cast("int").as("sub"),
         pmod(col("i"), lit(subDim)).cast("int").as("j"), col("c"))
       .groupBy(col("code"), col("sub"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
         e => e.getField("c")).as("cvec"))
+
+  def pqCodes(corpus: DataFrame, partitionCol: String, nSub: Int, dim: Int): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val cent = subspaceCentroids(corpus, partitionCol, subDim)
     val subs = corpus
       .select(col("vec_id"), explode(sequence(lit(0), lit(nSub - 1))).as("sub"),
         col("embedding"))
@@ -267,6 +273,51 @@ object SimilaritySearch {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
         col("code").cast("long").as("code"), col("err"))
+  }
+
+  /** ADC (asymmetric distance computation) top-K over PQ codes — the
+    * query path that makes product quantization useful: each query builds
+    * a lookup table of squared distances from its OWN subvectors to every
+    * subspace centroid (nSub × nCodes entries — tiny, broadcast), the
+    * corpus side contributes only its (sub, code) byte codes, and the
+    * approximate distance is the per-subspace LUT sum. The corpus' full
+    * vectors are never touched at query time — ~1 byte/vec/sub of state
+    * versus 4·dim — which is exactly how a 100 TB embedding store answers
+    * ANN queries from RAM. Asymmetric: the query side stays exact, only
+    * the corpus side is quantized, so the error is one-sided.
+    *
+    * Distances round to 6 dp at both the LUT and the summed level (the
+    * ivfCentroids portability contract); ranks tie-break on vec_id.
+    * Output: (query_id, vec_id, adc, rank), rank ≤ k per query.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, partitionCol: String,
+      k: Int, nSub: Int, dim: Int): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val codes = pqCodes(corpus, partitionCol, nSub, dim)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        col("code").cast("int").as("code"))
+    val cent = subspaceCentroids(corpus, partitionCol, subDim)
+      .withColumn("code", col("code").cast("int"))
+    val qsubs = queries
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("embedding"))
+      .select(col("query_id"), col("sub"),
+        transform(sequence(lit(0), lit(subDim - 1)),
+          j => element_at(col("embedding"), col("sub") * subDim + j + 1).cast("double"))
+          .as("sv"))
+    val sq = aggregate(
+      zip_with(col("sv"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, d) => acc + d)
+    val lut = qsubs.join(broadcast(cent), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"), round(sq, 6).as("d"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("d")), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rank").cast("long").as("rank"))
   }
 
   /** Multi-probe LSH ANN: each query searches its own hyperplane bucket

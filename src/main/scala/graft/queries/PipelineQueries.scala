@@ -100,6 +100,16 @@ object PipelineQueries {
 
     // V4: IVF probe search — score ≤10 centroids per query, probe the 2
     // nearest partitions, exact-search only those (partition-pruned ANN).
+    // V8: IVF-PQ ADC top-k — query-side distance LUT against the PQ
+    // codebook, corpus contributes only its codes (the RAM-resident ANN
+    // query path for a quantized embedding store).
+    "v8_ivfpq_adc" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      SimilaritySearch.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), "label",
+          k = 5, nSub = 8, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v4_ivf_topk" -> ((s, dir) => {
       val emb = Catalog.embeddings(s, dir)
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "label",
@@ -1031,6 +1041,44 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY vec_id, sub ORDER BY err, code) AS rk FROM scored) t
         |WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    "v8_ivfpq_adc" ->
+      """WITH centl AS (
+        |  SELECT label AS code, i,
+        |    ROUND(AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 6) AS c
+        |  FROM embeddings CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT code, CAST(i // 8 AS INT) AS sub, list(c ORDER BY i) AS cvec
+        |  FROM centl GROUP BY 1, 2),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, CAST(s AS INT) AS sub, v[CAST(s*8+1 AS INT) : CAST(s*8+8 AS INT)] AS sv
+        |  FROM v CROSS JOIN range(0, 8) r(s)),
+        |scored AS (
+        |  SELECT vec_id, sub, code,
+        |    ROUND(list_sum(list_transform(range(1, 9),
+        |      j -> (sv[j] - cvec[j]) * (sv[j] - cvec[j]))), 6) AS err
+        |  FROM subs JOIN cent USING (sub)),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY err, code) AS rk FROM scored) t
+        |  WHERE rk = 1),
+        |qsubs AS (
+        |  SELECT vec_id AS query_id, sub, sv FROM subs WHERE vec_id < 10),
+        |lut AS (
+        |  SELECT query_id, sub, code,
+        |    ROUND(list_sum(list_transform(range(1, 9),
+        |      j -> (sv[j] - cvec[j]) * (sv[j] - cvec[j]))), 6) AS d
+        |  FROM qsubs JOIN cent USING (sub)),
+        |adc AS (
+        |  SELECT query_id, vec_id, ROUND(SUM(d), 6) AS adc
+        |  FROM codes JOIN lut USING (sub, code) GROUP BY 1, 2)
+        |SELECT query_id, vec_id, adc, CAST(rk AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM adc) t
+        |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "v3_ivf_centroids" ->
       """SELECT label AS part, i,

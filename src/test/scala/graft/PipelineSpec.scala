@@ -244,6 +244,22 @@ class PipelineSpec extends AnyFunSuite {
       (9L, 9L, 9L, true)))
   }
 
+  test("pqAdcTopK: self-retrieval at rank 1, k rows per query, adc ascending") {
+    val emb = graft.sources.Catalog.embeddings(spark, SparkTestSession.sfDir)
+    val out = SimilaritySearch.pqAdcTopK(emb, emb.filter(col("vec_id") < 5),
+        "label", k = 5, nSub = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == (0L until 5L).toSet && byQuery.values.forall(_.length == 5))
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      // a corpus vector's quantized distance to its own query vector is
+      // minimal — rank 1 must be the query itself
+      assert(sorted.head._2 == q, s"query $q should self-retrieve")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq, "adc ascending")
+    }
+  }
+
   test("gopherFlags: each rule fires on its targeted degenerate document") {
     import spark.implicits._
     val good = (("the quick brown fox jumps over a lazy dog and " * 6) + "ends here").trim

@@ -84,6 +84,31 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Streaming-safe (row-local) form of [[lshBands]]: identical
+    * (doc_id, band, sig) output, computed entirely with array HOFs — no
+    * window, no groupBy — so it runs as a per-row projection inside a
+    * Structured Streaming query (the stream side of a stream-static
+    * candidate join). [[lshBands]] remains the batch corpus-side form:
+    * its codegen min-aggregates beat interpreted array lambdas at corpus
+    * scale, but need shuffles a stream projection can't have.
+    */
+  def lshBandsLocal(df: DataFrame): DataFrame = {
+    val hs = transform(shingles(tokens(col("text")), ShingleSize), s => contentHash(s))
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % HashMod)).as(s"mh$i")
+    }
+    val bands = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
+    }
+    df.select(col("doc_id"), col("text"))
+      .withColumn("hs", hs)
+      .filter(size(col("hs")) > 0) // <ShingleSize tokens ⇒ no signature (lshBands parity)
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** Candidate near-dup pairs from LSH: ONE shuffle on (band, sig), then
     * pairs expand row-locally inside each bucket — cheaper than a
     * self-join (which would recompute every minhash twice) and quadratic

@@ -568,11 +568,14 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- oracles
 
-  /** Shared SQL fragments (DuckDB 1.0): tokens / shingles / bit-of-md5. */
-  private val toksSql =
+  /** Shared SQL fragments (DuckDB 1.0): tokens / shingles / bit-of-md5.
+    * `private[queries]` so sibling oracle modules (StreamingQueries' st7)
+    * can reuse the exact same cross-engine fragments.
+    */
+  private[queries] val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  private def shinglesSql(toks: String) =
+  private[queries] def shinglesSql(toks: String) =
     s"[array_to_string($toks[i:i+2], ' ') for i in range(1, len($toks)-1)]"
 
   /** The minhash permutation list, generated from the SAME constants the
@@ -589,8 +592,8 @@ object PipelineQueries {
   private val contentHashSql: String =
     s"[('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.operators.Dedup.HashMod} for s in sh]"
 
-  /** bands CTE shared by d2/d4 (expects a CTE `sh(doc_id, sh)`). */
-  private val bandsSql: String =
+  /** bands CTE shared by d2/d4/st7 (expects a CTE `sh(doc_id, sh)`). */
+  private[queries] val bandsSql: String =
     s"""mh AS (
        |  SELECT doc_id, $minhashListSql AS mhs
        |  FROM (SELECT doc_id, $contentHashSql AS hs FROM sh WHERE len(sh) >= 1)),

@@ -90,9 +90,35 @@ object StreamingQueries {
       StreamingJobs.runToTable(s, StreamingJobs.purchaseClickJoin(stream), OutputMode.Append)
         .orderBy(col("purchase_id"), col("click_id"))
     }),
+
+    // ST7: stream-static near-dup screening — incoming docs (streamed)
+    // LSH-banded row-locally and joined against the static corpus band
+    // index; canonical pair + distinct applied on the materialized
+    // result (batch land), where they're cheap and stateless.
+    "st7_stream_neardup" -> ((s, dir) => {
+      val corpusBands = graft.operators.Dedup.lshBands(
+        graft.sources.Catalog.documents(s, dir))
+      val stream = StreamingJobs.documentsStream(s, dir)
+      StreamingJobs.runToTable(s,
+          StreamingJobs.streamNearDupCandidates(stream, corpusBands), OutputMode.Append)
+        .select(least(col("doc_id"), col("match_id")).as("doc1"),
+          greatest(col("doc_id"), col("match_id")).as("doc2"))
+        .distinct()
+        .orderBy(col("doc1"), col("doc2"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // streaming the whole corpus past its own band index yields exactly
+    // the batch LSH candidate pairs (canonical, deduped across bands)
+    "st7_stream_neardup" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${PipelineQueries.shinglesSql(PipelineQueries.toksSql)} AS sh
+        |  FROM documents),
+        |${PipelineQueries.bandsSql}
+        |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |ORDER BY doc1, doc2""".stripMargin,
     "st6_stream_heavy_hitters" ->
       """WITH c AS (
         |  SELECT event_type AS "group", regexp_extract(props, '[0-9]+', 0) AS item,

@@ -45,6 +45,49 @@ object StreamingJobs {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** The documents table as a streaming source (same symlink-directory
+    * staging as [[eventsStream]]).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_docs_stream_" + dir.hashCode.toHexString)
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** ST7: stream-static near-dup candidate lookup — each incoming
+    * document computes its LSH band signatures ROW-LOCALLY
+    * (Dedup.lshBandsLocal: array HOFs, no stream-side shuffle) and
+    * equi-joins the static corpus band index on (band, sig). Stateless
+    * per micro-batch: no watermark, no state store — the streaming form
+    * of "which known docs is this new doc a near-dup of", which is how a
+    * continuously-ingesting corpus screens arrivals against a 100 TB
+    * reference index (the static side would be a bucketed/partitioned
+    * table; the join key is already the bucket).
+    *
+    * The static side gets the same degenerate-bucket cap as the batch
+    * candidate generator: an incoming doc landing in a megabucket would
+    * otherwise fan out to the bucket's whole membership in one batch.
+    * Emits one row per shared band; canonicalize + distinct downstream
+    * (distinct here would force unbounded streaming state).
+    */
+  def streamNearDupCandidates(docsStream: DataFrame, corpusBands: DataFrame,
+      maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = corpusBands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("doc_id").as("match_id"), col("band"), col("sig"))
+    graft.operators.Dedup.lshBandsLocal(docsStream)
+      .join(guarded, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("match_id"))
+      .select(col("doc_id"), col("match_id"), col("band"))
+  }
+
   /** T3/T5: tumbling-window per-type counts. Runs identically on batch and
     * stream inputs; on a stream, pair with a watermark for state eviction.
     */

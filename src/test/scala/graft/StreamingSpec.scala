@@ -179,6 +179,35 @@ class StreamingSpec extends AnyFunSuite {
       "the late event must NOT have been counted")
   }
 
+  test("stream-static near-dup screening matches arrivals against the corpus index") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire every single day"
+    val corpus = Seq(
+      1L -> base,
+      2L -> "completely different content about spark catalyst optimizer rules and physical plans here today",
+      3L -> "yet another unrelated document mentioning shuffle partitions broadcast joins and codegen stages now"
+    ).toDF("doc_id", "text")
+    val corpusBands = graft.operators.Dedup.lshBands(corpus)
+    val source = MemoryStream[(Long, String)](spark, 31)
+    val stream = source.toDF().toDF("doc_id", "text")
+    val sink = "neardup_sink_" + System.nanoTime()
+    val q = StreamingJobs.streamNearDupCandidates(stream, corpusBands)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // batch 1: an unrelated arrival — no candidates
+    source.addData(100L -> "totally novel text with no resemblance to anything stored whatsoever in this corpus")
+    q.processAllAvailable()
+    assert(spark.table(sink).count() == 0)
+    // batch 2: a near-dup of corpus doc 1 — matched incrementally
+    source.addData(101L -> (base + " postscript"))
+    q.processAllAvailable()
+    q.stop()
+    val matches = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches.nonEmpty && matches.forall(_ == (101L, 1L)),
+      s"arrival 101 must match only corpus doc 1: $matches")
+  }
+
   test("word-count stream (the reference's DStream skeleton) on a socket-like source") {
     import spark.implicits._
     val source = MemoryStream[String](spark, 4)

@@ -49,6 +49,42 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Two-stage coarse-then-rerank retrieval: stage 1 scores every corpus
+    * vector against the query on only the first `coarseDim` dimensions
+    * (the truncated-prefix trick — cheap when embeddings are trained
+    * front-loaded, and 1/(dim/coarseDim) of the flops/bytes either way)
+    * and keeps the top `shortlist`; stage 2 re-scores ONLY the shortlist
+    * with exact full-dimension cosine and emits the top k. This is the
+    * production retrieval shape: a cheap scan-stage bounds the expensive
+    * exact stage to shortlist·|queries| pairs, and recall loss is
+    * confined to true neighbors the coarse metric misranks past the
+    * shortlist. Output: (query_id, rank, vec_id, sim) — sim exact.
+    */
+  def coarseRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarseDim: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be ≥ k $k")
+    val trunc = (v: Column) => slice(v, 1, coarseDim)
+    val c = withNorm(corpus, "embedding", "nrm")
+      .withColumn("cvec", trunc(col("embedding")))
+    val cc = withNorm(c, "cvec", "cnrm")
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("qtrunc", trunc(col("qvec")))
+    val q = withNorm(withNorm(q0, "qvec", "qnrm"), "qtrunc", "qtnrm")
+    // stage 1: coarse scores over truncated prefixes, shortlist per query
+    val coarse = cc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("csim", pairSim(col("cvec"), col("qtrunc"), col("cnrm"), col("qtnrm")))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("vec_id").asc)
+    val short = coarse.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= shortlist)
+    // stage 2: exact rerank of the shortlist only
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    short
+      .withColumn("sim", pairSim(col("embedding"), col("qvec"), col("nrm"), col("qnrm")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's hyperplane-sign
     * bucket; exact cosine re-ranks within the bucket. Recall < 1 by
     * design (that's the scale trade-off); nPlanes controls bucket count.

@@ -100,6 +100,18 @@ object PipelineQueries {
 
     // V4: IVF probe search — score ≤10 centroids per query, probe the 2
     // nearest partitions, exact-search only those (partition-pruned ANN).
+    // V9: coarse-then-rerank retrieval — cheap truncated-prefix (32 of
+    // 64 dims: half the flops/bytes) scan keeps a 100-vector shortlist
+    // per query; exact cosine re-scores only the shortlist. The
+    // two-stage shape that bounds the expensive exact stage at any
+    // corpus size.
+    "v9_coarse_rerank" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      SimilaritySearch.coarseRerankTopK(emb, emb.filter(col("vec_id") < 5),
+          k = 10, coarseDim = 32, shortlist = 100)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // V8: IVF-PQ ADC top-k — query-side distance LUT against the PQ
     // codebook, corpus contributes only its codes (the RAM-resident ANN
     // query path for a quantized embedding store).
@@ -1044,6 +1056,33 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY vec_id, sub ORDER BY err, code) AS rk FROM scored) t
         |WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    "v9_coarse_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+        |        v[1:32] AS cv FROM v),
+        |n2 AS (SELECT vec_id, v, nrm, cv,
+        |        sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM n),
+        |coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id, c.v AS cfull, c.nrm AS cfnrm,
+        |    q.v AS qv, q.nrm AS qnrm,
+        |    ROUND(list_sum(list_transform(range(1, 33), i -> q.cv[i] * c.cv[i]))
+        |      / (q.cnrm * c.cnrm), 6) AS csim
+        |  FROM n2 q JOIN n2 c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5),
+        |short AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY csim DESC, vec_id) AS crank FROM coarse) t
+        |  WHERE crank <= 100),
+        |exact AS (
+        |  SELECT query_id, vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * cfull[i]))
+        |      / (qnrm * cfnrm), 6) AS sim
+        |  FROM short)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM exact) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "v8_ivfpq_adc" ->
       """WITH centl AS (

@@ -244,6 +244,34 @@ class PipelineSpec extends AnyFunSuite {
       (9L, 9L, 9L, true)))
   }
 
+  test("coarseRerankTopK: high recall vs exact top-k, exact sims on survivors") {
+    val emb = graft.sources.Catalog.embeddings(spark, SparkTestSession.sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // the fixture's embeddings are NOT matryoshka-trained, so the
+    // prefix proxy needs half the dimensions (32 of 64) plus a 5%
+    // shortlist to hold recall; front-loaded embeddings get away with
+    // far less (that's the documented trade of prefix truncation)
+    val staged = SimilaritySearch.coarseRerankTopK(emb, queries, 10,
+        coarseDim = 32, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // survivors' sims are the EXACT full-dim cosine (stage 2 re-scores)
+    val exactSims = exact.map(t => (t._1, t._2) -> t._3).toMap
+    staged.foreach { case (q, v, sim) =>
+      exactSims.get((q, v)).foreach(e => assert(math.abs(e - sim) < 1e-9)) }
+    val recall = exact.groupBy(_._1).map { case (q, rows) =>
+      val truth = rows.map(_._2).toSet
+      val got = staged.filter(_._1 == q).map(_._2).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    // approximate-by-design: assert the aggregate recall contract (mean
+    // ≥ 0.8) plus a floor per query, not perfection per query
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.8, s"mean recall@10 $mean too low: ${recall.toSeq.sorted}")
+    assert(recall.forall(_ >= 0.5), s"per-query floor breached: ${recall.toSeq.sorted}")
+  }
+
   test("pqAdcTopK: self-retrieval at rank 1, k rows per query, adc ascending") {
     val emb = graft.sources.Catalog.embeddings(spark, SparkTestSession.sfDir)
     val out = SimilaritySearch.pqAdcTopK(emb, emb.filter(col("vec_id") < 5),

@@ -104,23 +104,34 @@ object SketchFunctions {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
 
-  /** Per-group HLL distinct estimate of `valueCol`, as
-    * groupBy(groupCols).agg(...): two codegen hash aggregations — exactly
-    * the shape of a countDistinct, but the shuffle carries at most
-    * |groups|·64 register rows instead of every distinct value, which is
-    * the entire point at 100 TB.
+  /** Mergeable per-group HLL register state: (groupCols…, __reg, __r).
+    * This is the sketch's COMMUTATIVE MONOID — build it per batch/day/
+    * partition, [[hllMergeRegisters]] across any grouping of the data,
+    * and [[hllEstimate]] at read time; the estimate is identical to a
+    * single pass because register max is associative. That mergeability
+    * is what makes sketch columns storable in incremental rollup tables.
+    * Nulls are ignored (countDistinct semantics) — a null would hash to
+    * a null register row and inflate the present-register count.
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      estName: String = "hll_distinct"): DataFrame = {
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val (reg, rank) = hllRegisterRank(col(valueCol))
     val gs = groupCols.map(col)
-    // nulls are ignored (countDistinct semantics) — a null would hash to
-    // a null register row and inflate the present-register count
-    val regs = df
-      .filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(gs :+ reg.as("__reg") :+ rank.as("__rank"): _*)
       .groupBy(gs :+ col("__reg"): _*)
       .agg(max(col("__rank")).as("__r"))
+  }
+
+  /** Merge two register tables (max per (group, register)). */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("__reg")): _*)
+      .agg(max(col("__r")).as("__r"))
+
+  /** Fold a register table to the distinct estimate. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+      estName: String = "hll_distinct"): DataFrame = {
+    val gs = groupCols.map(col)
     // Σ 2^-rank scaled by 2^55: absent registers contribute rank 0 → 2^55
     regs
       .groupBy(gs: _*)
@@ -131,4 +142,14 @@ object SketchFunctions {
           (col("__s") + (lit(Registers) - col("__present")) * lit(1L << (RankBits + 1))), 6)
           .as(estName): _*)
   }
+
+  /** Per-group HLL distinct estimate of `valueCol`, as
+    * groupBy(groupCols).agg(...): two codegen hash aggregations — exactly
+    * the shape of a countDistinct, but the shuffle carries at most
+    * |groups|·64 register rows instead of every distinct value, which is
+    * the entire point at 100 TB.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      estName: String = "hll_distinct"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols, estName)
 }

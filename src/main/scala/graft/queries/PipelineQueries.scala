@@ -531,6 +531,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T21: quality-weighted deterministic downsampling — each document's
+    // keep probability scales with its quality score, and the keep/drop
+    // decision is CONTENT-ADDRESSED (md5 bucket vs probability), so the
+    // thinned corpus is identical across reruns, engines, and
+    // partitionings — the reproducible form of importance sampling a
+    // corpus toward its high-quality tail. Row-local; no shuffle.
+    "t21_weighted_sample" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val keepPct = floor(least(
+        qualityScore(col("text"), toks) * 1.2, lit(1.0)) * 100).cast("long")
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), col("lang"), keepPct.as("keep_pct"),
+          sampleBucket(col("doc_id")).as("bucket"))
+        .filter(col("bucket") < col("keep_pct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T4: document fingerprints — exact (normalized md5) and sketch
     // (md5 of the 4 smallest distinct shingle hashes, winnowing-style).
     "t4_fingerprint" -> ((s, dir) => {
@@ -805,6 +822,30 @@ object PipelineQueries {
         |SELECT doc_id, component, canonical_doc,
         |  CAST(CASE WHEN doc_id = canonical_doc THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM sel ORDER BY doc_id""".stripMargin,
+
+    "t21_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS n,
+        |    CASE WHEN len(toks) > 0
+        |      THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+        |      ELSE 0 END AS mean_len,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in',
+        |        'der','die','das','und','ist','zu','ein','el','la','de','y','es','en','un',
+        |        'le','et','est'))) AS DOUBLE) / len(toks)
+        |      ELSE 0 END AS stop
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(least(
+        |      ROUND(least(n/50.0, 1.0)*0.4 +
+        |        (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END)*0.3 +
+        |        least(stop*5.0, 1.0)*0.3, 6) * 1.2, 1.0) * 100) AS BIGINT) AS keep_pct,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM m)
+        |SELECT doc_id, lang, keep_pct, bucket FROM q
+        |WHERE bucket < keep_pct ORDER BY doc_id""".stripMargin,
 
     "t5_hash_sample" ->
       """SELECT doc_id, lang,

@@ -335,6 +335,29 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A28 (beyond-reference): incremental sketch rollup — HLL register
+    // state built independently per batch (even/odd order keys standing
+    // in for day-1/day-2 ingests), max-merged, then folded. The merged
+    // estimate must be BIT-IDENTICAL to the single-pass one (register
+    // max is associative) — the property that lets a 100 TB pipeline
+    // keep sketch columns in daily rollup tables instead of re-scanning
+    // history for every distinct count.
+    "a28_hll_merge" -> ((s, dir) => {
+      import graft.functions.SketchFunctions._
+      val li = Catalog.lineitem(s, dir)
+      val day1 = hllRegisters(li.filter(col("l_orderkey") % 2 === 0),
+        Seq("l_returnflag"), "l_orderkey")
+      val day2 = hllRegisters(li.filter(col("l_orderkey") % 2 === 1),
+        Seq("l_returnflag"), "l_orderkey")
+      hllEstimate(hllMergeRegisters(day1, day2, Seq("l_returnflag")),
+          Seq("l_returnflag"))
+        .join(hllDistinct(li, Seq("l_returnflag"), "l_orderkey", "single_pass"),
+          Seq("l_returnflag"))
+        .withColumn("merge_lossless",
+          (col("hll_distinct") === col("single_pass")).cast("int"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A14 (beyond-reference): Count-Min heavy-hitter estimation — the
     // counter table is d·w = 1024 rows REGARDLESS of input size; point
     // estimates never undercount. Integer-exact → full oracle parity.
@@ -763,6 +786,32 @@ object RelationalQueries {
         |SELECT e.l_returnflag, hll_distinct, exact_distinct,
         |  ROUND(abs(hll_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
         |FROM e JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+
+    // the oracle computes ONE single-pass estimate; Spark's merged path
+    // must equal it exactly, and the in-query merge_lossless flag pins
+    // the associativity claim on the Spark side too
+    "a28_hll_merge" ->
+      s"""WITH h AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |rr AS (
+        |  SELECT l_returnflag, h % 64 AS reg,
+        |    CASE WHEN h >> 6 = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rank
+        |  FROM h),
+        |m AS (SELECT l_returnflag, reg, MAX(rank) AS r FROM rr GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l_returnflag,
+        |    SUM(CAST(pow(2, 55 - r) AS BIGINT)) AS sv, COUNT(*) AS present
+        |  FROM m GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag,
+        |    ROUND(${graft.functions.SketchFunctions.HllK} /
+        |          (sv + (64 - present) * (1::BIGINT << 55)), 6) AS est
+        |  FROM s)
+        |SELECT l_returnflag, est AS hll_distinct, est AS single_pass,
+        |  1 AS merge_lossless
+        |FROM e ORDER BY l_returnflag""".stripMargin,
 
     "a14_cms_heavy_hitters" -> {
       val p = graft.operators.Dedup.HashMod

@@ -81,6 +81,26 @@ class SketchSpec extends AnyFunSuite {
     assert(est("never-seen-key-xyz") == 0L) // unseen key → 0, not min-of-collisions
   }
 
+  test("HLL register merge is lossless under any split of the data") {
+    import spark.implicits._
+    val df = (1L to 30000L).map(v => (s"g${v % 3}", v)).toDF("g", "v")
+    val single = SketchFunctions.hllDistinct(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 3-way split by an unrelated key, merged pairwise (associativity)
+    val parts = (0 until 3).map(i =>
+      SketchFunctions.hllRegisters(df.filter(col("v") % 7 === i || (col("v") % 7 >= 3 && i == 2)),
+        Seq("g"), "v"))
+    val covered = df.filter(col("v") % 7 < 3 || col("v") % 7 >= 3) // all rows
+    assert(covered.count() == df.count())
+    val merged = SketchFunctions.hllEstimate(
+      SketchFunctions.hllMergeRegisters(
+        SketchFunctions.hllMergeRegisters(parts(0), parts(1), Seq("g")),
+        parts(2), Seq("g")),
+      Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged == single, s"merged $merged != single-pass $single")
+  }
+
   test("register/rank stay in their domains") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toLong).toDF("v")

@@ -96,8 +96,11 @@ object StreamingQueries {
     // index; canonical pair + distinct applied on the materialized
     // result (batch land), where they're cheap and stateless.
     "st7_stream_neardup" -> ((s, dir) => {
+      // the static index is evaluated once and cached: every micro-batch
+      // joins against the SAME materialized bands (in production this is
+      // a persisted bucketed table, not a recomputation per trigger)
       val corpusBands = graft.operators.Dedup.lshBands(
-        graft.sources.Catalog.documents(s, dir))
+        graft.sources.Catalog.documents(s, dir)).cache()
       val stream = StreamingJobs.documentsStream(s, dir)
       StreamingJobs.runToTable(s,
           StreamingJobs.streamNearDupCandidates(stream, corpusBands), OutputMode.Append)

@@ -103,6 +103,7 @@ object GraftContinuousApp {
       .withColumn("username", col("user_name"))
       .join(broadcast(cityCoords.withColumnRenamed("coords", "coords_known")), Seq("city"), "left")
       .withColumn("coords", col("coords_known")).drop("coords_known")
+      .withColumn("time", unix_millis(current_timestamp())) // HogEvent.scala:68
       .write.mode(SaveMode.Append).parquet(s"$outDir/auth_alerts")
 
     // learn pass: merge this batch into every family's histograms

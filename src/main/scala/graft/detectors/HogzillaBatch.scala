@@ -132,8 +132,13 @@ object HogzillaBatch {
       .withColumn("priority", col("signature_priority"))
       .withColumn("username", lit(null).cast("string"))
       .withColumn("coords", lit(null).cast("string"))
-      .select("signature_id", "detector", "title", "priority", "my_ip", "alien_ip",
-        "metric", "n_flows", "note", "ports", "username", "coords", "flows")
+      // alert creation time (HogEvent.scala:68 writes currentTimeMillis);
+      // wall-clock by design — detector QUERIES never select it, so the
+      // oracle surface stays deterministic
+      .withColumn("time", unix_millis(current_timestamp()))
+      .select("signature_id", "detector", "title", "priority", "time",
+        "my_ip", "alien_ip", "metric", "n_flows", "note", "ports",
+        "username", "coords", "flows")
 
     // learn pass: current-window histograms merged into the profiles
     // (decayed weighted mean, cold-start-safe) — S6's delete+put upsert

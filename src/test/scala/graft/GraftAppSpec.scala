@@ -28,7 +28,7 @@ class GraftAppSpec extends AnyFunSuite {
     // event-row fidelity: the alert schema is a superset of the
     // reference's events-table columns (HogEvent.scala:61-82)
     val required = Set("signature_id", "detector", "title", "priority",
-      "my_ip", "alien_ip", "metric", "n_flows", "note", "ports",
+      "time", "my_ip", "alien_ip", "metric", "n_flows", "note", "ports",
       "username", "coords", "flows")
     assert(required.subsetOf(alerts1.schema.fieldNames.toSet),
       s"missing: ${required -- alerts1.schema.fieldNames.toSet}")

@@ -7,10 +7,11 @@ import graft.sources.Catalog
 import graft.functions.HistogramFunctions
 import graft.ml.Models
 
-/** SURVEY §2.9 — ML operators as queries. No DuckDB oracle (model
-  * internals aren't SQL), so the driver records rows-only checks; MLSpec
-  * carries the behavioral assertions. Outputs are aggregate shapes
-  * (cluster/class sizes) so row counts stay stable across partitionings.
+/** SURVEY §2.9 — ML operators as queries. Model internals aren't
+  * SQL-expressible, but the seeded fits are deterministic (see the
+  * layout pinning below), so each query is hash-checked against a
+  * captured golden parquet (`oracles`); MlSpec carries the behavioral
+  * assertions. Outputs are aggregate shapes (cluster/class sizes).
   */
 object MlQueries {
 

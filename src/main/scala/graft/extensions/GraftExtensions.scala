@@ -18,10 +18,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
   *  - [[GraftFunctions.register]] for an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer rules: geo-radius predicates gain pushable range bounds
+    ext.injectOptimizerRule(_ => GeoRadiusPrefilter)
+  }
 }
 
 object GraftFunctions {
@@ -117,9 +120,14 @@ object GraftFunctions {
   )
 
   /** Register into a live session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    // the runtime hook for optimizer rules on an already-built session
+    if (!spark.experimental.extraOptimizations.contains(GeoRadiusPrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GeoRadiusPrefilter
+  }
 }

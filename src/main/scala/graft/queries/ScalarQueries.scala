@@ -126,6 +126,26 @@ object ScalarQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // G3: geo-radius query under the GeoRadiusPrefilter optimizer rule —
+    // "customers within 4000 km of Munich". register() injects the rule
+    // into this session, so the filter gains lat/lon range conjuncts that
+    // push into the parquet scan while the exact haversine conjunct keeps
+    // results bit-identical; the oracle computes the plain radius filter,
+    // so any rewrite that changed semantics would hash-mismatch here.
+    "g3_geo_radius" -> ((s, dir) => {
+      graft.extensions.GraftFunctions.register(s) // idempotent
+      val lat = (col("c_custkey") % 170 - 85).cast("double") + 0.5
+      val lon = (col("c_custkey") % 350 - 175).cast("double") + 0.25
+      val dist = graft.functions.NetFunctions.haversine(
+        lat, lon, lit(48.14), lit(11.58))
+      Catalog.customer(s, dir)
+        .withColumn("lat", lat).withColumn("lon", lon)
+        .filter(graft.functions.NetFunctions.haversine(
+          col("lat"), col("lon"), lit(48.14), lit(11.58)) < 4000.0)
+        .select(col("c_custkey"), round(dist, 4).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // P9: real-world UA parsing through the ordered uap-style rule chain
     // (functions/UaParser). The fixture cycles 12 REAL browser/bot UA
     // strings — each full of decoy tokens (Edge says Chrome, Chrome says
@@ -204,6 +224,22 @@ object ScalarQueries {
 
   val oracles: Map[String, String] = Map(
     "p9_ua_families" -> p9OracleSql,
+
+    "g3_geo_radius" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.5 AS lat,
+        |    CAST(c_custkey % 350 - 175 AS DOUBLE) + 0.25 AS lon
+        |  FROM customer),
+        |d AS (
+        |  SELECT c_custkey,
+        |    2 * 6372.8 * asin(sqrt(
+        |      pow(sin(radians(48.14 - lat) / 2), 2) +
+        |      pow(sin(radians(11.58 - lon) / 2), 2)
+        |        * cos(radians(lat)) * cos(radians(48.14)))) AS dist
+        |  FROM t)
+        |SELECT c_custkey, ROUND(dist, 4) AS dist_km
+        |FROM d WHERE dist < 4000.0 ORDER BY c_custkey""".stripMargin,
     "f11_json_extract" ->
       """WITH k AS (
         |  SELECT event_type,

@@ -394,4 +394,55 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("id1"), col("id2"), col("dist"))
   }
+
+  /** Exact duplicated-substring detection between documents, the
+    * span-level complement of token-shingle near-dup: two docs share a
+    * verbatim run of ≥ `k` characters iff they share a char `k`-gram, and
+    * a shared run of length L contributes L−k+1 shared grams — so the
+    * per-pair shared-gram count is a length proxy for how much text the
+    * pair duplicates verbatim (the signal behind suffix-array substring
+    * dedup in LLM-corpus pipelines, re-expressed as a bucketed gram join
+    * instead of a global suffix sort).
+    *
+    * Shape: char k-grams materialize ROW-LOCALLY per doc (`transform`
+    * over a position `sequence`, then `array_distinct` before the
+    * explode — no dedup shuffle); the only O(corpus-chars) exchange is
+    * the window+groupBy on the gram key, and those two share one
+    * exchange. Grams shared by more than `maxBucket` docs are dropped
+    * before `collect_list` buffers them (boilerplate guard — identical
+    * trade to [[lshCandidatePairs]]); pairs then expand row-locally
+    * inside each bucket, quadratic only in bucket size.
+    *
+    * `hashGrams=true` shuffles an 8-byte `xxhash64` instead of the k-byte
+    * gram (the 100 TB setting — a 3× shuffle-width cut at k=24, collision
+    * odds ~2⁻⁶⁴ per gram pair); the oracle-checked query passes `false`
+    * so both engines count literal grams.
+    *
+    * Returns (doc_a, doc_b, shared_grams) with doc_a < doc_b and
+    * shared_grams ≥ `minShared`.
+    */
+  def exactSubstringSpans(df: DataFrame, k: Int = 24, minShared: Int = 10,
+      maxBucket: Int = 1000, hashGrams: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramsArr = transform(
+      sequence(lit(1), length(col("text")) - lit(k - 1)),
+      i => col("text").substr(i, lit(k)))
+    val keyed = df.filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(array_distinct(gramsArr)).as("gram"))
+      .select(col("doc_id"),
+        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("g"))
+    val pairsInBucket = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    val w = Window.partitionBy(col("g"))
+    keyed
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz").between(2, maxBucket))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(pairsInBucket).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
 }

@@ -62,4 +62,37 @@ object Relevance {
         round(avg(log(col("c").cast("double") / col("total").cast("double"))), 6)
           .as("avg_logprob"))
   }
+
+  /** Per-document top-`topK` terms by smoothed TF-IDF
+    * (tf · (ln((N+1)/(df+1)) + 1) — the sklearn-style smooth idf, never
+    * negative, so single-doc corpora still rank). The keyword-extraction /
+    * doc-representation primitive next to [[bm25]]'s query-scoring form.
+    *
+    * Ranking happens on the ROUNDED score (6 dp) with the term string as
+    * the tie-break: (tf, df) collisions are common (every tf=1 term of a
+    * given df scores identically), and rounding-before-ranking keeps the
+    * order reproducible across engines computing ln in different libms.
+    *
+    * Scale shape: tf is one shuffle on (doc, term) with map-side partial
+    * aggregation; df reduces tf (vocabulary-sized) and broadcasts back;
+    * the top-K is a per-doc window that Spark 4 executes with
+    * WindowGroupLimit (per-partition heap, no full sort of the corpus).
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * idf, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
 }

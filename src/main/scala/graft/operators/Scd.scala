@@ -49,4 +49,38 @@ object Scd {
       .select((keyCols.map(col) ++ attrCols.map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
   }
+
+  /** CDC merge-apply: fold an ordered insert/update/delete changelog onto
+    * a base snapshot and return the post-image — MERGE INTO semantics as
+    * a pure batch plan (the lakehouse pattern for applying a Debezium/
+    * binlog feed to a dimension table without a mutable store).
+    *
+    * Last-writer-wins per key: the newest change row by (`tsCol`,
+    * `orderCols`) decides the key's fate — op `D` removes the key, any
+    * other op replaces the key's attribute tuple VERBATIM (a NULL in the
+    * change row nulls the attribute — full-row post-image semantics, not
+    * per-column patching), and keys never touched keep their base row.
+    * Inserts are just change keys absent from the base.
+    *
+    * Scale shape: ONE window pass over the changelog partitioned by key
+    * picks the last change (row_number, no self-join), and the follow-up
+    * full-outer join is on the same key the window just hash-partitioned
+    * by, so the changelog side's exchange is reused; the base shuffles
+    * once. No driver state, no collect, no iteration.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               opCol: String, tsCol: String, attrCols: Seq[String],
+               orderCols: Seq[String] = Nil, deleteOp: String = "D"): DataFrame = {
+    val ord = (col(tsCol) +: orderCols.map(col)).map(_.desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val last = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(keyCols.map(col) ++ Seq(col(opCol).as("__op")) ++
+        attrCols.map(c => col(c).as(s"__new_$c")): _*)
+    base.join(last, keyCols, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= deleteOp)
+      .select(keyCols.map(col) ++ attrCols.map(c =>
+        when(col("__op").isNotNull, col(s"__new_$c")).otherwise(col(c)).as(c)): _*)
+  }
 }

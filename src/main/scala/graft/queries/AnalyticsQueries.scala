@@ -140,6 +140,27 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("from_us"))
     }),
 
+    // E4: CDC merge-apply — fold the orders feed (as an I/U/D changelog:
+    // every 37th orderkey is a delete) onto a customer-balance base
+    // snapshot (custkeys ≡ 0 mod 3 withheld so some changes are inserts).
+    // Last writer per custkey wins by (orderdate, orderkey); MERGE INTO
+    // semantics as one window pass + a key-co-partitioned outer join.
+    "e4_cdc_apply" -> ((s, dir) => {
+      val base = Catalog.customer(s, dir)
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+      val changes = Catalog.orders(s, dir).select(
+        col("o_custkey").as("custkey"),
+        when(col("o_orderkey") % 37 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"),
+        col("o_totalprice").as("acctbal"))
+      Scd.cdcApply(base, changes, Seq("custkey"), "op", "ts",
+          Seq("acctbal"), orderCols = Seq("seq"))
+        .withColumn("acctbal", round(col("acctbal"), 2))
+        .orderBy(col("custkey"))
+    }),
+
     // C1: cross-engine table fingerprint — per-bucket (count, xor of
     // 60-bit md5 row hashes): order/partitioning-independent, localizes a
     // migration mismatch to 1/16 of the table.
@@ -357,6 +378,26 @@ object AnalyticsQueries {
         |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
         |    AS is_current
         |FROM eff ORDER BY user_id, from_us""".stripMargin,
+
+    "e4_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS custkey, c_acctbal AS acctbal
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |ch AS (
+        |  SELECT o_custkey AS custkey,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderdate AS ts, o_orderkey AS seq, o_totalprice AS acctbal
+        |  FROM orders),
+        |last AS (
+        |  SELECT custkey, op, acctbal FROM ch
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY custkey ORDER BY ts DESC, seq DESC) = 1)
+        |SELECT COALESCE(b.custkey, l.custkey) AS custkey,
+        |  ROUND(CASE WHEN l.op IS NOT NULL THEN l.acctbal ELSE b.acctbal END,
+        |    2) AS acctbal
+        |FROM base b FULL OUTER JOIN last l ON b.custkey = l.custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY custkey""".stripMargin,
 
     "c1_table_fingerprint" ->
       """WITH h AS (

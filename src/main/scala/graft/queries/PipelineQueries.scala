@@ -348,6 +348,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T22: per-doc top-5 terms by smoothed TF-IDF — keyword extraction /
+    // doc representation; ranked on the rounded score so the cross-engine
+    // order is reproducible (see Relevance.tfidfTopTerms).
+    "t22_tfidf_terms" -> ((s, dir) => {
+      graft.operators.Relevance.tfidfTopTerms(Catalog.documents(s, dir), topK = 5)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // T13: corpus-unigram log-probability per document — the cheap
     // perplexity proxy for quality-ranking crawl documents.
     "t13_lm_score" -> ((s, dir) => {
@@ -378,6 +386,16 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_chunks"), sum(col("dup")).as("n_dup_chunks"),
           round(sum(col("dup")).cast("double") / count(lit(1)), 6).as("dup_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // D11: exact duplicated-substring spans (char-24-gram match) — the
+    // verbatim-overlap complement to token-shingle near-dup. hashGrams is
+    // off here so the DuckDB oracle counts the same literal grams; the
+    // production default shuffles xxhash64(gram) instead (8 bytes vs 24).
+    "d11_substring_spans" -> ((s, dir) => {
+      Dedup.exactSubstringSpans(Catalog.documents(s, dir),
+          k = 24, minShared = 10, maxBucket = 1000, hashGrams = false)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // T14: corpus-wide top-K bigrams — the collocation/phrase-mining pass
@@ -688,6 +706,26 @@ object PipelineQueries {
         |JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    "t22_tfidf_terms" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * (ln((nd.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM ranked
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
     "t13_lm_score" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
@@ -719,6 +757,21 @@ object PipelineQueries {
         |  ROUND(CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.c <> canon.cc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
         |FROM ch JOIN canon ON ch.fp = canon.fp
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "d11_substring_spans" ->
+      """WITH dg AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 24) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 24 + 2)) AS i
+        |        FROM documents WHERE len(text) >= 24)),
+        |c AS (SELECT g, count(*) AS cnt FROM dg GROUP BY g),
+        |kept AS (
+        |  SELECT dg.doc_id, dg.g FROM dg JOIN c USING (g)
+        |  WHERE cnt BETWEEN 2 AND 1000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS shared_grams
+        |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "t10_decontaminate" ->
       s"""WITH sh AS (

@@ -81,6 +81,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((Some("a"), false), (None, false), (Some("a"), true)))
   }
 
+  test("cdcApply: delete-then-reinsert, last-writer-wins, verbatim null overwrite, untouched keys survive") {
+    import spark.implicits._
+    val base = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")))
+      .toDF("k", "v")
+    val changes = Seq(
+      // key 1: D at t=5 then U at t=10 → reinserted with "a2"
+      (1L, "D", ts(5), 1L, Option("x")), (1L, "U", ts(10), 2L, Option("a2")),
+      // key 2: U then D (same ts, seq breaks the tie) → deleted
+      (2L, "U", ts(5), 3L, Option("b2")), (2L, "D", ts(5), 4L, Option("y")),
+      // key 4: insert of a key absent from base, with a NULL attribute
+      (4L, "I", ts(1), 5L, None))
+      .toDF("k", "op", "ts", "seq", "v")
+    val out = graft.operators.Scd.cdcApply(base, changes, Seq("k"), "op", "ts",
+        Seq("v"), orderCols = Seq("seq"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    // key 3 untouched; key 4's post-image is NULL (verbatim, not patched)
+    assert(out.toSeq == Seq((1L, Some("a2")), (3L, Some("c")), (4L, None)))
+  }
+
   test("scd2 breaks equal-timestamp ties deterministically by order column") {
     import spark.implicits._
     val log = Seq((1L, ts(0), 2L, "b"), (1L, ts(0), 1L, "a"))

@@ -213,6 +213,33 @@ class PipelineSpec extends AnyFunSuite {
     edges.toDF("doc1", "doc2")
   }
 
+  test("exactSubstringSpans: shared-gram count tracks shared-span length; repeats and boilerplate don't distort") {
+    // docs 1/2 share a verbatim 40-char span → 40-24+1 = 17 shared grams;
+    // doc 3 repeats its own substring (row-local array_distinct must not
+    // self-pair); docs 4..8 share only a boilerplate line that a tiny
+    // maxBucket drops entirely
+    val span = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    require(span.length == 40)
+    val boiler = "COMMON-FOOTER-" + "x" * 24
+    val docs = docsDf(Seq(
+      1L -> ("left padA" + span + "Cright tail one"), // distinct boundary
+      2L -> ("other prB" + span + "Ddifferent end!"), // chars on both sides
+      3L -> (span.take(30) * 2), // 7 grams shared with 1/2 — below minShared
+      4L -> ("aa " + boiler), 5L -> ("bb " + boiler), 6L -> ("cc " + boiler),
+      7L -> ("dd " + boiler), 8L -> ("ee " + boiler)))
+    val out = Dedup.exactSubstringSpans(docs, k = 24, minShared = 10,
+      maxBucket = 3, hashGrams = true).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 17L) // 40-char span → 17 distinct 24-grams
+    // hashed and literal gram keys agree on the verdict
+    val lit = Dedup.exactSubstringSpans(docs, k = 24, minShared = 10,
+      maxBucket = 3, hashGrams = false).collect()
+    assert(lit.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("connectedComponents: chain, triangle, and isolated edge resolve to min labels") {
     // chain 1-2-3-4 (diameter 3, forces >1 contraction round), triangle
     // 10-11-12 with a redundant edge, isolated pair 20-21

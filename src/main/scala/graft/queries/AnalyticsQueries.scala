@@ -258,6 +258,24 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // A29: forward-fill gap imputation — carry each user's last observed
+    // reading over later null rows (IoT/metrics downsampling repair; the
+    // fixture's value column is dense, so 4 of 5 readings are nulled
+    // deterministically first). One window pass per user ordered by
+    // (ts, event_id); `last(ignoreNulls)` scans the running frame.
+    "a29_gap_fill" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Catalog.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          when(col("event_id") % 5 === 0, round(col("value"), 6)).as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("filled"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // A24: hourly volume anomaly — per event type, hours whose count
     // exceeds that type's mean + 3σ (the z-score detector at the
     // time-bucket grain: one count pass, one tiny stats table joined
@@ -378,6 +396,18 @@ object AnalyticsQueries {
         |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
         |    AS is_current
         |FROM eff ORDER BY user_id, from_us""".stripMargin,
+
+    "a29_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch_us(ts::TIMESTAMP) AS BIGINT) AS ts_us,
+        |    CASE WHEN event_id % 5 = 0 THEN ROUND(value, 6) END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "e4_cdc_apply" ->
       """WITH base AS (

@@ -109,9 +109,49 @@ object StreamingQueries {
         .distinct()
         .orderBy(col("doc1"), col("doc2"))
     }),
+
+    // ST8: streaming CDC upsert — the orders changelog (same I/U/D
+    // derivation as e4_cdc_apply) streamed through
+    // cdcUpsertMicroBatches into a crash-safe post-image state table,
+    // then read back. Proves the MERGE INTO path end-to-end under the
+    // micro-batch machinery; the oracle is the changelog fold from an
+    // empty base.
+    "st8_stream_cdc" -> ((s, dir) => {
+      val changes = StreamingJobs.tableStream(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        when(col("o_orderkey") % 37 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"),
+        col("o_totalprice").as("acctbal"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("st8_cdc_").toString + "/state"
+      val q = StreamingJobs.cdcUpsertMicroBatches(changes, stateDir,
+        Seq("custkey"), "op", "ts", Seq("acctbal"), orderCols = Seq("seq"),
+        intervalSecs = 1)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(stateDir)
+        .withColumn("acctbal", round(col("acctbal"), 2))
+        .orderBy(col("custkey"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // fold of the I/U/D changelog from an empty base: last writer per
+    // custkey wins, deletes drop the key
+    "st8_stream_cdc" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderdate AS ts, o_orderkey AS seq, o_totalprice AS acctbal
+        |  FROM orders),
+        |last AS (
+        |  SELECT custkey, op, acctbal FROM ch
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY custkey ORDER BY ts DESC, seq DESC) = 1)
+        |SELECT custkey, ROUND(acctbal, 2) AS acctbal FROM last
+        |WHERE op <> 'D' ORDER BY custkey""".stripMargin,
+
     // streaming the whole corpus past its own band index yields exactly
     // the batch LSH candidate pairs (canonical, deduped across bands)
     "st7_stream_neardup" ->

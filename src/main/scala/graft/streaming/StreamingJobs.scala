@@ -45,19 +45,24 @@ object StreamingJobs {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** The documents table as a streaming source (same symlink-directory
-    * staging as [[eventsStream]]).
+  /** Any fixture table as a streaming source (same symlink-directory
+    * staging as [[eventsStream]], minus events' nanos-ts handling).
     */
-  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+  def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val streamDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_docs_stream_" + dir.hashCode.toHexString)
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${table}_stream_" + dir.hashCode.toHexString)
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("documents.parquet")
+    val link = streamDir.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
+
+  /** The documents table as a streaming source. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    tableStream(spark, dir, "documents")
 
   /** ST7: stream-static near-dup candidate lookup — each incoming
     * document computes its LSH band signatures ROW-LOCALLY
@@ -241,6 +246,42 @@ object StreamingJobs {
       .trigger(Trigger.ProcessingTime(s"$intervalSecs seconds"))
       .foreachBatch(handler)
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
+  /** Streaming CDC upsert: fold each micro-batch of an insert/update/
+    * delete changelog onto a durable keyed post-image table — the
+    * continuous form of [[graft.operators.Scd.cdcApply]], i.e. MERGE INTO
+    * fed by a binlog stream. Within a micro-batch the last writer by
+    * (`tsCol`, `orderCols`) wins; across batches, arrival order is
+    * authoritative (a later batch's change overrides state no matter its
+    * timestamp — queue semantics, matching the reference's
+    * consume-in-arrival-order contract).
+    *
+    * State is replaced via [[graft.operators.StateSwap]] (stage-then-swap
+    * on the Hadoop FS API: crash-safe, HDFS/S3-capable); pass
+    * `checkpointDir` so a restart resumes from committed offsets instead
+    * of re-folding history. Per batch the cost is one window pass over
+    * the (small) batch plus a key-join against current state — no per-row
+    * point writes, the same join+overwrite shape the batch entry points
+    * use.
+    */
+  def cdcUpsertMicroBatches(changes: DataFrame, stateDir: String,
+      keyCols: Seq[String], opCol: String, tsCol: String,
+      attrCols: Seq[String], orderCols: Seq[String] = Nil,
+      intervalSecs: Int = 10, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Scd, StateSwap}
+    val stateCols = keyCols ++ attrCols
+    consumeMicroBatches(changes, intervalSecs, checkpointDir) { (batch, _) =>
+      val s = batch.sparkSession
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(stateCols.map(batch.schema(_))))
+      val base = StateSwap.readOrElse(s, stateDir, empty)
+      StateSwap.swap(
+        Scd.cdcApply(base, batch, keyCols, opCol, tsCol, attrCols, orderCols),
+        stateDir)
+    }
   }
 
   /** Drain a streaming DataFrame through a memory sink with

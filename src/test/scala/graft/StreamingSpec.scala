@@ -105,6 +105,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts == Seq(2L, 1L)) // each record consumed exactly once
   }
 
+  test("cdcUpsertMicroBatches folds a changelog stream into durable post-image state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_state_").toString + "/state"
+    val source = MemoryStream[(Long, String, java.sql.Timestamp, Long, String)](spark, 41)
+    val stream = source.toDF().toDF("k", "op", "ts", "seq", "v")
+    val q = StreamingJobs.cdcUpsertMicroBatches(stream, dir,
+      Seq("k"), "op", "ts", Seq("v"), orderCols = Seq("seq"), intervalSecs = 1)
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // batch 1: two inserts; within-batch last-writer on key 1 (seq tiebreak)
+    source.addData((1L, "U", t(0), 1L, "a"), (1L, "U", t(0), 2L, "a2"),
+      (2L, "U", t(0), 3L, "b"))
+    q.processAllAvailable()
+    val afterB1 = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    assert(afterB1 == Map(1L -> "a2", 2L -> "b"))
+    // batch 2: delete key 1 (with an EARLIER ts — arrival order wins
+    // across batches), update key 2, insert key 3
+    source.addData((1L, "D", t(-5), 4L, null), (2L, "U", t(1), 5L, "b2"),
+      (3L, "U", t(1), 6L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val finalState = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    assert(finalState == Map(2L -> "b2", 3L -> "c"))
+  }
+
   test("the full detector DAG runs per micro-batch with profile feedback between batches") {
     import spark.implicits._
     import graft.detectors.HogzillaBatch

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Multiset membership count: how many elements of a `array<string>`
@@ -77,5 +77,101 @@ object CountInSet {
     val s = new java.util.HashSet[UTF8String](math.max(8, words.size * 2))
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s
+  }
+}
+
+/** MinHash signature straight from the TOKEN array in one compiled pass:
+  * each n-token shingle is assembled (space-joined, identical to
+  * `concat_ws(" ", slice(toks, i, n))`), md5'd, reduced to the 60-bit
+  * content hash (first 15 hex chars mod `mod` — bit-identical to
+  * `Dedup.contentHash`'s `conv(substring(md5(s),1,15),16,10) % mod`), and
+  * folded into the (a·h+b) mod `mod` minimum for every permutation while
+  * the digest is hot.
+  *
+  * This is the stream-side minhash kernel. The row-local HOF pipeline
+  * (`shingles` transform + per-permutation `array_min(transform(…))`)
+  * evaluates interpreted — per-shingle slice/concat allocation plus a
+  * re-derived digest array per permutation after projection collapse —
+  * measured 6–8 s per 5k-doc micro-batch vs ~0.5 s for this node. One
+  * MessageDigest per thread, one reused byte buffer per row.
+  *
+  * Null token array → null; null TOKENS are treated as empty strings (a
+  * case `TextFunctions.tokens` — a filtered split — can never produce).
+  * Fewer than `shingleSize` tokens → all minimums stay at `mod` (callers
+  * filter shingle-less docs first).
+  */
+case class MinhashSig(child: Expression, shingleSize: Int, permA: Array[Long],
+    permB: Array[Long], mod: Long) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig requires array<string> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.compute(input.asInstanceOf[ArrayData], shingleSize, permA, permB, mod)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("permA", permA, "long[]")
+    val bRef = ctx.addReferenceObj("permB", permB, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.MinhashSig.compute($a, $shingleSize, $aRef, $bRef, ${mod}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object MinhashSig {
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Shared by interpreted eval and generated code (one call per row). */
+  def compute(toks: ArrayData, shingleSize: Int, permA: Array[Long],
+      permB: Array[Long], mod: Long): ArrayData = {
+    val p = permA.length
+    val mins = new Array[Long](p)
+    java.util.Arrays.fill(mins, mod)
+    val md = tlMd.get()
+    val n = toks.numElements()
+    // token bytes decoded once; shingle buffer reused across positions
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (toks.isNullAt(i)) Array.emptyByteArray
+              else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    i = 0
+    while (i <= n - shingleSize) {
+      md.reset()
+      var t = 0
+      while (t < shingleSize) {
+        if (t > 0) md.update(' '.toByte)
+        md.update(tb(i + t))
+        t += 1
+      }
+      val d = md.digest()
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      val h = v % mod
+      var j = 0
+      while (j < p) {
+        val cand = (permA(j) * h + permB(j)) % mod
+        if (cand < mins(j)) mins(j) = cand
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 }

@@ -66,7 +66,8 @@ object StreamingJobs {
 
   /** ST7: stream-static near-dup candidate lookup — each incoming
     * document computes its LSH band signatures ROW-LOCALLY
-    * (Dedup.lshBandsLocal: array HOFs, no stream-side shuffle) and
+    * (Dedup.lshBandsLocal: one codegen MinhashSig kernel per row, no
+    * stream-side shuffle) and
     * equi-joins the static corpus band index on (band, sig). Stateless
     * per micro-batch: no watermark, no state store — the streaming form
     * of "which known docs is this new doc a near-dup of", which is how a

@@ -213,6 +213,21 @@ class PipelineSpec extends AnyFunSuite {
     edges.toDF("doc1", "doc2")
   }
 
+  test("lshBandsLocal (codegen MinhashSig kernel) is bit-identical to batch lshBands on edge-case docs") {
+    val docs = docsDf(Seq(
+      1L -> base, 2L -> (base + " postscript"), // the planted near-dup pair
+      3L -> "only two", // < ShingleSize tokens: no signature in either form
+      4L -> "", // empty text
+      5L -> "  spaced   out   tokens   here  ", // separator runs
+      6L -> base.toUpperCase)) // distinct content, same length
+    val local = Dedup.lshBandsLocal(docs)
+    val batch = Dedup.lshBands(docs)
+    assert(local.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(local).count() == 0)
+    // docs 3 and 4 produce no bands at all
+    assert(local.filter(col("doc_id").isin(3L, 4L)).count() == 0)
+  }
+
   test("exactSubstringSpans: shared-gram count tracks shared-span length; repeats and boilerplate don't distort") {
     // docs 1/2 share a verbatim 40-char span → 40-24+1 = 17 shared grams;
     // doc 3 repeats its own substring (row-local array_distinct must not

@@ -117,6 +117,18 @@ object GraftFunctions {
         }
         graft.expressions.CountInSet(args.head, words)
       })),
+    // graft_minhash_sig(toks): the corpus-standard 12-permutation MinHash
+    // signature (array<long>) from a token array — same constants as
+    // Dedup.lshBands, so SQL users band/bucket identically to the Scala
+    // pipelines.
+    ("graft_minhash_sig",
+      new ExpressionInfo("graft", "graft_minhash_sig"),
+      arity("graft_minhash_sig", 1)(args =>
+        graft.expressions.MinhashSig(args.head,
+          graft.operators.Dedup.ShingleSize,
+          graft.operators.Dedup.Perms.map(_._1).toArray,
+          graft.operators.Dedup.Perms.map(_._2).toArray,
+          graft.operators.Dedup.HashMod))),
   )
 
   /** Register into a live session (tests, notebooks). */

@@ -106,6 +106,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("graft_minhash_sig SQL form matches the contentHash + permutation formula") {
+    GraftFunctions.register(spark)
+    // one shingle ("a b c"): every permutation minimum is exactly
+    // (a·h + b) mod M over that shingle's 60-bit content hash
+    val sig = spark.sql("SELECT graft_minhash_sig(array('a','b','c')) AS s")
+      .head().getSeq[Long](0)
+    val h = spark.sql(
+      "SELECT conv(substring(md5('a b c'), 1, 15), 16, 10) % 2147483647")
+      .head().get(0).toString.toLong
+    val expect = graft.operators.Dedup.Perms.map { case (a, b) =>
+      (a * h + b) % graft.operators.Dedup.HashMod }
+    assert(sig == expect)
+    // sub-shingle input → all minimums stay at the modulus sentinel
+    val empty = spark.sql("SELECT graft_minhash_sig(array('a','b')) AS s")
+      .head().getSeq[Long](0)
+    assert(empty.forall(_ == graft.operators.Dedup.HashMod))
+    assert(spark.sql("SELECT graft_minhash_sig(CAST(NULL AS ARRAY<STRING>))")
+      .head().isNullAt(0))
+  }
+
   test("graft_haversine and graft_human_bytes SQL forms match the Column forms") {
     GraftFunctions.register(spark)
     val km = spark.sql(

@@ -389,12 +389,14 @@ object PipelineQueries {
     }),
 
     // D11: exact duplicated-substring spans (char-24-gram match) — the
-    // verbatim-overlap complement to token-shingle near-dup. hashGrams is
-    // off here so the DuckDB oracle counts the same literal grams; the
-    // production default shuffles xxhash64(gram) instead (8 bytes vs 24).
+    // verbatim-overlap complement to token-shingle near-dup. Runs the
+    // production path (xxhash64 gram keys, 8 bytes shuffled vs 24): the
+    // oracle compares the OUTPUT pair counts, which a 64-bit collision
+    // would need to perturb (p ≈ 10⁻⁸ at this corpus size; the literal
+    // and hashed forms are asserted identical in PipelineSpec).
     "d11_substring_spans" -> ((s, dir) => {
       Dedup.exactSubstringSpans(Catalog.documents(s, dir),
-          k = 24, minShared = 10, maxBucket = 1000, hashGrams = false)
+          k = 24, minShared = 10, maxBucket = 1000, hashGrams = true)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -388,6 +388,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C5: the FULL curation pipeline's attrition report — benchmark
+    // holdout, quality gate, exact dedup, LSH near-dup resolution, and
+    // benchmark decontamination in one DAG (graft.CurateApp), with every
+    // stage's doc/token attrition machine-checked against a DuckDB
+    // replica of the whole pipeline.
+    "c5_curate_report" -> ((s, dir) => {
+      graft.CurateApp.report(graft.CurateApp.tagged(s, dir)).orderBy(col("stage"))
+    }),
+
     // D11: exact duplicated-substring spans (char-24-gram match) — the
     // verbatim-overlap complement to token-shingle near-dup. Runs the
     // production path (xxhash64 gram keys, 8 bytes shuffled vs 24): the
@@ -657,9 +666,14 @@ object PipelineQueries {
     * recursive CTE is the oracle-side stand-in for the Spark side's
     * large-star/small-star contraction (identical fixpoint).
     */
-  private val ccSql: String =
+  /** LSH-bands → candidate pairs → connected components over `base`
+    * (any CTE/table with doc_id + text). `ccSql` keeps the historical
+    * whole-corpus form; `ccSqlOn` lets pipeline oracles run the same
+    * resolution over a filtered survivor set (c5_curate_report).
+    */
+  private def ccSqlOn(base: String): String =
     s"""sh AS (
-       |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM documents),
+       |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM $base),
        |$bandsSql,
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
@@ -670,6 +684,33 @@ object PipelineQueries {
        |  UNION
        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
+
+  private val ccSql: String = ccSqlOn("documents")
+
+  /** The composite quality score (TextFunctions.qualityScore) as CTEs:
+    * q → m → scored(doc_id, lang, quality). Shared by the e1 and c5
+    * oracles so the SQL mirror of the scoring formula lives once.
+    */
+  private val qualityScoredSql: String =
+    s"""q AS (
+       |  SELECT doc_id, lang, $toksSql AS toks, text FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS n,
+       |    CASE WHEN len(toks) > 0
+       |      THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+       |      ELSE 0 END AS mean_len,
+       |    CASE WHEN len(toks) > 0
+       |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in',
+       |        'der','die','das','und','ist','zu','ein','el','la','de','y','es','en','un',
+       |        'le','et','est'))) AS DOUBLE) / len(toks)
+       |      ELSE 0 END AS stop
+       |  FROM q),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    ROUND(least(n/50.0, 1.0)*0.4 +
+       |          (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END)*0.3 +
+       |          least(stop*5.0, 1.0)*0.3, 6) AS quality
+       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t11_pii_redact" ->
@@ -760,6 +801,66 @@ object PipelineQueries {
         |FROM ch JOIN canon ON ch.fp = canon.fp
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
 
+    "c5_curate_report" ->
+      s"""WITH RECURSIVE
+        |$qualityScoredSql,
+        |base0 AS (
+        |  SELECT d.doc_id, d.text, d.n_chars,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |    (d.doc_id % 50 = 0) AS is_bench,
+        |    (s.quality < 0.5) AS low_quality
+        |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id),
+        |s12 AS (SELECT * FROM base0 WHERE NOT is_bench AND NOT low_quality),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |  FROM s12),
+        |fpc AS (SELECT f, MIN(doc_id) AS fp_canon FROM fp GROUP BY f),
+        |exact_dups AS (
+        |  SELECT fp.doc_id FROM fp JOIN fpc USING (f)
+        |  WHERE fp.doc_id <> fpc.fp_canon),
+        |s3 AS (
+        |  SELECT s12.doc_id, s12.text, s12.n_chars FROM s12
+        |  ANTI JOIN exact_dups ON s12.doc_id = exact_dups.doc_id),
+        |${ccSqlOn("s3")},
+        |wc AS (
+        |  SELECT s3.doc_id, COALESCE(cc.component, s3.doc_id) AS component,
+        |    s3.n_chars
+        |  FROM s3 LEFT JOIN cc ON cc.node = s3.doc_id),
+        |sel AS (
+        |  SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS canonical_doc
+        |  FROM wc),
+        |near_dups AS (SELECT doc_id FROM sel WHERE doc_id <> canonical_doc),
+        |s4 AS (
+        |  SELECT s3.doc_id, s3.text FROM s3
+        |  ANTI JOIN near_dups ON s3.doc_id = near_dups.doc_id),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(${shinglesSql(toksSql)}) AS shingle
+        |  FROM (SELECT doc_id, text FROM s4) d),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(${shinglesSql(toksSql)}) AS shingle
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+        |ov AS (
+        |  SELECT dsh.doc_id, COUNT(*) AS n_overlap
+        |  FROM dsh JOIN bsh USING (shingle) GROUP BY 1),
+        |contam AS (
+        |  SELECT nsh.doc_id FROM nsh LEFT JOIN ov USING (doc_id)
+        |  WHERE COALESCE(ov.n_overlap, 0) >= nsh.n_sh * 0.5),
+        |tagged AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CASE WHEN b.is_bench THEN 'benchmark'
+        |         WHEN b.low_quality THEN 'quality'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM exact_dups) THEN 'exact_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM near_dups) THEN 'near_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+        |         ELSE 'kept' END AS stage
+        |  FROM base0 b)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM tagged GROUP BY stage ORDER BY stage""".stripMargin,
+
     "d11_substring_spans" ->
       """WITH dg AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 24) AS g
@@ -836,25 +937,7 @@ object PipelineQueries {
         |    first_value(doc_id) OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS canonical_doc
         |  FROM wc),
         |kept AS (SELECT doc_id, component FROM sel WHERE doc_id = canonical_doc),
-        |q AS (
-        |  SELECT doc_id, lang, $toksSql AS toks, text FROM documents),
-        |m AS (
-        |  SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS n,
-        |    CASE WHEN len(toks) > 0
-        |      THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
-        |      ELSE 0 END AS mean_len,
-        |    CASE WHEN len(toks) > 0
-        |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in',
-        |        'der','die','das','und','ist','zu','ein','el','la','de','y','es','en','un',
-        |        'le','et','est'))) AS DOUBLE) / len(toks)
-        |      ELSE 0 END AS stop
-        |  FROM q),
-        |scored AS (
-        |  SELECT doc_id, lang,
-        |    ROUND(least(n/50.0, 1.0)*0.4 +
-        |          (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END)*0.3 +
-        |          least(stop*5.0, 1.0)*0.3, 6) AS quality
-        |  FROM m)
+        |$qualityScoredSql
         |SELECT k.doc_id, k.component, s.lang, s.quality
         |FROM kept k JOIN scored s ON k.doc_id = s.doc_id
         |WHERE s.quality >= 0.5

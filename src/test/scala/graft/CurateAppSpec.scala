@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions.exactFingerprint
+
+/** End-to-end checks of the corpus-curation entry point on the sf0.001
+  * fixture: the report must partition the corpus exactly, the curated
+  * output must be duplicate- and benchmark-free, and a second pass over
+  * the curated corpus must be a no-op (idempotence).
+  */
+class CurateAppSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val outDir =
+    java.nio.file.Files.createTempDirectory("curate_").toString
+
+  private lazy val report = CurateApp.run(spark, sfDir, outDir)
+    .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("report stages partition the corpus exactly") {
+    val total = graft.sources.Catalog.documents(spark, sfDir).count()
+    assert(report.values.sum == total)
+    val known = Set("benchmark", "quality", "exact_dup", "near_dup",
+      "contaminated", "kept")
+    assert(report.keySet.subsetOf(known), report.keySet.toString)
+    assert(report("kept") > 0)
+    assert(report("benchmark") > 0) // doc_id ≡ 0 mod 50 exists at sf0.001
+  }
+
+  test("curated output is fingerprint-unique and benchmark-free") {
+    val curated = spark.read.parquet(s"$outDir/curated")
+    val n = curated.count()
+    assert(n == report("kept"))
+    val distinctFp = curated.select(exactFingerprint(col("text"))).distinct().count()
+    assert(distinctFp == n, "duplicate fingerprints survived curation")
+    assert(curated.filter(col("doc_id") % 50 === 0).count() == 0)
+  }
+
+  test("curation is idempotent: a second pass keeps every curated doc") {
+    // stage the curated output as a documents table for a re-run
+    val in2 = java.nio.file.Files.createTempDirectory("curate2_in_").toString
+    spark.read.parquet(s"$outDir/curated")
+      .write.mode("overwrite").parquet(s"$in2/documents.parquet")
+    val out2 = java.nio.file.Files.createTempDirectory("curate2_out_").toString
+    val report2 = CurateApp.run(spark, in2, out2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report2 == Map("kept" -> report("kept")), report2.toString)
+  }
+}

@@ -104,6 +104,130 @@ object Multimodal {
       Array((sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat))
   }
 
+  /** Deterministic gradient PNG (same id-keyed palette as
+    * [[syntheticPng]], plus position terms): non-constant pixels make
+    * perceptual hashes non-degenerate, which the solid fill cannot
+    * (every solid image aHashes to 0). Used by the m3/m4 queries.
+    */
+  def syntheticGradientPng(id: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = (imageWidth(id), imageHeight(nChars))
+    val (r, g, b) = imageRgb(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rr = (r + 8 * x + 3 * y) % 256
+        val gg = (g + 5 * x + 7 * y) % 256
+        val bb = (b + 2 * x + 11 * y) % 256
+        img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, "png", bos))
+      sys.error("no PNG writer available in this JRE")
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbor resize — the pre-embedding normalization step.
+    * Direct pixel sampling (no Graphics2D rendering pipeline), so the
+    * result is bit-deterministic across JREs and platforms — a property
+    * interpolating resamplers don't guarantee and that golden-file
+    * oracles require.
+    */
+  def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.getHeight / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.getWidth / w).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual average-hash (aHash): resize to 8×8, grayscale
+    * each cell (r+g+b), set bit (8y+x) iff the cell is brighter than the
+    * image mean — integer-only (`gray·64 > Σgray`) so no float rounding
+    * can flip a borderline bit between platforms. Hamming distance over
+    * aHashes is the image analog of SimHash near-dup: crops/recompressions
+    * of the same picture land within a few bits.
+    */
+  def aHash(bytes: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null)
+      sys.error(s"aHash: undecodable image payload (${bytes.length} bytes)")
+    val small = resizeImage(img, 8, 8)
+    val grays = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      grays(i) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      sum += grays(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (grays(i) * 64L > sum) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** (media_id, ahash) for every image row — the batched decode pass
+    * (same mapPartitions shape as [[extractFeatures]]: per-partition
+    * codec setup, one iterator sweep).
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("ahash", org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), aHash(r.getAs[Array[Byte]]("bytes"))))
+      }(enc)
+  }
+
+  /** Image near-dup candidates: the 64-bit aHash splits into 4×16-bit
+    * bands; images sharing any band bucket-join (one shuffle on the band
+    * key, same recall trade as SimHash banding — pairs differing in all
+    * four bands are missed), then exact Hamming distance filters.
+    * Returns (id1, id2, hamming) with id1 < id2, deduped across bands.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = hashes.select(col("media_id"), col("ahash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("sig"))): _*)).as("bs"))
+      .select(col("media_id"), col("ahash"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("bsz") <= maxBucket)
+    val a = banded.select(col("band"), col("sig"),
+      col("media_id").as("id1"), col("ahash").as("h1"))
+    val b = banded.select(col("band"), col("sig"),
+      col("media_id").as("id2"), col("ahash").as("h2"))
+    a.join(b, Seq("band", "sig")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** STUB decoder for the codec-less kinds (audio/video): a 16-bin
     * histogram of byte values mod 16, normalized — deterministic,
     * fixed-shape, same signature a real decoder would have.
@@ -117,6 +241,16 @@ object Multimodal {
   }
 
   private val pngUdf = udf { (id: Long, nChars: Long) => syntheticPng(id, nChars) }
+  private val gradientPngUdf =
+    udf { (id: Long, nChars: Long) => syntheticGradientPng(id, nChars) }
+
+  /** Image-only media table with gradient payloads — the perceptual-hash
+    * fixture (solid fills all aHash to 0; gradients don't).
+    */
+  def gradientImagesFromDocuments(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 0).select(
+      col("doc_id").as("media_id"), lit("image").as("kind"),
+      gradientPngUdf(col("doc_id"), col("n_chars")).as("bytes"))
 
   /** Deterministic media table derived from the documents fixture: image
     * rows carry REAL PNG payloads ([[syntheticPng]]); audio/video rows

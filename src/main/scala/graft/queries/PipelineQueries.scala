@@ -622,6 +622,25 @@ object PipelineQueries {
         .select(col("media_id"), col("n_frames"), col("frame_idx"), col("frame_hash"))
         .orderBy(col("media_id"), col("frame_idx"))
     }),
+
+    // M3: perceptual average-hash per image — real decode + deterministic
+    // nearest-neighbor 8×8 resize + integer-threshold bits. Gradient
+    // payloads (solid fills all hash to 0). Golden-parquet oracle: DuckDB
+    // can't decode PNGs, but the output is bit-deterministic.
+    "m3_image_ahash" -> ((s, dir) => {
+      Multimodal.imageHashes(
+          Multimodal.gradientImagesFromDocuments(Catalog.documents(s, dir)))
+        .orderBy(col("media_id"))
+    }),
+
+    // M4: image near-dup candidates — 4×16-bit aHash bands bucket-join
+    // (one shuffle, SimHash-style recall trade), exact Hamming verify.
+    "m4_image_neardup" -> ((s, dir) => {
+      val hashes = Multimodal.imageHashes(
+        Multimodal.gradientImagesFromDocuments(Catalog.documents(s, dir)))
+      Multimodal.imageNearDupPairs(hashes, maxHamming = 12)
+        .orderBy(col("id1"), col("id2"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1523,6 +1542,17 @@ object PipelineQueries {
         |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY media_id""".stripMargin,
+
+    // perceptual-hash goldens: DuckDB can't decode PNGs, but aHash is
+    // bit-deterministic (lossless PNG round-trip, integer-only resize +
+    // threshold), so a captured run is a stable oracle. Regenerate after
+    // any intentional change to syntheticGradientPng/resizeImage/aHash:
+    //   tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/v m3_image_ahash m4_image_neardup
+    //   cp /tmp/v/<q>/part-*.parquet goldens/<q>.parquet
+    "m3_image_ahash" ->
+      "SELECT * FROM read_parquet('/root/repo/goldens/m3_image_ahash.parquet') ORDER BY media_id",
+    "m4_image_neardup" ->
+      "SELECT * FROM read_parquet('/root/repo/goldens/m4_image_neardup.parquet') ORDER BY id1, id2",
 
     "m2_frame_sample" ->
       """WITH media AS (

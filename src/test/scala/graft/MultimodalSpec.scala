@@ -92,4 +92,50 @@ class MultimodalSpec extends AnyFunSuite {
       .select("frame_idx").collect().map(_.getLong(0)).sorted
     assert(idx.zipWithIndex.forall { case (v, i) => v == 2L * i })
   }
+
+  test("resizeImage: exact nearest-neighbor sampling, bit-deterministic") {
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, (y * 4 + x) << 16)
+    val out = Multimodal.resizeImage(img, 2, 2)
+    // sample positions floor(x*4/2) = {0, 2}: pixels (0,0) (2,0) (0,2) (2,2)
+    assert(out.getRGB(0, 0) == (0 << 16))
+    assert(out.getRGB(1, 0) == (2 << 16))
+    assert(out.getRGB(0, 1) == (8 << 16))
+    assert(out.getRGB(1, 1) == (10 << 16))
+  }
+
+  test("aHash: solid image is degenerate zero; gradient is not; scale-invariant") {
+    val solid = Multimodal.syntheticPng(3L, 40L)
+    assert(Multimodal.aHash(solid) == 0L)
+    val grad = Multimodal.syntheticGradientPng(3L, 40L)
+    val h = Multimodal.aHash(grad)
+    assert(h != 0L)
+    // the hash of an 8×-upscaled copy of the same pattern is close: aHash
+    // is a perceptual key, not a byte fingerprint
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(grad))
+    val big = Multimodal.resizeImage(img, img.getWidth * 8, img.getHeight * 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val hBig = Multimodal.aHash(bos.toByteArray)
+    assert(java.lang.Long.bitCount(h ^ hBig) <= 8,
+      s"upscale moved the hash ${java.lang.Long.bitCount(h ^ hBig)} bits")
+  }
+
+  test("imageNearDupPairs finds a perturbed copy and skips unrelated images") {
+    import spark.implicits._
+    val base = Multimodal.syntheticGradientPng(3L, 40L)
+    // perturb one corner cell of a copy: few aHash bits move
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    img.setRGB(0, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (1L, "image", base),
+      (2L, "image", bos.toByteArray),
+      (3L, "image", Multimodal.syntheticGradientPng(40L, 123L)))
+      .toDF("media_id", "kind", "bytes")
+    val pairs = Multimodal.imageNearDupPairs(Multimodal.imageHashes(media), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
 }

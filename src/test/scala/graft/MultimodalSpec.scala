@@ -98,10 +98,11 @@ class MultimodalSpec extends AnyFunSuite {
     for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, (y * 4 + x) << 16)
     val out = Multimodal.resizeImage(img, 2, 2)
     // sample positions floor(x*4/2) = {0, 2}: pixels (0,0) (2,0) (0,2) (2,2)
-    assert(out.getRGB(0, 0) == (0 << 16))
-    assert(out.getRGB(1, 0) == (2 << 16))
-    assert(out.getRGB(0, 1) == (8 << 16))
-    assert(out.getRGB(1, 1) == (10 << 16))
+    // getRGB on TYPE_INT_RGB reports 0xFF alpha bits — mask to the RGB payload
+    assert((out.getRGB(0, 0) & 0xffffff) == (0 << 16))
+    assert((out.getRGB(1, 0) & 0xffffff) == (2 << 16))
+    assert((out.getRGB(0, 1) & 0xffffff) == (8 << 16))
+    assert((out.getRGB(1, 1) & 0xffffff) == (10 << 16))
   }
 
   test("aHash: solid image is degenerate zero; gradient is not; scale-invariant") {

@@ -32,14 +32,15 @@ import graft.sources.Catalog
   *                     appear in the benchmark set
   *   6. kept         — everything else: written to `<outDir>/curated`
   *
-  * Scale shape: ONE lazy DAG end-to-end — per-stage verdicts are columns
+  * Scale shape: ONE DAG end-to-end — per-stage verdicts are columns
   * and joins (fingerprint canonical pick, LSH bucket pairs, shingle
-  * semi-join), never per-stage `count()` actions, so the corpus is read
-  * once for the curated write and once for the report aggregation (the
-  * report is a single groupBy over the drop-stage tag; at 100 TB you'd
-  * cache the tagged frame or write it partitioned by stage instead).
-  * Dedup stages run on the survivors of earlier stages only, so clone
-  * candidates never include docs already rejected for quality.
+  * semi-join), never per-stage `count()` actions, and the stages the
+  * DAG reuses (row-local verdicts, fingerprints, near-dup resolution)
+  * are persisted memory-and-disk for the duration of the run and
+  * released on exit, so quality scoring / tokenization / LSH each run
+  * once no matter how many outputs consume them. Dedup stages run on
+  * the survivors of earlier stages only, so clone candidates never
+  * include docs already rejected for quality.
   */
 object CurateApp {
 
@@ -59,18 +60,24 @@ object CurateApp {
   /** One curation pass; factored out of main so tests can drive it.
     * Writes `<outDir>/curated` (parquet) and `<outDir>/report` and
     * returns the report: (stage, n_docs, n_tokens) with `kept` as the
-    * surviving-stage row.
+    * surviving-stage row (read back from the written parquet, so
+    * consuming it later never re-executes the pipeline).
+    *
+    * The reused stages are persisted for the duration of the two writes
+    * and released before returning — a long-lived session (continuous
+    * curation service) accumulates no cached blocks across runs.
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
           qualityMin: Double = 0.5, benchMod: Int = 50,
           maxOverlap: Double = 0.5): DataFrame = {
-    val frame = tagged(spark, inDir, qualityMin, benchMod, maxOverlap)
-    frame.filter(col("stage") === "kept")
-      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$outDir/curated")
-    val rep = report(frame)
-    rep.write.mode("overwrite").parquet(s"$outDir/report")
-    rep
+    val (frame, release) = taggedCached(spark, inDir, qualityMin, benchMod, maxOverlap)
+    try {
+      frame.filter(col("stage") === "kept")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$outDir/curated")
+      report(frame).write.mode("overwrite").parquet(s"$outDir/report")
+    } finally release()
+    spark.read.parquet(s"$outDir/report")
   }
 
   /** The per-stage attrition report of [[tagged]] — also exposed as the
@@ -82,61 +89,101 @@ object CurateApp {
 
   /** Every input doc with its curation verdict: the FIRST stage that
     * rejects it in `stage`, or `kept`. One lazy DAG — see the object doc.
+    * Fully lazy and persist-free: composing callers that run exactly one
+    * action over the result pay one pipeline execution and leak nothing.
+    * Callers that run SEVERAL actions (curated write + report write, or
+    * repeated aggregation) should use [[taggedCached]] instead.
     */
   def tagged(spark: SparkSession, inDir: String,
              qualityMin: Double = 0.5, benchMod: Int = 50,
-             maxOverlap: Double = 0.5): DataFrame = {
+             maxOverlap: Double = 0.5): DataFrame =
+    build(spark, inDir, qualityMin, benchMod, maxOverlap, persistShared = false)._1
+
+  /** [[tagged]] with the three stages the DAG reuses — the row-local
+    * verdict frame, the fingerprint-joined frame, and the near-dup
+    * resolution — persisted (memory-and-disk). Returns the frame plus a
+    * release thunk the caller MUST invoke after its last action; the
+    * thunk unpersists all shared stages, so nothing outlives the run.
+    */
+  def taggedCached(spark: SparkSession, inDir: String,
+                   qualityMin: Double = 0.5, benchMod: Int = 50,
+                   maxOverlap: Double = 0.5): (DataFrame, () => Unit) =
+    build(spark, inDir, qualityMin, benchMod, maxOverlap, persistShared = true)
+
+  private def build(spark: SparkSession, inDir: String,
+                    qualityMin: Double, benchMod: Int, maxOverlap: Double,
+                    persistShared: Boolean): (DataFrame, () => Unit) = {
+    val shared = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // quality scores, tokenization, fingerprints and the LSH+CC near-dup
+    // verdict each feed 2-3 downstream branches; recomputing them per
+    // branch triples the scan+tokenize cost (the r4 bench's slowest query)
+    def sharedStage(df: DataFrame): DataFrame =
+      if (!persistShared) df
+      else { val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); shared += p; p }
+
     val docs = Catalog.documents(spark, inDir)
 
     // stage 1+2: row-local verdicts
     val toks = tokens(col("text"))
-    val tagged0 = docs
+    val tagged0 = sharedStage(docs
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("is_bench", col("doc_id") % benchMod === 0)
-      .withColumn("low_quality", qualityScore(col("text"), toks) < qualityMin)
+      .withColumn("low_quality", qualityScore(col("text"), toks) < qualityMin))
 
     // stage 3: exact dedup among docs surviving 1+2 — first occurrence
-    // (min doc_id) per normalized fingerprint keeps
+    // (min doc_id) per normalized fingerprint keeps. A window min over
+    // the fingerprint key, not groupBy+self-join: one shuffle, and the
+    // md5 evaluates once on the exchange's map side
     val s12 = tagged0.filter(!col("is_bench") && !col("low_quality"))
-    val fpCanon = s12
-      .select(col("doc_id"), exactFingerprint(col("text")).as("fp"))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("fp_canon"))
-    val withFp = s12
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val withFp = sharedStage(s12
       .withColumn("fp", exactFingerprint(col("text")))
-      .join(fpCanon, Seq("fp"))
-      .withColumn("exact_dup", col("doc_id") =!= col("fp_canon"))
+      .withColumn("fp_canon", min(col("doc_id")).over(byFp))
+      .withColumn("exact_dup", col("doc_id") =!= col("fp_canon")))
 
     // stage 4: near-dup resolution among exact-dedup survivors
     val s3 = withFp.filter(!col("exact_dup"))
       .select(col("doc_id"), col("text"), col("n_chars"))
-    val resolved = Dedup.resolveDuplicates(s3,
-        Dedup.lshCandidatePairs(s3).select(col("doc1"), col("doc2")))
-      .select(col("doc_id"), col("keep").as("near_canonical"))
+    val resolved = sharedStage(Dedup.resolveDuplicates(s3,
+        Dedup.lshCandidatePairs(s3).select(col("doc1"), col("doc2")),
+        pairsDistinct = true)
+      .select(col("doc_id"), col("keep").as("near_canonical")))
 
     // stage 5: benchmark contamination among near-dup survivors —
     // fraction of the doc's distinct 3-gram shingles found in the
-    // benchmark shingle set (same semantics as t10_decontaminate)
-    val s4 = withFp.join(resolved, Seq("doc_id"), "left")
-      .withColumn("near_dup", !coalesce(col("near_canonical"), lit(true)))
+    // benchmark shingle set (same semantics as t10_decontaminate).
+    // Survivors come from `resolved` directly (it has one row per s3
+    // doc), not via a withFp⋈resolved frame that the attribution join
+    // would then rebuild a second time.
+    val survivors = s3.join(resolved.filter(col("near_canonical")), Seq("doc_id"))
     val sh3 = explodedShingles(
-      s4.filter(!col("near_dup")).select(col("doc_id"), col("text")),
+      survivors.select(col("doc_id"), col("text")),
       "doc_id", "text", 3).distinct()
-    val benchShingles = explodedShingles(
-      tagged0.filter(col("is_bench")).select(col("doc_id"), col("text")),
-      "doc_id", "text", 3)
-      .select(col("shingle")).distinct()
-    val overlap = sh3.join(benchShingles, Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    val nSh = sh3.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val contaminated = nSh.join(overlap, Seq("doc_id"), "left")
-      .withColumn("contaminated",
-        coalesce(col("n_overlap"), lit(0L)) >= col("n_sh") * maxOverlap)
+    // benchmark side is 1/benchMod of the corpus — small enough that the
+    // row-local (interpreted) shingle HOF beats the window-explode path's
+    // extra exchange; the shingle strings are byte-identical to
+    // explodedShingles' (same n-token windows, space-joined)
+    val benchShingles = tagged0.filter(col("is_bench"))
+      .select(explode(array_distinct(shingles(tokens(col("text")), 3))).as("shingle"))
+      .distinct()
+    // ONE pass over the exploded shingle set (the pipeline's biggest
+    // frame): both sides are distinct, so a left join has multiplicity 1
+    // and per-doc total and benchmark-overlap counts come from a single
+    // aggregate — not two groupBys joined back together
+    val contaminated = sh3
+      .join(benchShingles.withColumn("hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= col("n_sh") * maxOverlap)
       .select(col("doc_id"), col("contaminated"))
 
-    // attribution: FIRST failing stage tags the doc; survivors are kept
-    tagged0
+    // attribution: FIRST failing stage tags the doc; survivors are kept.
+    // Docs absent from `resolved` (rejected before stage 4) read as
+    // near_dup=false — the when-chain has already tagged them anyway.
+    val frame = tagged0
       .join(withFp.select(col("doc_id"), col("exact_dup")), Seq("doc_id"), "left")
-      .join(s4.select(col("doc_id"), col("near_dup")), Seq("doc_id"), "left")
+      .join(resolved, Seq("doc_id"), "left")
+      .withColumn("near_dup", !coalesce(col("near_canonical"), lit(true)))
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("stage",
         when(col("is_bench"), "benchmark")
@@ -145,5 +192,6 @@ object CurateApp {
           .when(col("near_dup"), "near_dup")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
           .otherwise("kept"))
+    (frame, () => shared.foreach(_.unpersist()))
   }
 }

@@ -170,7 +170,7 @@ object Dedup {
     val shingleSets = df.join(docsInPairs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), ShingleSize)).as("sh"))
-    cands
+    val verified = cands
       .join(shingleSets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
       .join(shingleSets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
@@ -178,6 +178,13 @@ object Dedup {
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc1"), col("doc2"), col("jaccard"))
+    // materialize the (LSH-bounded) verified-pair set eagerly so the
+    // one-shot candidate cache can be released HERE instead of leaking
+    // for the session lifetime; the truncated lineage is executor-local
+    // blocks that the ContextCleaner frees once the frame is unreferenced
+    val out = verified.localCheckpoint(true)
+    cands.unpersist()
+    out
   }
 
   /** Bit `b` (0-based, low bit first within each hex digit) of an md5 hex
@@ -262,51 +269,88 @@ object Dedup {
     * iterative lineage so the plan doesn't grow by two joins per round
     * (on a real cluster: `checkpoint` to durable storage instead).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      pairsDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = pairs.sparkSession
     // per-round lineage truncation: executor-local by default (fast, no
     // durable storage needed); when a cluster checkpoint dir is set, use
     // reliable checkpoints instead so a 100 TB run survives executor loss
     // mid-iteration (localCheckpoint blocks are unrecoverable by design)
     val durable = spark.sparkContext.getCheckpointDir.isDefined
+    // non-eager: the round's signature aggregate is the action that
+    // materializes the checkpoint blocks, so each round runs ONE job
+    // (an eager checkpoint would spend a separate job just materializing)
     def truncate(df: DataFrame): DataFrame =
-      if (durable) df.checkpoint() else df.localCheckpoint()
+      if (durable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
 
     // canonical directed form: (u, v) with u > v, no self-loops, distinct
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
 
+    // Both stars compute "per-node neighborhood minimum, attached back to
+    // every edge of the node" — a WINDOW min over the node key, not a
+    // groupBy-min + self-join: one shuffle on u instead of two, and less
+    // shuffle volume (the join re-shuffled the full edge list anyway, so
+    // the window loses nothing to map-side combining that the join path
+    // actually had). Hub-node skew is identical in both shapes: all of a
+    // node's edges co-locate either way.
+    val perNode = Window.partitionBy(col("u"))
+
     // large-star: every node u links its strictly-larger neighbors to
-    // m(u) = min(Γ(u) ∪ {u})
+    // m(u) = min(Γ(u) ∪ {u}). Output is NOT deduplicated — small-star's
+    // window min is multiplicity-blind and the round's final canon()
+    // dedups, so an intermediate distinct would be a pure extra shuffle.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mn = sym.groupBy(col("u"))
-        .agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      canon(sym.filter(col("v") > col("u")).join(mn, "u")
-        .select(col("v").as("u"), col("m").as("v")))
+      sym.withColumn("m", least(col("u"), min(col("v")).over(perNode)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
     }
 
     // small-star: every node u links its smaller neighbors AND itself to
-    // the minimum of those neighbors
+    // the minimum of those neighbors (self-edges duplicate per input row;
+    // canon's distinct collapses them)
     def smallStar(e: DataFrame): DataFrame = {
-      val mn = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val moved = e.join(mn, "u").select(col("v").as("u"), col("m").as("v"))
-      canon(moved.union(mn.select(col("u"), col("m").as("v"))))
+      val withM = e.withColumn("m", min(col("v")).over(perNode))
+      canon(withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v"))))
     }
 
-    var cur = truncate(canon(pairs.select(col("doc1").as("u"), col("doc2").as("v"))))
+    // convergence = the canonical edge SET is stable round-over-round.
+    // Compared via an order-independent (count, xor-of-xxhash64) signature
+    // instead of except()-based set difference: the signature is one tiny
+    // aggregate over the round's already-checkpointed blocks and the
+    // previous round's value is remembered, so each round pays ONE cheap
+    // job where the set-difference check paid a 4-shuffle action over both
+    // frames. XOR is exact on a distinct edge set (each edge contributes
+    // once) and can't overflow under ANSI; collision odds ~2^-64/round —
+    // negligible next to maxIter.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // `pairsDistinct = true` (the LSH/simhash candidate generators emit
+    // distinct doc1<doc2 pairs from a groupBy) skips the initial dedup
+    // exchange: orientation flip + self-loop filter are row-local
+    val edges0 = pairs.select(col("doc1").as("u"), col("doc2").as("v"))
+    var cur = truncate(
+      if (pairsDistinct)
+        edges0.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+          .filter(col("u") =!= col("v"))
+      else canon(edges0))
+    var curSig = signature(cur)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = truncate(smallStar(largeStar(cur)))
-      // converged when the canonical edge set is stable (then every edge
-      // already points straight at its component root); both set
-      // differences evaluate inside ONE action so each round pays a
-      // single convergence job
-      converged = next.except(cur).union(cur.except(next)).isEmpty
+      val nextSig = signature(next)
+      converged = nextSig == curSig
       cur = next
+      curSig = nextSig
       i += 1
     }
     // partially-contracted labels are silently WRONG downstream (dedup
@@ -315,8 +359,12 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
           "raise maxIter (rounds grow ~log of the largest component diameter)")
-    val roots = cur.select(col("v")).distinct().select(col("v").as("node"), col("v").as("component"))
-    cur.select(col("u").as("node"), col("v").as("component")).union(roots).distinct()
+    // labels: every edge is (node → root) at the fixpoint; roots label
+    // themselves. ONE distinct over the union (root rows duplicate per
+    // out-edge) instead of a pre-distinct on roots plus a second distinct.
+    cur.select(col("u").as("node"), col("v").as("component"))
+      .union(cur.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
   }
 
   /** Full dedup resolution: candidate pairs → components → one canonical
@@ -326,9 +374,10 @@ object Dedup {
     * are singleton components and always kept. The per-component pick is
     * a window over the component key — one shuffle, no driver state.
     */
-  def resolveDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
+      pairsDistinct: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = connectedComponents(pairs)
+    val cc = connectedComponents(pairs, pairsDistinct = pairsDistinct)
     val withComp = docs
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))

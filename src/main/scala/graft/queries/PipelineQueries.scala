@@ -171,7 +171,8 @@ object PipelineQueries {
     // never O(diameter) propagation).
     "d7_cc_components" -> ((s, dir) => {
       Dedup.connectedComponents(
-          Dedup.lshCandidatePairs(Catalog.documents(s, dir)).select(col("doc1"), col("doc2")))
+          Dedup.lshCandidatePairs(Catalog.documents(s, dir)).select(col("doc1"), col("doc2")),
+          pairsDistinct = true)
         .orderBy(col("node"))
     }),
 
@@ -180,7 +181,8 @@ object PipelineQueries {
     "d8_dedup_resolve" -> ((s, dir) => {
       val docs = Catalog.documents(s, dir)
       Dedup.resolveDuplicates(docs,
-          Dedup.lshCandidatePairs(docs).select(col("doc1"), col("doc2")))
+          Dedup.lshCandidatePairs(docs).select(col("doc1"), col("doc2")),
+          pairsDistinct = true)
         .withColumn("keep", col("keep").cast("long"))
         .orderBy(col("doc_id"))
     }),
@@ -234,7 +236,8 @@ object PipelineQueries {
     "e1_curate" -> ((s, dir) => {
       val docs = Catalog.documents(s, dir)
       val kept = Dedup.resolveDuplicates(docs,
-          Dedup.lshCandidatePairs(docs).select(col("doc1"), col("doc2")))
+          Dedup.lshCandidatePairs(docs).select(col("doc1"), col("doc2")),
+          pairsDistinct = true)
         .filter(col("keep"))
         .select(col("doc_id"), col("component"))
       val toks = tokens(col("text"))
@@ -394,7 +397,14 @@ object PipelineQueries {
     // stage's doc/token attrition machine-checked against a DuckDB
     // replica of the whole pipeline.
     "c5_curate_report" -> ((s, dir) => {
-      graft.CurateApp.report(graft.CurateApp.tagged(s, dir)).orderBy(col("stage"))
+      val (frame, release) = graft.CurateApp.taggedCached(s, dir)
+      val rep = graft.CurateApp.report(frame).orderBy(col("stage"))
+      // the report is ≤6 rows by construction (the stage enum), so an
+      // eager driver materialization is bounded and lets the shared-stage
+      // cache release before the frame is handed to the caller
+      val rows = rep.collect()
+      release()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
     }),
 
     // D11: exact duplicated-substring spans (char-24-gram match) — the

@@ -8,12 +8,16 @@ object TimeOne {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      (1 to 2).foreach { i =>
+      val times = (1 to 5).map { i =>
+        try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
         val t0 = System.nanoTime()
         fn(spark, "/root/testdata/sf0.1")
           .write.format("noop").mode("overwrite").save()
-        println(s"$name run$i: " + ((System.nanoTime()-t0)/1e9))
+        (System.nanoTime() - t0) / 1e9
       }
+      val warm = times.drop(1)
+      println(f"$name: min ${warm.min}%.2f  median ${warm.sorted.apply(warm.size / 2)}%.2f  " +
+        f"all ${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

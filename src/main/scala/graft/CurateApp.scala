@@ -46,13 +46,17 @@ object CurateApp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: graft.CurateApp <inDir> <outDir> [qualityMin] [benchMod]")
+      "usage: graft.CurateApp <inDir> <outDir> [confPath]")
     val inDir = args(0)
     val outDir = args(1)
-    val qualityMin = if (args.length > 2) args(2).toDouble else 0.5
-    val benchMod = if (args.length > 3) args(3).toInt else 50
+    // curation thresholds come from the conf file (curation.* keys — the
+    // pipeline counterpart of the reference's sflow.conf detector knobs)
+    val c = if (args.length > 2) GraftConfig.load(args(2)) else GraftConfig.empty
     val spark = GraftSession.build()
-    val report = run(spark, inDir, outDir, qualityMin, benchMod)
+    val report = run(spark, inDir, outDir,
+      qualityMin = c.getDouble("curation.qualityMin", 0.5),
+      benchMod = c.getInt("curation.benchMod", 50),
+      maxOverlap = c.getDouble("curation.maxOverlap", 0.5))
     report.orderBy(col("stage")).show(20, truncate = false)
     spark.stop()
   }

@@ -49,17 +49,22 @@ object GraftApp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.GraftApp <samplesPath> <stateDir> <outDir> [myNetsCSV]")
+      "usage: graft.GraftApp <samplesPath> <stateDir> <outDir> [myNetsCSV] [confPath]")
     val Array(samplesPath, stateDir, outDir) = args.take(3)
     val myNets = if (args.length > 3) args(3).split(",").toSeq else Seq("10.", "192.168.")
+    val config = if (args.length > 4) GraftConfig.load(args(4)) else GraftConfig.empty
     val spark = GraftSession.build()
-    run(spark, samplesPath, stateDir, outDir, myNets)
+    run(spark, samplesPath, stateDir, outDir, myNets, config)
     spark.stop()
   }
 
-  /** One batch pass; factored out of main so tests can drive it. */
+  /** One batch pass; factored out of main so tests can drive it.
+    * `config`: the reference's sflow.conf surface (thresholds, disabled
+    * flags, exclusion sets) — see [[GraftConfig]] / HogzillaBatch.run.
+    */
   def run(spark: SparkSession, samplesPath: String, stateDir: String,
-          outDir: String, myNets: Seq[String]): Unit = {
+          outDir: String, myNets: Seq[String],
+          config: GraftConfig = GraftConfig.empty): Unit = {
     val samples = spark.read.parquet(samplesPath)
     val profiles = {
       val ts = HistNames.map(h =>
@@ -72,7 +77,7 @@ object GraftApp {
       emptyTable(spark, "repo_ip" -> "string", "os" -> "string"))
 
     val (alerts, updated, reputation) =
-      HogzillaBatch.run(spark, samples, myNets, profiles, blacklist, osRepos)
+      HogzillaBatch.run(spark, samples, myNets, profiles, blacklist, osRepos, config)
 
     // alerts append to the event sink (S5); reputation lists overwrite
     alerts.write.mode(SaveMode.Append).parquet(s"$outDir/alerts")

@@ -33,13 +33,14 @@ object GraftContinuousApp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.GraftContinuousApp <authStreamDir> <stateDir> <outDir> [intervalSecs]")
+      "usage: graft.GraftContinuousApp <authStreamDir> <stateDir> <outDir> [intervalSecs] [confPath]")
     val Array(authDir, stateDir, outDir) = args.take(3)
     val interval = if (args.length > 3) args(3).toInt else 10
+    val config = if (args.length > 4) GraftConfig.load(args(4)) else GraftConfig.empty
     val spark = GraftSession.build()
     val schema = spark.read.parquet(authDir).schema
     val stream = spark.readStream.schema(schema).parquet(authDir)
-    val q = run(spark, stream, stateDir, outDir, interval)
+    val q = run(spark, stream, stateDir, outDir, interval, config)
     q.awaitTermination()
   }
 
@@ -50,18 +51,19 @@ object GraftContinuousApp {
     * history into auth_profiles and re-appending every alert.
     */
   def run(spark: SparkSession, stream: DataFrame, stateDir: String,
-          outDir: String, intervalSecs: Int)
+          outDir: String, intervalSecs: Int,
+          config: GraftConfig = GraftConfig.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
     StreamingJobs.consumeMicroBatches(stream, intervalSecs,
         checkpointDir = Some(s"$stateDir/checkpoint")) { (batch, _) =>
-      if (!batch.isEmpty) processBatch(spark, batch, stateDir, outDir)
+      if (!batch.isEmpty) processBatch(spark, batch, stateDir, outDir, config)
     }
 
   /** One micro-batch: detect against saved profiles, append alerts,
     * learn, stage-swap the profile state.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-                   outDir: String): Unit = {
+                   outDir: String, config: GraftConfig = GraftConfig.empty): Unit = {
     val profPath = s"$stateDir/auth_profiles"
     // recover-then-read via StateSwap: a crash mid-swap on the previous
     // batch is completed here instead of silently cold-starting
@@ -80,9 +82,24 @@ object GraftContinuousApp {
       .unionByName(batch.select(col("city"), col("coords")))
       .groupBy(col("city")).agg(min(col("coords")).as("coords"))
 
-    val atypical = AuthProfiling.atypicalAccess(batch, profiles, cityCoords)
+    // reference conf levels (HogAuth.scala:83-85): 0 = detect+learn,
+    // 1 = just training (suppress this family's alerts, keep learning),
+    // 2 = nothing (also skip learning below)
+    val familyLevel = Map(
+      "HIST20" -> config.getInt("location.disabled", 0),
+      "HIST21" -> config.getInt("useragent.disabled", 0),
+      "HIST22" -> config.getInt("system.disabled", 0))
+    def gated(flag: String, family: String) =
+      if (familyLevel(family) != 0) lit(0) else col(flag)
+    val atypical = AuthProfiling.atypicalAccess(batch, profiles, cityCoords,
+        radiusKm = config.getDouble("location.allowedRadix", AuthProfiling.CityRadiusKm))
+      .withColumn("atypical_city", gated("atypical_city", "HIST20"))
+      .withColumn("atypical_ua", gated("atypical_ua", "HIST21"))
+      .withColumn("atypical_service", gated("atypical_service", "HIST22"))
+      .filter(col("atypical_city") + col("atypical_ua") + col("atypical_service") > 0)
       .withColumn("detector", lit("atypicalAccess"))
-    val travel = AuthProfiling.impossibleTravel(batch)
+    val travel = AuthProfiling.impossibleTravel(batch,
+        maxKmh = config.getDouble("travel.maxKmh", 900.0))
       .select(col("user_name"), col("city"), lit(null).cast("string").as("user_agent"),
         lit(null).cast("string").as("service"), col("speed_kmh").as("min_city_dist_km"),
         lit(1).as("atypical_city"), lit(0).as("atypical_ua"), lit(0).as("atypical_service"))
@@ -107,14 +124,16 @@ object GraftContinuousApp {
       .write.mode(SaveMode.Append).parquet(s"$outDir/auth_alerts")
 
     // learn pass: merge this batch into every family's histograms
-    val current = Families.map { case (family, column) =>
-      HistogramFunctions.buildHistogram(
-        batch.groupBy(concat(lit(s"$family-"), col("user_name")).as("name"),
-            col(column).as("bucket"))
-          .agg(count(lit(1)).as("cnt")),
-        Seq("name"))
-    }.reduce(_ unionByName _)
-    val updated = ProfileStore.update(profiles, current)
+    val learning = Families.filter { case (family, _) => familyLevel(family) != 2 }
+    val updated =
+      if (learning.isEmpty) profiles
+      else ProfileStore.update(profiles, learning.map { case (family, column) =>
+        HistogramFunctions.buildHistogram(
+          batch.groupBy(concat(lit(s"$family-"), col("user_name")).as("name"),
+              col(column).as("bucket"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("name"))
+      }.reduce(_ unionByName _))
 
     StateSwap.swap(updated, profPath)
     StateSwap.swap(cityCoords, coordsPath)

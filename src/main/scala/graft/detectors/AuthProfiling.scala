@@ -38,7 +38,8 @@ object AuthProfiling {
     * {city, user_agent, service}.
     */
   def atypicalAccess(auth: DataFrame, profiles: DataFrame,
-      cityCoords: DataFrame): DataFrame = {
+      cityCoords: DataFrame, radiusKm: Double = CityRadiusKm,
+      coldStart: Long = ColdStart): DataFrame = {
     // cityCoords: (city, coords) — known coordinates per profile city,
     // broadcast; the reference carries coords inside the histogram labels
     val h20 = profile(profiles, "HIST20")
@@ -62,12 +63,12 @@ object AuthProfiling {
         "HIST21_size", "HIST21_buckets", "HIST22_size", "HIST22_buckets")).map(col): _*)
       .agg(min(col("dist_km")).as("min_city_dist_km"))
 
-    val cityAtypical = col("HIST20_size") >= ColdStart &&
+    val cityAtypical = col("HIST20_size") >= coldStart &&
       !HistogramFunctions.isTypicalEvent(coalesce(col("HIST20_buckets"), map()), col("city")) &&
-      coalesce(col("min_city_dist_km"), lit(Double.MaxValue)) > CityRadiusKm
-    val uaAtypical = col("HIST21_size") >= ColdStart &&
+      coalesce(col("min_city_dist_km"), lit(Double.MaxValue)) > radiusKm
+    val uaAtypical = col("HIST21_size") >= coldStart &&
       !HistogramFunctions.isTypicalEvent(coalesce(col("HIST21_buckets"), map()), col("user_agent"))
-    val svcAtypical = col("HIST22_size") >= ColdStart &&
+    val svcAtypical = col("HIST22_size") >= coldStart &&
       !HistogramFunctions.isTypicalEvent(coalesce(col("HIST22_buckets"), map()), col("service"))
 
     withDists.select(

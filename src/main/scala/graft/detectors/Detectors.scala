@@ -231,10 +231,11 @@ object Detectors {
     */
   def mediaStreamingClients(summary: DataFrame, myNets: Seq[String], p2pHosts: DataFrame,
       minDuration: Int = 300, maxDuration: Int = 7200,
-      maxUpload: Long = 10000000L, minDownload: Long = 1000000L): DataFrame =
+      maxUpload: Long = 10000000L, minDownload: Long = 1000000L,
+      excludePorts: Seq[String] = Seq("1194")): DataFrame =
     summary
       .filter(!FlowSummary.isLocalIp(col("alien_ip"), myNets) &&
-        col("alien_port") =!= "1194" &&
+        !col("alien_port").isin(excludePorts: _*) &&
         (col("t_max") - col("t_min")).between(minDuration, maxDuration))
       .groupBy("my_ip", "alien_ip")
       .agg(sum("bytes_up").as("up"), sum("bytes_down").as("down"), count(lit(1)).as("nf"))

@@ -3,6 +3,7 @@ package graft.detectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.GraftConfig
 import graft.functions.HistogramFunctions
 import graft.operators.ProfileStore
 
@@ -64,56 +65,121 @@ object HogzillaBatch {
 
   /** Run every detector over one batch of raw sFlow samples.
     * Returns (alerts, updated profile tables, derived reputation lists).
+    *
+    * `config` carries the reference's per-detector conf surface
+    * (`scripts/conf/sflow.conf` key names, `HogSFlow.scala:118-189`
+    * defaults): every threshold below reads its reference key with the
+    * compiled-in default, each section honors `<section>.disabled`, and
+    * `<section>.excludeIPs` ++ `general.excludeIPs` suppress alerts for
+    * the listed local IPs (a broadcast-literal isin filter — exclusion
+    * sets are config-sized, never data-sized).
     */
   def run(spark: SparkSession, samples: DataFrame, myNets: Seq[String],
-      profiles: ProfileTables, blacklist: DataFrame, osRepos: DataFrame)
+      profiles: ProfileTables, blacklist: DataFrame, osRepos: DataFrame,
+      config: GraftConfig = GraftConfig.empty)
       : (DataFrame, ProfileTables, ReputationLists) = {
+    val c = config
 
     val summary = FlowSummary.summarize(samples, myNets).cache()
+
+    val generalExcluded = c.getSetString("general.excludeIPs", Set.empty)
+    // reference semantics (HogSFlow.scala:173-189): per-detector
+    // exclusions extend the general list and suppress alerts keyed to an
+    // excluded LOCAL host; alien-keyed alerts pass through
+    def excluding(section: String)(alerts: DataFrame): DataFrame = {
+      val ex = (c.getSetString(s"$section.excludeIPs", Set.empty) ++ generalExcluded).toSeq.sorted
+      if (ex.isEmpty) alerts
+      else alerts.filter(col("my_ip").isNull || !col("my_ip").isin(ex: _*))
+    }
 
     // derived exclusion sets first (the reference's detector DAG)
     val ftpPairs = Detectors.ftpTalkerPairs(summary)
     val ftpSrv = Detectors.ftpServers(summary)
-    val p2p = Detectors.p2pTalkers(summary, myNets, ftpPairs, ftpSrv)
+    val p2p = excluding("p2p")(Detectors.p2pTalkers(summary, myNets, ftpPairs, ftpSrv,
+      minPairs = c.getInt("p2p.minPairs", 5),
+      minPorts = c.getInt("p2p.minPorts", 4),
+      minPairs2 = c.getInt("p2p.minPairs2nd", 10),
+      minPorts2 = c.getInt("p2p.minPorts2nd", 10),
+      minBytes2 = c.getLong("p2p.minBytes2nd", 10000000L)))
     val p2pHosts = p2p.select(col("my_ip")).distinct()
 
     // pass 1: intra-run reputation (HogSFlow.scala:1486, 2029)
     val reputation = ReputationLists(
       proxies = Detectors.proxyServers(summary),
-      bigProviders = Detectors.bigProviders(summary, myNets))
+      bigProviders = Detectors.bigProviders(summary, myNets,
+        minBytes = c.getLong("bigProviders.minBytes", 1073741824L)))
 
     // pass 2: the standing detectors, profile-relative where the
-    // reference's are (HIST01/02/02.1/03/04/05/07/08)
-    val alerts = Seq(
-      Detectors.topTalkers(summary),
-      Detectors.smtpTalkers(summary, myNets, profiles.hist01, profiles.hist02),
-      p2p,
-      Detectors.mediaStreamingClients(summary, myNets, p2pHosts),
-      Detectors.atypicalPorts(summary, profiles.hist01, reputation.proxies),
-      Detectors.atypicalAlienPorts(summary, myNets, profiles.hist02,
-        profiles.hist02snap, profiles.hist01, profiles.hist05),
-      Detectors.atypicalPairs(summary, profiles.hist03),
-      Detectors.atypicalData(summary, myNets, profiles.hist04, reputation.bigProviders),
-      Detectors.alienNetworkAtypicalPorts(summary, myNets, profiles.hist05),
-      Detectors.alienAccess(summary, myNets),
-      Detectors.udpAmplifier(summary),
-      Detectors.abusedSmtp(summary),
-      Detectors.dnsTunnel(summary),
-      Detectors.icmpTunnel(summary),
-      Detectors.hPortScan(summary, myNets, profiles.hist07, profiles.hist01, p2pHosts),
-      Detectors.vPortScan(summary, myNets, profiles.hist08, p2pHosts),
-      Detectors.ddos(summary),
-      Detectors.botnetCC(summary, blacklist),
-      Detectors.osDiscovery(summary, osRepos),
-    ).reduce(_ union _)
+    // reference's are (HIST01/02/02.1/03/04/05/07/08); each entry is
+    // (conf section, lazily-built frame) so a disabled section never
+    // even constructs its plan
+    val detectorRuns: Seq[(String, () => DataFrame)] = Seq(
+      "topTalkers" -> (() => Detectors.topTalkers(summary)),
+      "SMTPTalkers" -> (() => Detectors.smtpTalkers(summary, myNets,
+        profiles.hist01, profiles.hist02,
+        minBytes = c.getLong("SMTPTalkers.minBytes", 20971520L))),
+      "p2p" -> (() => p2p),
+      "mediaStreaming" -> (() => Detectors.mediaStreamingClients(summary, myNets, p2pHosts,
+        minDuration = c.getInt("mediaStreaming.minDuration", 300),
+        maxDuration = c.getInt("mediaStreaming.maxDuration", 7200),
+        maxUpload = c.getLong("mediaStreaming.maxUploadBytes", 10000000L),
+        minDownload = c.getLong("mediaStreaming.minDownloadBytes", 1000000L),
+        excludePorts = c.getSetString("mediaStreaming.excludePorts", Set("1194")).toSeq.sorted)),
+      "atypicalPorts" -> (() => Detectors.atypicalPorts(summary, profiles.hist01,
+        reputation.proxies,
+        excludePorts = c.getSetString("atypicalPorts.excludePorts",
+          Set("80", "443", "587", "465", "993", "995")).toSeq.sorted)),
+      "atypicalAlienPorts" -> (() => Detectors.atypicalAlienPorts(summary, myNets,
+        profiles.hist02, profiles.hist02snap, profiles.hist01, profiles.hist05,
+        minPktsPerFlow = c.getInt("atypicalAlienPorts.minPacketsPerFlow", 2))),
+      "atypicalPairs" -> (() => Detectors.atypicalPairs(summary, profiles.hist03,
+        minPairs = c.getInt("atypicalPairs.minPairs", 300))),
+      "atypicalData" -> (() => Detectors.atypicalData(summary, myNets, profiles.hist04,
+        reputation.bigProviders,
+        minBytes = c.getLong("atypicalData.minBytes", 5737418240L))),
+      "alienNetworkAtypicalPorts" -> (() =>
+        Detectors.alienNetworkAtypicalPorts(summary, myNets, profiles.hist05)),
+      "alien" -> (() => Detectors.alienAccess(summary, myNets,
+        minPairs = c.getInt("alien.minPairs", 20))),
+      "UDPAmplifier" -> (() => Detectors.udpAmplifier(summary,
+        minPkts = c.getInt("UDPAmplifier.minPktsPerFlow", 2000))),
+      "abusedSMTP" -> (() => Detectors.abusedSmtp(summary,
+        minBytes = c.getLong("abusedSMTP.minBytes", 50000000L))),
+      "dnsTunnel" -> (() => Detectors.dnsTunnel(summary,
+        minBytes = c.getLong("dnsTunnel.minBytes", 25000000L))),
+      "ICMPTunnel" -> (() => Detectors.icmpTunnel(summary,
+        minPktSize = c.getInt("ICMPTunnel.minPacket", 200),
+        minBytes = c.getLong("ICMPTunnel.minBytes", 100000000L))),
+      "hPortScan" -> (() => Detectors.hPortScan(summary, myNets, profiles.hist07,
+        profiles.hist01, p2pHosts,
+        minPairsPort = c.getInt("hPortScan.minFlows", 100),
+        excludeAlienPorts = c.getSetString("hPortScan.excludeAlienPorts",
+          Set("80", "443", "53")).toSeq.sorted)),
+      "vPortScan" -> (() => Detectors.vPortScan(summary, myNets, profiles.hist08, p2pHosts,
+        minPorts = c.getInt("vPortScan.minPorts", 3),
+        maxPortNumber = c.getInt("vPortScan.maxPortNumber", 1024))),
+      "DDoS" -> (() => Detectors.ddos(summary,
+        minFlows = c.getInt("DDoS.minFlows", 50),
+        minPairs = c.getInt("DDoS.minPairs", 20))),
+      "BotNet" -> (() => Detectors.botnetCC(summary, blacklist,
+        minPktsPerFlow = c.getInt("BotNet.minPktsPerFlow", 20))),
+      "osDiscovery" -> (() => Detectors.osDiscovery(summary, osRepos)),
+    )
+    val enabled = detectorRuns.filterNot { case (section, _) => c.isDisabled(section) }
+      .map { case (section, build) => excluding(section)(build()) }
+    // every section disabled → an empty frame with the alert schema
+    val alerts = enabled.reduceOption(_ union _)
+      .getOrElse(detectorRuns.head._2().limit(0))
 
     // alert payloads: bounded top-K rendered flow lists for every alerted
     // host (HogSFlow.scala:662-713) — my_ip-keyed alerts get the local
     // host's flows, alien-only alerts (e.g. alienAccess) the alien's
     val bare = alerts
-    val detailMy = Detectors.flowDetail(summary, bare.filter(col("my_ip").isNotNull), "my_ip")
+    val flowListLimit = c.getInt("alert.maxFlowList", Detectors.FlowListLimit)
+    val detailMy = Detectors.flowDetail(summary, bare.filter(col("my_ip").isNotNull),
+      "my_ip", flowListLimit)
     val detailAlien = Detectors.flowDetail(summary,
-      bare.filter(col("my_ip").isNull && col("alien_ip").isNotNull), "alien_ip")
+      bare.filter(col("my_ip").isNull && col("alien_ip").isNotNull), "alien_ip", flowListLimit)
       .withColumnRenamed("flows_detail", "flows_detail_alien")
     // event-row fidelity (HogEvent.scala:61-82): every alert carries the
     // reference's numeric signature (id/title/priority — broadcast join

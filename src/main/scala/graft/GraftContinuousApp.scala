@@ -10,12 +10,12 @@ import graft.streaming.StreamingJobs
 
 /** The continuous auth-profiling mode (`HogzillaContinuous.main` →
   * `HogAuth.realRun`: scan auth table every 10 s, profile, delete) as a
-  * checkpointed streaming job — exactly-once batches instead of the
+  * checkpointed streaming job — effectively-once batches instead of the
   * reference's read-then-delete race:
   *
   * {{{
   * spark-submit --class graft.GraftContinuousApp graft.jar \
-  *   <authStreamDir> <stateDir> <outDir> [intervalSecs]
+  *   <authStreamDir> <stateDir> <outDir> [intervalSecs] [confPath]
   * }}}
   *
   * `authStreamDir`: a directory the auth pipeline appends parquet files
@@ -31,6 +31,13 @@ object GraftContinuousApp {
   private val Families = Seq(
     ("HIST20", "city"), ("HIST21", "user_agent"), ("HIST22", "service"))
 
+  /** Marker row carried inside the swapped profile state recording the
+    * last APPLIED batch id — the replay-idempotence anchor (see [[run]]).
+    * Never matches a `HISTxx-` family prefix, so detection and learning
+    * code cannot confuse it with a profile.
+    */
+  private[graft] val BatchMarker = "__meta:last_applied_batch"
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: graft.GraftContinuousApp <authStreamDir> <stateDir> <outDir> [intervalSecs] [confPath]")
@@ -45,30 +52,49 @@ object GraftContinuousApp {
   }
 
   /** Wire the per-batch step onto any streaming frame (file source in
-    * production, MemoryStream in tests). The checkpoint under `stateDir`
-    * is what makes the exactly-once claim true across restarts: without
-    * it the file source would replay all of authStreamDir, double-merging
-    * history into auth_profiles and re-appending every alert.
+    * production, MemoryStream in tests).
+    *
+    * Delivery contract: foreachBatch is AT-LEAST-ONCE — a crash after
+    * the handler's side effects but before the offset commit replays the
+    * batch — so effectively-once comes from two idempotence mechanisms,
+    * not from the checkpoint alone (which only stops a RESTART from
+    * replaying the whole source): (1) the last applied batch id rides
+    * INSIDE the atomically-swapped profile state ([[BatchMarker]]), so a
+    * replayed batch is detected and its profile merge skipped rather
+    * than double-applied; (2) alerts write to a per-batch-id directory
+    * with overwrite, so a replayed write replaces instead of appending
+    * duplicates.
     */
   def run(spark: SparkSession, stream: DataFrame, stateDir: String,
           outDir: String, intervalSecs: Int,
           config: GraftConfig = GraftConfig.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
     StreamingJobs.consumeMicroBatches(stream, intervalSecs,
-        checkpointDir = Some(s"$stateDir/checkpoint")) { (batch, _) =>
-      if (!batch.isEmpty) processBatch(spark, batch, stateDir, outDir, config)
+        checkpointDir = Some(s"$stateDir/checkpoint")) { (batch, batchId) =>
+      if (!batch.isEmpty) processBatch(spark, batch, stateDir, outDir, config, batchId)
     }
 
-  /** One micro-batch: detect against saved profiles, append alerts,
-    * learn, stage-swap the profile state.
+  /** One micro-batch: detect against saved profiles, write alerts,
+    * learn, stage-swap the profile state (with the applied batch id
+    * riding in the swap — see [[run]] for the replay contract).
+    * `batchId < 0` (direct test/tool invocations outside a stream) keeps
+    * the legacy append-to-root alert path and skips replay tracking.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-                   outDir: String, config: GraftConfig = GraftConfig.empty): Unit = {
+                   outDir: String, config: GraftConfig = GraftConfig.empty,
+                   batchId: Long = -1L): Unit = {
     val profPath = s"$stateDir/auth_profiles"
     // recover-then-read via StateSwap: a crash mid-swap on the previous
     // batch is completed here instead of silently cold-starting
-    val profiles = StateSwap.readOrElse(spark, profPath,
+    val allProfiles = StateSwap.readOrElse(spark, profPath,
       graft.detectors.HogzillaBatch.emptyProfiles(spark))
+    // replay guard: the marker row travels with the atomic swap, so
+    // "marker >= batchId" proves this batch's merge (and the alert write
+    // sequenced before it) already completed — a replayed handler is a no-op
+    val lastApplied = allProfiles.filter(col("name") === BatchMarker)
+      .select(col("size")).collect().headOption.map(_.getLong(0))
+    if (batchId >= 0 && lastApplied.exists(_ >= batchId)) return
+    val profiles = allProfiles.filter(col("name") =!= BatchMarker)
 
     // known city coordinates: every (city, coords) this state has seen —
     // derived from the same stream and persisted beside the profiles
@@ -108,7 +134,7 @@ object GraftContinuousApp {
     // auth alerts carry the numeric signature of the family that fired
     // (location/user-agent/service; the combined "Atypical user access"
     // id when several fired at once), the username, and the city coords
-    atypical.unionByName(travel)
+    val alertRows = atypical.unionByName(travel)
       .withColumn("signature_id",
         when(col("detector") === "impossibleTravel",
             lit(graft.detectors.SignatureCatalog.byDetector("impossibleTravel")))
@@ -121,7 +147,13 @@ object GraftContinuousApp {
       .join(broadcast(cityCoords.withColumnRenamed("coords", "coords_known")), Seq("city"), "left")
       .withColumn("coords", col("coords_known")).drop("coords_known")
       .withColumn("time", unix_millis(current_timestamp())) // HogEvent.scala:68
-      .write.mode(SaveMode.Append).parquet(s"$outDir/auth_alerts")
+    // per-batch-id directory + overwrite = a replayed write REPLACES its
+    // own output instead of appending duplicates (readers scan the
+    // auth_alerts root; `batch=` becomes a partition column)
+    if (batchId >= 0)
+      alertRows.write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/auth_alerts/batch=$batchId")
+    else alertRows.write.mode(SaveMode.Append).parquet(s"$outDir/auth_alerts")
 
     // learn pass: merge this batch into every family's histograms
     val learning = Families.filter { case (family, _) => familyLevel(family) != 2 }
@@ -135,7 +167,14 @@ object GraftContinuousApp {
           Seq("name"))
       }.reduce(_ unionByName _))
 
-    StateSwap.swap(updated, profPath)
+    // the applied-batch marker swaps ATOMICALLY with the merged profiles:
+    // after this rename, a replay of batchId is provably redundant
+    val withMarker =
+      if (batchId < 0) updated
+      else updated.unionByName(
+        spark.range(1).select(lit(BatchMarker).as("name"), lit(batchId).as("size"),
+          lit(null).cast("map<string,double>").as("buckets")))
+    StateSwap.swap(withMarker, profPath)
     StateSwap.swap(cityCoords, coordsPath)
   }
 }

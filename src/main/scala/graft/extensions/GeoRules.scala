@@ -21,9 +21,13 @@ import org.apache.spark.sql.types.DoubleType
   * comparisons that reach `PushedFilters` and prune row groups /
   * partitions before any trig runs.
   *
-  * Poles and the ±180° seam fall back conservatively: a lat band
-  * touching a pole, or a lon window crossing the seam, drops the lon
-  * bounds (lat bounds alone are still valid and still prune).
+  * Coordinate domain: lat must be in [-90, 90]; lon column values and
+  * query centers may follow EITHER storage convention ([-180, 180] or
+  * [0, 360]) — the lon window is emitted as an OR over its three ±360°
+  * aliased bands, so periodic aliases of in-circle points (including
+  * windows crossing the ±180° seam) are never shaved off. Near-polar
+  * lat bands drop the lon bounds entirely (cos → 0 makes them
+  * meaningless; the lat bounds still prune).
   *
   * Matches the haversine TREE SHAPE (2·6372.8 · asin(sqrt(…)) with its
   * two `cos(radians(lat))` factors and two coordinate differences), so
@@ -94,10 +98,23 @@ object GeoRadiusPrefilter extends Rule[LogicalPlan] with PredicateHelper {
         if (maxAbsLat >= 89.0) Nil // near-polar: cos → 0, lon bounds useless
         else {
           val dLon = r / (KmPerDeg * math.cos(math.toRadians(maxAbsLat))) * Slop
-          if (lon0 - dLon < -180.0 || lon0 + dLon > 180.0) Nil // seam crossing
-          else Seq(
-            GreaterThanOrEqual(lonCol, Literal(lon0 - dLon)),
-            LessThanOrEqual(lonCol, Literal(lon0 + dLon)))
+          if (dLon >= 180.0) Nil // window spans the whole circle
+          else {
+            // haversine's sin²(Δλ/2) is 360°-periodic, so the exact
+            // conjunct accepts any lon ALIAS of an in-circle point
+            // (0–360-convention data, or a window crossing the ±180°
+            // seam). Emit the window as an OR over the three ±360°
+            // aliased bands: containment then holds for column values
+            // and centers anywhere in [-180, 360] — both storage
+            // conventions — and each band is still a plain range that
+            // reaches PushedFilters (parquet handles Or-of-ranges).
+            val bands: Seq[Expression] = Seq(0.0, 360.0, -360.0).map { off =>
+              And(
+                GreaterThanOrEqual(lonCol, Literal(lon0 - dLon + off)),
+                LessThanOrEqual(lonCol, Literal(lon0 + dLon + off)))
+            }
+            Seq(bands.reduce(Or(_, _)))
+          }
         }
       latPreds ++ lonPreds
     }

@@ -158,9 +158,12 @@ object StreamingQueries {
       s"""WITH sh AS (
         |  SELECT doc_id, ${PipelineQueries.shinglesSql(PipelineQueries.toksSql)} AS sh
         |  FROM documents),
-        |${PipelineQueries.bandsSql}
+        |${PipelineQueries.bandsSql},
+        |sized AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY b, sig) AS bsz FROM bands)
         |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |FROM sized x JOIN sized y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |WHERE x.bsz <= 10000
         |ORDER BY doc1, doc2""".stripMargin,
     "st6_stream_heavy_hitters" ->
       """WITH c AS (

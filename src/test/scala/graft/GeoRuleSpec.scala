@@ -83,6 +83,17 @@ class GeoRuleSpec extends AnyFunSuite {
     assert(seam == Set(3L, 4L))
   }
 
+  test("0-360-convention longitudes survive the box via the aliased bands") {
+    import spark.implicits._
+    // same physical points as (11.5E, 48.1N) etc., stored with lon+360
+    val pts = Seq((1L, 48.14, 371.58), (2L, 48.14, 359.0), (3L, 48.14, 11.6),
+      (4L, 48.14, 300.0)).toDF("id", "lat", "lon")
+    val got = radiusFilter(pts, 2000.0).select("id").collect().map(_.getLong(0)).toSet
+    // exact haversine keeps 1 (≡11.58), 3, and 2 (≡ -1, ~940km) — the
+    // injected bounds must not silently drop the out-of-convention rows
+    assert(got == Set(1L, 2L, 3L), got.toString)
+  }
+
   test("on a raw parquet point table the injected bounds reach PushedFilters") {
     val q = radiusFilter(spark.read.parquet(ptsPath), 500.0)
     val scans = q.queryExecution.executedPlan.collectWithSubqueries {

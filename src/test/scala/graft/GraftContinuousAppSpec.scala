@@ -54,4 +54,32 @@ class GraftContinuousAppSpec extends AnyFunSuite {
       .filter(col("name") === "HIST20-alice").head()
     assert(h20.getLong(1) == 13L)
   }
+
+  test("a replayed micro-batch is a no-op: no double-merge, no duplicate alerts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftreplay").toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    val batch = (1 to 8).map(i =>
+      ("bob", ts(i), "Lima", "-12.04,-77.04", "Safari", "vpn")).toDF(
+      "user_name", "ts", "city", "coords", "user_agent", "service")
+
+    GraftContinuousApp.processBatch(spark, batch, stateDir, outDir, batchId = 0L)
+    val size1 = spark.read.parquet(s"$stateDir/auth_profiles")
+      .filter(col("name") === "HIST20-bob").head().getLong(1)
+    assert(size1 == 8L)
+
+    // foreachBatch is at-least-once: simulate the replay of batch 0 —
+    // the marker inside the swapped state must make it a no-op
+    GraftContinuousApp.processBatch(spark, batch, stateDir, outDir, batchId = 0L)
+    val size2 = spark.read.parquet(s"$stateDir/auth_profiles")
+      .filter(col("name") === "HIST20-bob").head().getLong(1)
+    assert(size2 == 8L, s"replay double-merged the profile: $size2")
+
+    // the NEXT batch still applies normally
+    GraftContinuousApp.processBatch(spark, batch, stateDir, outDir, batchId = 1L)
+    val size3 = spark.read.parquet(s"$stateDir/auth_profiles")
+      .filter(col("name") === "HIST20-bob").head().getLong(1)
+    assert(size3 == 16L)
+  }
 }

@@ -228,7 +228,75 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** STUB decoder for the codec-less kinds (audio/video): a 16-bin
+  /** Synthetic-audio parameterization: sample rate, sample count, and
+    * amplitude are pure functions of (id, nChars), and the payload is a
+    * ±amplitude square wave — whose RMS is EXACTLY the amplitude — so a
+    * SQL oracle can predict every decoded feature with integer
+    * arithmetic (no float drift between engines).
+    */
+  def audioSampleRate(id: Long): Int = 8000 + 1000 * (id % 5).toInt
+  def audioNumSamples(nChars: Long): Int = 400 + (nChars % 800).toInt
+  def audioAmplitude(id: Long): Int = 1000 + (id % 9000).toInt
+
+  /** Deterministic real WAV: 16-bit PCM mono, encoded with the stock
+    * `javax.sound.sampled` writer (public JDK API — the same "real codec,
+    * no external libs" rule as the PNG path). Square wave with period 8.
+    */
+  def syntheticWav(id: Long, nChars: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (sr, n, amp) = (audioSampleRate(id), audioNumSamples(nChars), audioAmplitude(id))
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if ((i / 4) % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-audio summary: format facts plus signal RMS. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+                                nSamples: Long, rms: Double)
+
+  /** REAL audio decode via `javax.sound.sampled`: parses the WAV/AIFF/AU
+    * container, reads the PCM frames through the reported format, and
+    * reduces to sample count + RMS. 16-bit PCM only (the format the
+    * stock JRE fully covers); loud failure otherwise — silently emitting
+    * zeros would poison downstream features.
+    */
+  def decodeWav(bytes: Array[Byte]): DecodedAudio = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16)
+        sys.error(s"decodeWav: only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+      val data = ais.readAllBytes()
+      val bigEndian = fmt.isBigEndian
+      val n = data.length / 2
+      var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        val lo = data(2 * i) & 0xff
+        val hi = data(2 * i + 1)
+        val s = if (bigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff))
+                else ((hi << 8) | lo)
+        sumSq += s.toDouble * s
+        i += 1
+      }
+      DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels,
+        n.toLong / fmt.getChannels,
+        if (n == 0) 0.0 else math.sqrt(sumSq / n))
+    } finally ais.close()
+  }
+
+  /** STUB decoder for the codec-less kind (video): a 16-bin
     * histogram of byte values mod 16, normalized — deterministic,
     * fixed-shape, same signature a real decoder would have.
     */
@@ -252,11 +320,14 @@ object Multimodal {
       col("doc_id").as("media_id"), lit("image").as("kind"),
       gradientPngUdf(col("doc_id"), col("n_chars")).as("bytes"))
 
+  private val wavUdf = udf { (id: Long, nChars: Long) => syntheticWav(id, nChars) }
+
   /** Deterministic media table derived from the documents fixture: image
-    * rows carry REAL PNG payloads ([[syntheticPng]]); audio/video rows
-    * carry the utf-8 text bytes (stand-in payloads for the stubbed
-    * codecs). Metadata width/height mirror the true image dimensions —
-    * the "prune on metadata, never touch bytes" columns.
+    * rows carry REAL PNG payloads ([[syntheticPng]]), audio rows REAL
+    * WAV payloads ([[syntheticWav]]); video rows carry the utf-8 text
+    * bytes (stand-in payload for the stubbed codec). Metadata
+    * width/height mirror the true image dimensions — the "prune on
+    * metadata, never touch bytes" columns.
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
@@ -265,6 +336,7 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("kind"),
       when(col("doc_id") % 3 === 0, pngUdf(col("doc_id"), col("n_chars")))
+        .when(col("doc_id") % 3 === 1, wavUdf(col("doc_id"), col("n_chars")))
         .otherwise(encode(col("text"), "UTF-8")).as("bytes"),
       when(col("doc_id") % 3 === 0, lit(16) + (col("doc_id") % 48).cast("int"))
         .otherwise((col("n_chars") % 640).cast("int")).as("width"),
@@ -273,11 +345,13 @@ object Multimodal {
 
   /** Batched feature extraction over the media table: one partition-level
     * iterator pass (per-partition setup — codec/model load — paid once,
-    * not per row). Image rows go through the real `javax.imageio` decode;
-    * other kinds through the stub. Output drops the payload and adds:
-    * decoded_width / decoded_height / channels (null for stub kinds) and
-    * `features: array<float>` (3 channel means for images, 16 histogram
-    * bins for stub kinds).
+    * not per row). Image rows go through the real `javax.imageio` decode,
+    * audio rows through the real `javax.sound.sampled` decode (features =
+    * [sample_rate, n_samples, rms], channels from the format); video
+    * through the stub. Output drops the payload and adds: decoded_width /
+    * decoded_height / channels (null where meaningless) and
+    * `features: array<float>` (3 channel means for images, 3 audio facts,
+    * 16 histogram bins for the stub kind).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "bytes") ++ Seq(
@@ -298,6 +372,10 @@ object Multimodal {
           if (kind == "image") {
             val d = decodeImage(bytes)
             Seq(d.width, d.height, d.channels, d.means.toSeq)
+          } else if (kind == "audio") {
+            val d = decodeWav(bytes)
+            Seq(null, null, d.channels,
+              Seq(d.sampleRate.toFloat, d.nSamples.toFloat, d.rms.toFloat))
           } else Seq(null, null, null, decodeStub(bytes).toSeq)
         Row.fromSeq(head ++ tail)
       }

@@ -651,6 +651,21 @@ object PipelineQueries {
       Multimodal.imageNearDupPairs(hashes, maxHamming = 12)
         .orderBy(col("id1"), col("id2"))
     }),
+
+    // M5: real audio decode — WAV payloads through javax.sound.sampled,
+    // features content-checked against the synthetic fixture's analytic
+    // parameterization (square wave → RMS is exactly the amplitude;
+    // every value integer-exact, so no float tolerance games).
+    "m5_audio_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Catalog.documents(s, dir))
+      Multimodal.extractFeatures(media)
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("kind"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("n_samples"),
+          element_at(col("features"), 3).cast("long").as("rms"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1551,6 +1566,17 @@ object PipelineQueries {
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
         |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
+
+    // analytic audio oracle: the decoded WAV facts are pure integer
+    // functions of (doc_id, n_chars) — see Multimodal.audioSampleRate/
+    // audioNumSamples/audioAmplitude
+    "m5_audio_features" ->
+      """SELECT doc_id AS media_id, 'audio' AS kind, CAST(1 AS INT) AS channels,
+        |  CAST(8000 + 1000 * (doc_id % 5) AS BIGINT) AS sample_rate,
+        |  CAST(400 + n_chars % 800 AS BIGINT) AS n_samples,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS rms
+        |FROM documents WHERE doc_id % 3 = 1
         |ORDER BY media_id""".stripMargin,
 
     // perceptual-hash goldens: DuckDB can't decode PNGs, but aHash is

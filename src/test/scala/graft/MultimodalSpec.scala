@@ -68,11 +68,13 @@ class MultimodalSpec extends AnyFunSuite {
     // the metadata columns; stub kinds: 16 bins, null decoded fields
     val dims = feats.groupBy(col("kind"), size(col("features")).as("dim"))
       .count().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(dims == Map("image" -> 3, "audio" -> 16, "video" -> 16))
+    assert(dims == Map("image" -> 3, "audio" -> 3, "video" -> 16))
     assert(feats.filter(col("kind") === "image" &&
       (col("decoded_width") =!= col("width") ||
        col("decoded_height") =!= col("height"))).count() == 0)
-    assert(feats.filter(col("kind") =!= "image" && col("channels").isNotNull).count() == 0)
+    assert(feats.filter(col("kind") === "video" && col("channels").isNotNull).count() == 0)
+    // audio rows decode through the real WAV path: mono format
+    assert(feats.filter(col("kind") === "audio" && col("channels") =!= 1).count() == 0)
     // deterministic across runs
     val a = feats.select("media_id", "features").orderBy("media_id").collect()
     val b = Multimodal.extractFeatures(media).select("media_id", "features").orderBy("media_id").collect()
@@ -91,6 +93,18 @@ class MultimodalSpec extends AnyFunSuite {
     val idx = frames.filter(col("media_id") === perDoc.head.getLong(0))
       .select("frame_idx").collect().map(_.getLong(0)).sorted
     assert(idx.zipWithIndex.forall { case (v, i) => v == 2L * i })
+  }
+
+  test("decodeWav round-trips syntheticWav with exact analytic features") {
+    for (id <- Seq(1L, 7L, 100L); nChars <- Seq(40L, 999L)) {
+      val d = Multimodal.decodeWav(Multimodal.syntheticWav(id, nChars))
+      assert(d.sampleRate == Multimodal.audioSampleRate(id))
+      assert(d.nSamples == Multimodal.audioNumSamples(nChars).toLong)
+      assert(d.channels == 1)
+      // square wave: RMS is EXACTLY the amplitude
+      assert(math.abs(d.rms - Multimodal.audioAmplitude(id)) < 1e-9,
+        s"id=$id rms=${d.rms} amp=${Multimodal.audioAmplitude(id)}")
+    }
   }
 
   test("resizeImage: exact nearest-neighbor sampling, bit-deterministic") {

@@ -61,10 +61,14 @@ object GraftApp {
   /** One batch pass; factored out of main so tests can drive it.
     * `config`: the reference's sflow.conf surface (thresholds, disabled
     * flags, exclusion sets) — see [[GraftConfig]] / HogzillaBatch.run.
+    * `sink`: optional notification transport for this run's alerts (the
+    * reference's mailer role); defaults from `alert.notify` in the conf
+    * ("log" → stderr lines, anything else → no delivery).
     */
   def run(spark: SparkSession, samplesPath: String, stateDir: String,
           outDir: String, myNets: Seq[String],
-          config: GraftConfig = GraftConfig.empty): Unit = {
+          config: GraftConfig = GraftConfig.empty,
+          sink: Option[graft.operators.AlertSink.Sink] = None): Unit = {
     val samples = spark.read.parquet(samplesPath)
     val profiles = {
       val ts = HistNames.map(h =>
@@ -81,6 +85,12 @@ object GraftApp {
 
     // alerts append to the event sink (S5); reputation lists overwrite
     alerts.write.mode(SaveMode.Append).parquet(s"$outDir/alerts")
+    // notification delivery (the reference's mailer role): render the
+    // payload per alert and hand it to the pluggable transport
+    sink.orElse(config.getString("alert.notify", "off") match {
+      case "log" => Some(graft.operators.AlertSink.LogSink)
+      case _ => None
+    }).foreach(graft.operators.AlertSink.deliver(alerts, _))
     reputation.proxies.write.mode(SaveMode.Overwrite).parquet(s"$outDir/proxies")
     reputation.bigProviders.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/big_providers")

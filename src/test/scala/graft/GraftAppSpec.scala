@@ -5,6 +5,15 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Executor-side buffer sink for the notification test: local-mode
+  * executors share the JVM, so a static queue observes deliveries.
+  */
+object TestBufferSink extends graft.operators.AlertSink.Sink {
+  val received = new java.util.concurrent.ConcurrentLinkedQueue[graft.operators.AlertSink.Rendered]()
+  override def deliver(alerts: Iterator[graft.operators.AlertSink.Rendered]): Unit =
+    alerts.foreach(received.add)
+}
+
 class GraftAppSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -53,5 +62,20 @@ class GraftAppSpec extends AnyFunSuite {
     val leftovers = new java.io.File(stateDir).list().filter(n =>
       n.endsWith(".staging") || n.endsWith(".old") || n.endsWith(".swap"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
+
+    // third run with a notification sink: every alert reaches the
+    // transport with the reference template's rendered field set
+    TestBufferSink.received.clear()
+    GraftApp.run(spark, samplesPath, stateDir, outDir, Seq("10.0."),
+      sink = Some(TestBufferSink))
+    val delivered = TestBufferSink.received.toArray(Array.empty[graft.operators.AlertSink.Rendered])
+    val tt2 = delivered.filter(_.title == "HZ: Top talker identified")
+    assert(tt2.nonEmpty, s"no topTalkers notification among ${delivered.length}")
+    val body = tt2.head.body
+    assert(body.contains("Alert: HZ: Top talker identified"), body)
+    assert(body.contains("Priority: 2"), body)
+    assert(body.contains("Host: 10.0.0."), body)
+    assert(body.contains("Note: top upload"), body)
+    assert(body.contains("Flows:\n"), body)
   }
 }

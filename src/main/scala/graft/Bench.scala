@@ -42,13 +42,14 @@ object Bench {
     } catch { case _: Throwable => }
     // hygiene between queries: drop leaked state (memory-sink tables,
     // cached frames) so later queries aren't taxed by earlier ones' GC
-    def sweep(): Unit = try {
+    def sweep(gc: Boolean = true): Unit = try {
       spark.catalog.clearCache()
       spark.catalog.listTables().collect()
         .foreach(t => spark.catalog.dropTempView(t.name))
-      System.gc() // let the ContextCleaner reap dead broadcasts/shuffles
+      if (gc) System.gc() // let the ContextCleaner reap dead broadcasts/shuffles
     } catch { case _: Throwable => }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 gc: Boolean = true): Double = {
       val t0 = System.nanoTime()
       // time a noop-sink write, not .count(): under a count aggregate
       // Catalyst's EliminateSorts removes top-level ORDER BYs and column
@@ -57,7 +58,7 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
-      sweep()
+      sweep(gc)
       dt
     }
     val firstPass = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(fn) }
@@ -66,10 +67,13 @@ object Bench {
     // sub-second queries turned out to be exactly this), so re-time them
     // once and keep the min; long queries amortize the jitter and aren't
     // worth doubling the wall-clock for.
+    // gc=false on the retime pass: a full System.gc() per query costs
+    // more wall-clock than the jitter it removes on the SECOND sample
+    // (the first pass already swept)
     val RetimeBelow = 2.5
     val results = firstPass.map { case (name, dt) =>
       if (dt >= RetimeBelow) name -> dt
-      else name -> math.min(dt, timeOnce(SparkEntry.queries(name)))
+      else name -> math.min(dt, timeOnce(SparkEntry.queries(name), gc = false))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
       .mkString("{", ",", "}")

@@ -15,8 +15,8 @@ object Bench {
     // classes isn't charged to its timed run (cold-vs-warm differs by
     // 5-10× per query; in production these costs amortize across the
     // whole batch). Falls back to the bench SF if no smaller fixture.
-    val warmDir = Seq("sf0.001", "sf0.01").map(s =>
-        sfDir.replaceAll("sf[0-9.]+$", s))
+    val warmDir = (Seq("sf0.001", "sf0.01").map(s => sfDir.replaceAll("sf[0-9.]+$", s)) ++
+        Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) // custom sfDir (e.g. /tmp/sf1)
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
     // bounded: warmup must never eat a driver-side timeout as the query
     // set grows — 150s covers the full surface today with headroom

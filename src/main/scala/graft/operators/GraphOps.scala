@@ -140,8 +140,12 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
     val durable = spark.sparkContext.getCheckpointDir.isDefined
+    // non-eager: each round still PLANS against a truncated LogicalRDD
+    // (checkpointing plans the round immediately, so optimizer time stays
+    // linear in `iters`), but nothing materializes until the caller's
+    // action — 10 driver-blocking per-round jobs collapse into one.
     def truncate(df: DataFrame): DataFrame =
-      if (durable) df.checkpoint() else df.localCheckpoint()
+      if (durable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
     // both directions: undirected rank flow. The edge list and the rank
     // state are both lineage-truncated: without this every round's plan
     // embeds all previous rounds (and re-derives the edge list), and

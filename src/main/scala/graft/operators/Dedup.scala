@@ -162,27 +162,51 @@ object Dedup {
     * ~linear cost — the same fix simhashCandidatePairs carries).
     */
   def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
-    // the pair list feeds both the doc-set prune and the verify join;
-    // cache it (it's the small post-LSH set) so minhashing runs once
+    // the pair list feeds the doc-set prune, the clone-collapse mapping,
+    // and the final expansion; cache it (it's the small post-LSH set) so
+    // minhashing runs once
     val cands = lshCandidatePairs(df).cache()
     val docsInPairs = cands.select(col("doc1").as("doc_id"))
       .union(cands.select(col("doc2").as("doc_id"))).distinct()
-    val shingleSets = df.join(docsInPairs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
+    // Clone collapse: the expensive part of the verify is shipping each
+    // doc's shingle ARRAY to every pair it appears in, and in a
+    // clone-heavy corpus (exactly where dedup matters) a group of k
+    // byte-identical docs sits in O(k²) candidate pairs. Byte-identical
+    // text ⇒ identical shingle set ⇒ identical jaccard, so verify ONCE
+    // per distinct (text-hash, text-hash) pair and join the verdict back
+    // to the doc-level pairs. The key is md5 of the RAW text — the
+    // normalized exact-dedup fingerprint would be lossy here (it
+    // lowercases, and shingles are case-sensitive). On a 10×-clone
+    // corpus this cuts the array-join volume ~100×; on a clone-free one
+    // it adds three small-key shuffles over the bounded pair set.
+    val fps = df.join(docsInPairs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    // derived twice (rep-pair distinct + final expansion) but only via
+    // two small-key joins over the CACHED cands — not worth its own cache
+    val candsFp = cands
+      .join(fps.select(col("doc_id").as("doc1"), col("fp").as("fp1")), Seq("doc1"))
+      .join(fps.select(col("doc_id").as("doc2"), col("fp").as("fp2")), Seq("doc2"))
+    val repPairs = candsFp.select(col("fp1"), col("fp2")).distinct()
+    // one representative doc per distinct text among the paired docs
+    val repDoc = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val shingleSets = df.join(repDoc, Seq("doc_id"), "left_semi")
+      .select(md5(col("text")).as("fp"),
         array_distinct(shingles(tokens(col("text")), ShingleSize)).as("sh"))
-    val verified = cands
-      .join(shingleSets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
-      .join(shingleSets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
+    val verified = repPairs
+      .join(shingleSets.select(col("fp").as("fp1"), col("sh").as("sh1")), Seq("fp1"))
+      .join(shingleSets.select(col("fp").as("fp2"), col("sh").as("sh2")), Seq("fp2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc1"), col("doc2"), col("jaccard"))
+      .select(col("fp1"), col("fp2"), col("jaccard"))
     // materialize the (LSH-bounded) verified-pair set eagerly so the
-    // one-shot candidate cache can be released HERE instead of leaking
-    // for the session lifetime; the truncated lineage is executor-local
-    // blocks that the ContextCleaner frees once the frame is unreferenced
-    val out = verified.localCheckpoint(true)
+    // one-shot caches can be released HERE instead of leaking for the
+    // session lifetime; the truncated lineage is executor-local blocks
+    // that the ContextCleaner frees once the frame is unreferenced
+    val out = candsFp.join(verified, Seq("fp1", "fp2"))
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+      .localCheckpoint(true)
     cands.unpersist()
     out
   }
@@ -406,6 +430,10 @@ object Dedup {
     // share the exchange (ReuseExchange). The maxBucket filter is the
     // same degenerate-bucket guard as lshCandidatePairs — the self-join
     // is quadratic per bucket, so one megabucket would own the runtime.
+    // (No clone collapse here, unlike ngramJaccardPairs: the per-pair
+    // work is one scalar XOR+popcount, so this operator is bound by its
+    // OUTPUT pair volume — which a collapse cannot shrink — and measured
+    // collapse overhead exceeded its savings at both 1× and 10× clones.)
     val sh = simhashOf(df, "doc_id", "text")
       .withColumn("bucket", pmod(col("sh"), lit(1L << bucketBits)))
       .repartition(col("bucket"))

@@ -13,8 +13,10 @@ import graft.sources.Catalog
   * documents table and writes a curated corpus plus a per-stage
   * attrition report.
   *
-  *   spark-submit --class graft.CurateApp <jar> <inDir> <outDir> \
-  *     [qualityMin] [benchMod]
+  *   spark-submit --class graft.CurateApp <jar> <inDir> <outDir> [confPath]
+  *
+  * Thresholds come from the conf file's `curation.*` keys (see
+  * `conf/graft.conf`); programmatic callers use [[run]]'s parameters.
   *
   * Stages, in drop-precedence order (each doc is attributed to the FIRST
   * stage that rejects it, so the report partitions the corpus exactly):

@@ -57,6 +57,45 @@ class RandomizedParitySpec extends AnyFunSuite {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("ngramJaccardPairs clone collapse matches the direct per-pair verify") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    // random corpora with planted clone groups AND case-variant docs —
+    // case variants share the (lossy, lowercased) exact-dedup fingerprint
+    // but have different shingle sets, which is exactly the hazard the
+    // raw-text collapse key must not trip over
+    for (seed <- 1 to 3) {
+      val rnd = new Random(600 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "Alpha", "BETA")
+      def text() = Seq.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bases = Seq.tabulate(12)(i => (i.toLong, text()))
+      val clones = bases.take(4).flatMap { case (i, t) =>
+        Seq((100L + i, t), (200L + i, t)) } // clone groups of 3
+      val caseVars = bases.slice(4, 7).map { case (i, t) => (300L + i, t.toUpperCase) }
+      val docs = (bases ++ clones ++ caseVars)
+        .map { case (id, t) => (id, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars")
+      val got = Dedup.ngramJaccardPairs(docs, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // direct reference: same candidates, shingle sets computed per doc,
+      // jaccard per pair with no collapse
+      val cands = Dedup.lshCandidatePairs(docs)
+        .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sh = docs.select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), Dedup.ShingleSize)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val expected = cands.flatMap { case (a, b) =>
+        val (s1, s2) = (sh(a), sh(b))
+        val j = BigDecimal(s1.intersect(s2).size.toDouble / s1.union(s2).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (j >= 0.5) Some((a, b) -> j) else None
+      }.toMap
+      assert(got == expected, s"seed $seed: missing=${expected.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expected.keySet}")
+    }
+  }
+
   test("asOfJoin matches a naive per-row scan on random data") {
     import spark.implicits._
     for (seed <- 1 to 3) {

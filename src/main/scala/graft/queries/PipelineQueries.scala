@@ -129,6 +129,19 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // V10: the SERVING-shaped IVF — build the persisted index (centroid
+    // table + corpus partitioned by coarse cell, norms precomputed),
+    // then answer queries by scanning only the probed cells' directories
+    // (partition pruning at the source). Output-identical to v4.
+    "v10_ivf_persisted" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+      SimilaritySearch.buildIvfIndex(emb, "label", idx)
+      SimilaritySearch.queryIvfIndex(s, idx, emb.filter(col("vec_id") < 10),
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // V5: int8 scalar-quantized top-k — the corpus scanned at 1/4 the
     // bytes (256-level per-dimension grid); ranking fidelity bounded by
     // grid error. Exactly models decode-from-int8-storage.
@@ -669,6 +682,41 @@ object PipelineQueries {
   )
 
   // ---------------------------------------------------------------- oracles
+
+  /** v4 and v10 share ONE oracle: the persisted-index path must be
+    * output-identical to the fused in-session IVF probe search.
+    */
+  private val IvfTopKOracleSql =
+    """WITH centl AS (
+      |  SELECT label AS part, i,
+      |    ROUND(AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 6) AS c
+      |  FROM embeddings CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT part, list(c ORDER BY i) AS cvec FROM centl GROUP BY part),
+      |centn AS (SELECT part, cvec, sqrt(list_sum(list_transform(cvec, x -> x*x))) AS cnrm
+      |          FROM cent),
+      |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |      FROM embeddings WHERE vec_id < 10),
+      |qn AS (SELECT query_id, qv, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnrm FROM q),
+      |psim AS (
+      |  SELECT query_id, part, qv, qnrm,
+      |    ROUND(list_sum(list_transform(range(1, 65), i -> qv[i]*cvec[i]))/(qnrm*cnrm), 6) AS csim
+      |  FROM qn CROSS JOIN centn),
+      |probes AS (
+      |  SELECT query_id, part, qv, qnrm FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, part) AS pr
+      |    FROM psim) WHERE pr <= 2),
+      |cn AS (
+      |  SELECT vec_id, label AS part, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      |  FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings)),
+      |scored AS (
+      |  SELECT p.query_id, cn.part, cn.vec_id,
+      |    ROUND(list_sum(list_transform(range(1, 65), i -> p.qv[i]*cn.v[i]))/(p.qnrm*cn.nrm), 6) AS sim
+      |  FROM probes p JOIN cn ON cn.part = p.part AND cn.vec_id <> p.query_id)
+      |SELECT query_id, rank, CAST(part AS BIGINT) AS part, vec_id, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared SQL fragments (DuckDB 1.0): tokens / shingles / bit-of-md5.
     * `private[queries]` so sibling oracle modules (StreamingQueries' st7)
@@ -1351,37 +1399,9 @@ object PipelineQueries {
         |FROM embeddings CROSS JOIN range(0, 64) r(i)
         |GROUP BY 1, 2 ORDER BY part, i""".stripMargin,
 
-    "v4_ivf_topk" ->
-      """WITH centl AS (
-        |  SELECT label AS part, i,
-        |    ROUND(AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 6) AS c
-        |  FROM embeddings CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
-        |cent AS (SELECT part, list(c ORDER BY i) AS cvec FROM centl GROUP BY part),
-        |centn AS (SELECT part, cvec, sqrt(list_sum(list_transform(cvec, x -> x*x))) AS cnrm
-        |          FROM cent),
-        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |      FROM embeddings WHERE vec_id < 10),
-        |qn AS (SELECT query_id, qv, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnrm FROM q),
-        |psim AS (
-        |  SELECT query_id, part, qv, qnrm,
-        |    ROUND(list_sum(list_transform(range(1, 65), i -> qv[i]*cvec[i]))/(qnrm*cnrm), 6) AS csim
-        |  FROM qn CROSS JOIN centn),
-        |probes AS (
-        |  SELECT query_id, part, qv, qnrm FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, part) AS pr
-        |    FROM psim) WHERE pr <= 2),
-        |cn AS (
-        |  SELECT vec_id, label AS part, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
-        |  FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |        FROM embeddings)),
-        |scored AS (
-        |  SELECT p.query_id, cn.part, cn.vec_id,
-        |    ROUND(list_sum(list_transform(range(1, 65), i -> p.qv[i]*cn.v[i]))/(p.qnrm*cn.nrm), 6) AS sim
-        |  FROM probes p JOIN cn ON cn.part = p.part AND cn.vec_id <> p.query_id)
-        |SELECT query_id, rank, CAST(part AS BIGINT) AS part, vec_id, sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v4_ivf_topk" -> IvfTopKOracleSql,
+    // identical semantics, persisted-index execution path
+    "v10_ivf_persisted" -> IvfTopKOracleSql,
 
     "t14_top_ngrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

@@ -24,8 +24,8 @@ class PlanDisciplineSpec extends AnyFunSuite {
     *    (small) prefix dictionary;
     *  - v1_knn_brute: the documented all-pairs recall baseline — the
     *    broadcast side is the bounded query set;
-    *  - v4_ivf_topk, v5_int8_knn: ANN probes joining the bounded query
-    *    set against candidate cells;
+    *  - v4_ivf_topk, v10_ivf_persisted, v5_int8_knn: ANN probes joining
+    *    the bounded query set against candidate cells;
     *  - v9_coarse_rerank: stage-1 coarse scan joins the bounded query
     *    set non-equi (vec_id ≠ query_id), same shape as v1.
     */
@@ -33,7 +33,8 @@ class PlanDisciplineSpec extends AnyFunSuite {
     "a9_znorm", "h4_kl_divergence", "t12_bm25", "t13_lm_score",
     "t22_tfidf_terms",
     "j1_prefix_semijoin", "j8_longest_prefix",
-    "v1_knn_brute", "v4_ivf_topk", "v5_int8_knn", "v9_coarse_rerank")
+    "v1_knn_brute", "v4_ivf_topk", "v10_ivf_persisted", "v5_int8_knn",
+    "v9_coarse_rerank")
 
   test("no cartesian products; BNLJ only on the allowlisted tiny-broadcast queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

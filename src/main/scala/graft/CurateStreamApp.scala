@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, StateSwap}
+import graft.streaming.StreamingJobs
+
+/** Continuous corpus curation — the streaming sibling of [[CurateApp]]:
+  * documents arrive as a stream, and each micro-batch is screened
+  * against the EVOLVING corpus state before its survivors join that
+  * state. This is the shape continuous ingest takes at 100 TB: the
+  * expensive whole-corpus pass ([[CurateApp]]) runs once at bootstrap,
+  * then every arrival pays only a quality gate plus two index lookups.
+  *
+  * {{{
+  * spark-submit --class graft.CurateStreamApp graft.jar \
+  *   <docStreamDir> <stateDir> <outDir> [intervalSecs] [confPath]
+  * }}}
+  *
+  * Per micro-batch, in drop-precedence order:
+  *   1. `quality`   — composite score below `curation.qualityMin`;
+  *   2. `exact_dup` — normalized fingerprint already in the corpus
+  *                    fingerprint state, or seen earlier in this batch
+  *                    (first occurrence keeps);
+  *   3. `near_dup`  — any MinHash band collides with the corpus band
+  *                    index (`Dedup.lshBandsLocal` on the stream side —
+  *                    one codegen kernel per row, no stream-side
+  *                    shuffle; the corpus side carries the same
+  *                    megabucket guard as the batch generators);
+  *   4. survivors   — appended under `<outDir>/curated/batch=<id>` and
+  *                    merged into both state tables.
+  *
+  * Delivery contract: same as [[GraftContinuousApp]] — foreachBatch is
+  * at-least-once, so the last applied batch id rides INSIDE the
+  * atomically-swapped fingerprint state and replays are detected and
+  * skipped; the per-batch-id output directory is overwritten, never
+  * appended, so a replayed write replaces itself.
+  *
+  * Scale shape: state lookups are semi/anti joins on content-hash keys
+  * (broadcast-able while the batch is small, hash-join on the band key
+  * when it isn't); state updates are unions of the batch's few rows with
+  * the state tables, swapped atomically — no per-key RPCs, no driver
+  * loops; the band index is the SAME (band, sig, doc_id) layout the
+  * batch LSH uses, so bootstrap is just `Dedup.lshBands(corpus)`.
+  */
+object CurateStreamApp {
+
+  /** Marker row inside the fingerprint state recording the last APPLIED
+    * batch id (fp can never collide with an md5 hex digest).
+    */
+  private[graft] val BatchMarker = "__meta:last_applied_batch"
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: graft.CurateStreamApp <docStreamDir> <stateDir> <outDir> [intervalSecs] [confPath]")
+    val Array(docsDir, stateDir, outDir) = args.take(3)
+    val interval = if (args.length > 3) args(3).toInt else 10
+    val config = if (args.length > 4) GraftConfig.load(args(4)) else GraftConfig.empty
+    val spark = GraftSession.build()
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = run(spark, stream, stateDir, outDir, interval, config)
+    q.awaitTermination()
+  }
+
+  /** Wire the per-batch step onto any streaming frame (file source in
+    * production, MemoryStream in tests).
+    */
+  def run(spark: SparkSession, stream: DataFrame, stateDir: String,
+          outDir: String, intervalSecs: Int,
+          config: GraftConfig = GraftConfig.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingJobs.consumeMicroBatches(stream, intervalSecs,
+        checkpointDir = Some(s"$stateDir/checkpoint")) { (batch, batchId) =>
+      if (!batch.isEmpty) processBatch(spark, batch, stateDir, outDir, config, batchId)
+    }
+
+  /** One micro-batch: screen, write survivors, merge state atomically.
+    * `batchId < 0` (direct test/tool invocations) appends to the output
+    * root and skips replay tracking.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+                   outDir: String, config: GraftConfig = GraftConfig.empty,
+                   batchId: Long = -1L): Unit = {
+    val qualityMin = config.getDouble("curation.qualityMin", 0.5)
+    val maxBucket = config.getInt("curation.maxBucket", 10000)
+    val fpPath = s"$stateDir/corpus_fps"
+    val bandPath = s"$stateDir/corpus_bands"
+
+    val allFps = StateSwap.readOrElse(spark, fpPath,
+      spark.range(0).select(col("id").cast("string").as("fp"), col("id").as("doc_id")))
+    val lastApplied = allFps.filter(col("fp") === BatchMarker)
+      .select(col("doc_id")).collect().headOption.map(_.getLong(0))
+    if (batchId >= 0 && lastApplied.exists(_ >= batchId)) return
+    val stateFps = allFps.filter(col("fp") =!= BatchMarker)
+    val stateBands = StateSwap.readOrElse(spark, bandPath,
+      spark.range(0).select(col("id").cast("int").as("band"),
+        col("id").cast("string").as("sig"), col("id").as("doc_id")))
+
+    // 1. quality gate — row-local, no shuffle
+    val toks = tokens(col("text"))
+    val qualified = batch
+      .withColumn("fp", exactFingerprint(col("text")))
+      .filter(qualityScore(col("text"), toks) >= qualityMin)
+
+    // 2. exact dedup: first-in-batch occurrence keeps (window min over
+    // the fingerprint), then drop anything the corpus already has
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val batchUnique = qualified
+      .withColumn("fp_canon", min(col("doc_id")).over(byFp))
+      .filter(col("doc_id") === col("fp_canon")).drop("fp_canon")
+      .join(stateFps.select(col("fp")), Seq("fp"), "left_anti")
+
+    // 3. near-dup screen: row-local band signatures against the corpus
+    // band index; oversized state buckets are excluded on the state side
+    // (the st7 megabucket guard), so one degenerate bucket can't fan a
+    // batch out quadratically
+    val guardW = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
+    val guardedBands = stateBands
+      .withColumn("bsz", count(lit(1)).over(guardW))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("sig"))
+    val colliding = Dedup.lshBandsLocal(batchUnique)
+      .join(guardedBands, Seq("band", "sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // materialized EAGERLY: the survivor plan reads both state tables,
+    // and its three consumers below (curated write, fp merge, band
+    // merge) run across the atomic swaps that REPLACE those tables'
+    // files — a lazy plan would reread paths that no longer exist
+    val survivors = batchUnique.join(colliding, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    if (batchId >= 0)
+      survivors.drop("fp").write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/curated/batch=$batchId")
+    else survivors.drop("fp").write.mode(SaveMode.Append).parquet(s"$outDir/curated")
+
+    // state merge + atomic swap; the marker travels with the fp table
+    val newFps = stateFps.unionByName(survivors.select(col("fp"), col("doc_id")))
+    val withMarker =
+      if (batchId < 0) newFps
+      else newFps.unionByName(spark.range(1)
+        .select(lit(BatchMarker).as("fp"), lit(batchId).as("doc_id")))
+    val newBands = stateBands.unionByName(
+      Dedup.lshBandsLocal(survivors.select(col("doc_id"), col("text"))))
+    StateSwap.swap(withMarker, fpPath)
+    StateSwap.swap(newBands, bandPath)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The continuous-curation entry point: each micro-batch is screened
+  * against the evolving corpus state (quality → exact-dup → LSH
+  * near-dup), survivors join that state, and a replayed batch is a
+  * no-op.
+  */
+class CurateStreamAppSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (id, t) => (id, t, t.length.toLong, "en", "test") }
+      .toDF("doc_id", "text", "n_chars", "lang", "source")
+  }
+
+  // long, plain sentences score well on the quality gate
+  private val baseText = ("the quick brown fox jumps over the lazy dog and then " +
+    "walks back home to rest for a while before the next run ") * 3
+
+  test("stream curation: quality, exact-dup, and near-dup gates against evolving state; replay is a no-op") {
+    val root = Files.createTempDirectory("curatestream").toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+
+    // batch 0: two good docs bootstrap the corpus
+    val b0 = docs(1L -> baseText, 2L -> (baseText + "unique tail of document two here"))
+    CurateStreamApp.processBatch(spark, b0, stateDir, outDir, batchId = 0L)
+    val out0 = spark.read.parquet(s"$outDir/curated")
+    assert(out0.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // batch 1: an exact clone of doc 1, a near-dup of doc 2 (one word
+    // changed), a low-quality doc, a fresh doc, and an in-batch clone pair
+    val nearDup = (baseText + "unique tail of document two here")
+      .replace("lazy", "sleepy")
+    val fresh = ("completely different subject matter entirely about rivers " +
+      "and mountains flowing gently through the green valley all day long ") * 3
+    val b1 = docs(
+      10L -> baseText,               // exact dup of doc 1 → dropped
+      11L -> nearDup,                // near-dup of doc 2 → dropped
+      12L -> "x! x! x! x!",          // low quality → dropped
+      13L -> fresh,                  // fresh → kept
+      14L -> fresh)                  // in-batch clone of 13 → dropped
+    CurateStreamApp.processBatch(spark, b1, stateDir, outDir, batchId = 1L)
+    val out1 = spark.read.parquet(s"$outDir/curated")
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
+
+    // state advanced: fingerprints for 1, 2, 13 (+ marker row)
+    val fps = spark.read.parquet(s"$stateDir/corpus_fps")
+    assert(fps.filter(col("fp") =!= CurateStreamApp.BatchMarker).count() == 3)
+
+    // replay of batch 1 must not duplicate output rows or state
+    CurateStreamApp.processBatch(spark, b1, stateDir, outDir, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+    assert(spark.read.parquet(s"$stateDir/corpus_fps")
+      .filter(col("fp") =!= CurateStreamApp.BatchMarker).count() == 3)
+
+    // the next batch still applies: doc 13's text is now corpus state
+    CurateStreamApp.processBatch(spark, docs(20L -> fresh), stateDir, outDir, batchId = 2L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+  }
+}

@@ -57,6 +57,24 @@ object PipelineQueries {
         .orderBy(col("doc1"), col("doc2"))
     }),
 
+    // C6: split-leakage audit — near-dup candidate pairs that CROSS a
+    // deterministic train/eval split (content-hash bucket ≥ 80 = eval).
+    // THE training-data integrity check: eval contamination via
+    // near-duplicates of training docs, surfaced as one bucketed LSH
+    // join + two split lookups — no pairwise scan of train × eval.
+    "c6_split_leakage" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val split = docs.select(col("doc_id"), (sampleBucket(col("doc_id")) >= 80).as("is_eval"))
+      Dedup.lshCandidatePairs(docs).select(col("doc1"), col("doc2"))
+        .join(split.select(col("doc_id").as("doc1"), col("is_eval").as("e1")), Seq("doc1"))
+        .join(split.select(col("doc_id").as("doc2"), col("is_eval").as("e2")), Seq("doc2"))
+        .filter(col("e1") =!= col("e2"))
+        .select(
+          when(col("e1"), col("doc2")).otherwise(col("doc1")).as("train_doc"),
+          when(col("e1"), col("doc1")).otherwise(col("doc2")).as("eval_doc"))
+        .orderBy(col("train_doc"), col("eval_doc"))
+    }),
+
     // D4: n-gram Jaccard verification of the LSH candidates — the full
     // near-dup pipeline (candidates ≥ 0.8 exact trigram Jaccard).
     "d4_ngram_jaccard" -> ((s, dir) => {
@@ -1115,6 +1133,26 @@ object PipelineQueries {
         |SELECT x.doc_id AS doc1, y.doc_id AS doc2, COUNT(*) AS n_bands
         |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+
+    "c6_split_leakage" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
+        |  FROM documents),
+        |$bandsSql,
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |split AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 80 AS is_eval
+        |  FROM documents)
+        |SELECT CASE WHEN s1.is_eval THEN c.doc2 ELSE c.doc1 END AS train_doc,
+        |       CASE WHEN s1.is_eval THEN c.doc1 ELSE c.doc2 END AS eval_doc
+        |FROM cand c
+        |JOIN split s1 ON s1.doc_id = c.doc1
+        |JOIN split s2 ON s2.doc_id = c.doc2
+        |WHERE s1.is_eval <> s2.is_eval
+        |ORDER BY train_doc, eval_doc""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH tok AS (

@@ -180,34 +180,57 @@ object Dedup {
     // corpus this cuts the array-join volume ~100×; on a clone-free one
     // it adds three small-key shuffles over the bounded pair set.
     val fps = df.join(docsInPairs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-    // derived twice (rep-pair distinct + final expansion) but only via
-    // two small-key joins over the CACHED cands — not worth its own cache
-    val candsFp = cands
-      .join(fps.select(col("doc_id").as("doc1"), col("fp").as("fp1")), Seq("doc1"))
-      .join(fps.select(col("doc_id").as("doc2"), col("fp").as("fp2")), Seq("doc2"))
-    val repPairs = candsFp.select(col("fp1"), col("fp2")).distinct()
-    // one representative doc per distinct text among the paired docs
-    val repDoc = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val shingleSets = df.join(repDoc, Seq("doc_id"), "left_semi")
-      .select(md5(col("text")).as("fp"),
-        array_distinct(shingles(tokens(col("text")), ShingleSize)).as("sh"))
-    val verified = repPairs
-      .join(shingleSets.select(col("fp").as("fp1"), col("sh").as("sh1")), Seq("fp1"))
-      .join(shingleSets.select(col("fp").as("fp2"), col("sh").as("sh2")), Seq("fp2"))
+      .select(col("doc_id"), md5(col("text")).as("fp")).cache()
+    // adaptive: one tiny aggregate over the (LSH-bounded) paired-doc set
+    // decides whether the collapse machinery pays for its three extra
+    // shuffles — on a clone-free corpus it cannot win, so verify pairs
+    // directly there. Both paths produce identical output (randomized
+    // parity spec); the decision is pure execution strategy.
+    val Array(nDocs, nTexts) = fps
+      .agg(count(lit(1)), count_distinct(col("fp"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val hasClones = nTexts < nDocs
+
+    // pairs: (k1, k2, ...); sets: (k, sh) → pairs + jaccard, thresholded
+    def jaccardOf(pairs: DataFrame, sets: DataFrame): DataFrame = pairs
+      .join(sets.select(col("k").as("k1"), col("sh").as("sh1")), Seq("k1"))
+      .join(sets.select(col("k").as("k2"), col("sh").as("sh2")), Seq("k2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("fp1"), col("fp2"), col("jaccard"))
+
+    val resolved =
+      if (!hasClones) {
+        // direct: per-doc shingle sets joined straight onto the pairs
+        val shingleSets = df.join(docsInPairs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("k"),
+            array_distinct(shingles(tokens(col("text")), ShingleSize)).as("sh"))
+        jaccardOf(cands.select(col("doc1").as("k1"), col("doc2").as("k2"),
+            col("doc1"), col("doc2")), shingleSets)
+          .select(col("doc1"), col("doc2"), col("jaccard"))
+      } else {
+        val candsFp = cands
+          .join(fps.select(col("doc_id").as("doc1"), col("fp").as("fp1")), Seq("doc1"))
+          .join(fps.select(col("doc_id").as("doc2"), col("fp").as("fp2")), Seq("doc2"))
+        val repPairs = candsFp.select(col("fp1").as("k1"), col("fp2").as("k2")).distinct()
+        // one representative doc per distinct text among the paired docs
+        val repDoc = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        val shingleSets = df.join(repDoc, Seq("doc_id"), "left_semi")
+          .select(md5(col("text")).as("k"),
+            array_distinct(shingles(tokens(col("text")), ShingleSize)).as("sh"))
+        candsFp.join(jaccardOf(repPairs, shingleSets)
+            .select(col("k1").as("fp1"), col("k2").as("fp2"), col("jaccard")),
+          Seq("fp1", "fp2"))
+          .select(col("doc1"), col("doc2"), col("jaccard"))
+      }
     // materialize the (LSH-bounded) verified-pair set eagerly so the
     // one-shot caches can be released HERE instead of leaking for the
     // session lifetime; the truncated lineage is executor-local blocks
     // that the ContextCleaner frees once the frame is unreferenced
-    val out = candsFp.join(verified, Seq("fp1", "fp2"))
-      .select(col("doc1"), col("doc2"), col("jaccard"))
-      .localCheckpoint(true)
+    val out = resolved.localCheckpoint(true)
     cands.unpersist()
+    fps.unpersist()
     out
   }
 

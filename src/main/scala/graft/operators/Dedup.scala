@@ -310,11 +310,17 @@ object Dedup {
     * O(graph diameter) rounds — a 10M-doc boilerplate chain would take
     * thousands of shuffles — while star contraction converges in
     * O(log n) rounds regardless of diameter. Each round is two
-    * groupBy-min + join passes on the node key (never a collect of
-    * neighbor lists, so hub nodes with millions of edges don't blow up
-    * a single aggregation buffer), and `localCheckpoint` truncates the
-    * iterative lineage so the plan doesn't grow by two joins per round
-    * (on a real cluster: `checkpoint` to durable storage instead).
+    * window-min passes over the node key plus one dedup exchange (never
+    * a collect of neighbor lists), and per-round lineage truncation
+    * keeps the plan from growing by two passes per round (durable
+    * `checkpoint` on a real cluster, executor-local otherwise).
+    *
+    * Window-partition sizing: a window over the node key co-locates all
+    * of a node's edges, which would be a skew hazard for an unbounded
+    * hub — but this graph's edges come from the candidate generators,
+    * whose megabucket guards cap per-doc degree at bands × maxBucket by
+    * construction, so no window partition can exceed that bound. Feeding
+    * edges from an UNCAPPED source is the caller's skew risk to manage.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       pairsDistinct: Boolean = false): DataFrame = {

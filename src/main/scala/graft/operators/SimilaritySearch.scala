@@ -165,6 +165,31 @@ object SimilaritySearch {
       .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$dir/vectors")
   }
 
+  /** Persisted IVF index, incremental append: assign new vectors to
+    * their nearest EXISTING centroid and add them into that cell's
+    * partition directory — continuous ingest ([[graft.CurateStreamApp]])
+    * keeps the index fresh without a refit. Standard IVF drift caveat:
+    * appended vectors didn't participate in centroid fitting, so after
+    * enough drift a periodic [[buildIvfIndex]] rebuild (plus
+    * [[Compaction]] of the cell directories accumulating small batch
+    * files) restores cell balance.
+    */
+  def appendToIvfIndex(spark: SparkSession, dir: String, vectors: DataFrame): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+      .groupBy(col("part"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+    val v = withNorm(vectors, "embedding", "nrm")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cpart").asc)
+    v.crossJoin(broadcast(cent.select(col("part").as("cpart"), col("cvec"), col("cnrm"))))
+      .withColumn("csim", pairSim(col("embedding"), col("cvec"), col("nrm"), col("cnrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("cvec", "cnrm", "csim", "rn")
+      .withColumn("part", col("cpart").cast("long")).drop("cpart")
+      .write.mode(SaveMode.Append).partitionBy("part").parquet(s"$dir/vectors")
+  }
+
   /** Persisted IVF index, query side: scores the saved centroids, probes
     * the `nProbe` nearest cells per query, and scans ONLY those cells'
     * directories — the probed-cell set is collected to the driver

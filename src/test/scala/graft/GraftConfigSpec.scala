@@ -58,6 +58,23 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(c.getInt("anything.at.all", 5) == 5)
   }
 
+  test("the reference's own sflow.conf parses with its documented values") {
+    // compatibility proof against the real file this layer re-implements
+    // (skipped when the reference checkout isn't present)
+    val ref = "/root/reference/scripts/conf/sflow.conf"
+    assume(new java.io.File(ref).isFile)
+    val c = GraftConfig.load(ref)
+    assert(c.getLong("abusedSMTP.minBytes", -1L) == 50000000L)
+    assert(c.getInt("DDoS.minFlows", -1) == 50)
+    assert(c.getSetString("atypicalPorts.excludePorts", Set.empty) ==
+      Set("80", "443", "587", "465", "993", "995"))
+    // duplicate key in the reference file: last one wins, as in HOCON
+    assert(c.getSetString("hPortScan.excludeAlienPorts", Set.empty) ==
+      Set("80", "443", "587", "465", "993", "995"))
+    assert(c.getSetString("general.excludeIPs", Set("x")) == Set.empty)
+    assert(c.getInt("alert.maxFlowList", -1) == 1000)
+  }
+
   // ------------------------------------------------ end-to-end steering
 
   /** (src, dst, sport, dport, proto, pktSize, rate, flags, ts) */

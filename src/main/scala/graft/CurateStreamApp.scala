@@ -88,6 +88,7 @@ object CurateStreamApp {
     val maxBucket = config.getInt("curation.maxBucket", 10000)
     val fpPath = s"$stateDir/corpus_fps"
     val bandPath = s"$stateDir/corpus_bands"
+    val sizesPath = s"$stateDir/corpus_bucket_sizes"
 
     val allFps = StateSwap.readOrElse(spark, fpPath,
       spark.range(0).select(col("id").cast("string").as("fp"), col("id").as("doc_id")))
@@ -114,16 +115,22 @@ object CurateStreamApp {
       .join(stateFps.select(col("fp")), Seq("fp"), "left_anti")
 
     // 3. near-dup screen: row-local band signatures against the corpus
-    // band index; oversized state buckets are excluded on the state side
-    // (the st7 megabucket guard), so one degenerate bucket can't fan a
-    // batch out quadratically
-    val guardW = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
-    val guardedBands = stateBands
-      .withColumn("bsz", count(lit(1)).over(guardW))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("sig"))
-    val colliding = Dedup.lshBandsLocal(batchUnique)
-      .join(guardedBands, Seq("band", "sig"), "left_semi")
+    // band index, with the st7 megabucket guard driven by the
+    // INCREMENTALLY MAINTAINED bucket-size table — recomputing sizes
+    // with a window over the whole band state would shuffle the entire
+    // corpus index every 10-second batch, which is exactly the per-batch
+    // full-state pass this entry point exists to avoid. The oversized
+    // set is config-bounded tiny; the remaining lookup is a semi join
+    // whose small side is the batch (broadcast), so the state is
+    // scanned, never shuffled.
+    val stateSizes = StateSwap.readOrElse(spark, sizesPath,
+      spark.range(0).select(col("id").cast("int").as("band"),
+        col("id").cast("string").as("sig"), col("id").as("n")))
+    val oversized = stateSizes.filter(col("n") > maxBucket).select(col("band"), col("sig"))
+    val batchBands = Dedup.lshBandsLocal(batchUnique)
+    val colliding = batchBands
+      .join(oversized, Seq("band", "sig"), "left_anti")
+      .join(stateBands, Seq("band", "sig"), "left_semi")
       .select(col("doc_id")).distinct()
     // materialized EAGERLY: the survivor plan reads both state tables,
     // and its three consumers below (curated write, fp merge, band
@@ -143,9 +150,19 @@ object CurateStreamApp {
       if (batchId < 0) newFps
       else newFps.unionByName(spark.range(1)
         .select(lit(BatchMarker).as("fp"), lit(batchId).as("doc_id")))
-    val newBands = stateBands.unionByName(
-      Dedup.lshBandsLocal(survivors.select(col("doc_id"), col("text"))))
+    // bucket sizes advance by the batch's per-bucket counts only (an
+    // aggregation of the SURVIVORS' bands, not a rescan of the state)
+    val survivorBands = Dedup.lshBandsLocal(survivors.select(col("doc_id"), col("text")))
+      .localCheckpoint(true) // consumed after the swaps replace state files
+    val newBands = stateBands.unionByName(survivorBands)
+    val batchSizes = survivorBands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("add"))
+    val newSizes = stateSizes
+      .join(batchSizes, Seq("band", "sig"), "full_outer")
+      .select(col("band"), col("sig"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
     StateSwap.swap(withMarker, fpPath)
     StateSwap.swap(newBands, bandPath)
+    StateSwap.swap(newSizes, sizesPath)
   }
 }

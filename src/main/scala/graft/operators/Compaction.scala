@@ -39,6 +39,7 @@ object Compaction {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    if (files.isEmpty) return Stats(0, 0, 0L, 0L) // nothing to compact (or marker-only dir)
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(path)

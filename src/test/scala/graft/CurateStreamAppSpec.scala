@@ -63,5 +63,14 @@ class CurateStreamAppSpec extends AnyFunSuite {
     // the next batch still applies: doc 13's text is now corpus state
     CurateStreamApp.processBatch(spark, docs(20L -> fresh), stateDir, outDir, batchId = 2L)
     assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+
+    // the incrementally-maintained bucket-size table mirrors the band
+    // index exactly (it is the megabucket guard's source of truth)
+    val bands = spark.read.parquet(s"$stateDir/corpus_bands")
+      .groupBy(col("band"), col("sig")).count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes = spark.read.parquet(s"$stateDir/corpus_bucket_sizes")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sizes == bands, s"sizes drifted: ${sizes.size} vs ${bands.size} buckets")
   }
 }

@@ -15,8 +15,12 @@ object Bench {
     // classes isn't charged to its timed run (cold-vs-warm differs by
     // 5-10× per query; in production these costs amortize across the
     // whole batch). Falls back to the bench SF if no smaller fixture.
+    // candidates: a smaller sibling of sfDir, else small fixtures under
+    // SPARK_GRAFT_WARM_ROOT (for custom sfDirs outside the fixture tree —
+    // no hardcoded host paths, the env var is the only escape hatch)
     val warmDir = (Seq("sf0.001", "sf0.01").map(s => sfDir.replaceAll("sf[0-9.]+$", s)) ++
-        Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) // custom sfDir (e.g. /tmp/sf1)
+        sys.env.get("SPARK_GRAFT_WARM_ROOT").toSeq
+          .flatMap(r => Seq(s"$r/sf0.001", s"$r/sf0.01")))
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
     // bounded: warmup must never eat a driver-side timeout as the query
     // set grows — 150s covers the full surface today with headroom
@@ -75,10 +79,16 @@ object Bench {
       if (dt >= RetimeBelow) name -> dt
       else name -> math.min(dt, timeOnce(SparkEntry.queries(name), gc = false))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
-      .mkString("{", ",", "}")
+    def fmt(m: Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }.mkString("{", ",", "}")
+    val qs = fmt(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BOTH series in the artifact: "queries" = min-of-2 (the r5-compatible
+    // headline), "queries_first" = single-pass (r1–r4-comparable) — so
+    // cross-round ratios never mix timing methodologies again
+    val firstTotal = if (firstPass.nonEmpty) firstPass.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""first_pass_total":$firstTotal,"queries_first":${fmt(firstPass)},"sf":"$sfDir"}""")
     // The full line above is ~5 KB — longer than the harness's 2000-char
     // stdout tail, so its leading total was unparseable in r2/r3. Repeat
     // the headline numbers (plus the 10 slowest queries) as a compact
@@ -87,7 +97,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       f""""mean_sec_per_query":${if (results.isEmpty) 0.0 else total / results.size}%.4f,""" +
-      s""""slowest":$slow,"sf":"$sfDir"}""")
+      f""""first_pass_total":$firstTotal%.2f,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,15 +28,23 @@ import graft.streaming.StreamingJobs
   *                    index (`Dedup.lshBandsLocal` on the stream side —
   *                    one codegen kernel per row, no stream-side
   *                    shuffle; the corpus side carries the same
-  *                    megabucket guard as the batch generators);
+  *                    megabucket guard as the batch generators), OR with
+  *                    an earlier (smaller doc_id) document of the SAME
+  *                    batch — greedy first-keeps ordering, so two
+  *                    near-identical docs arriving together can't both
+  *                    enter the corpus;
   *   4. survivors   — appended under `<outDir>/curated/batch=<id>` and
   *                    merged into both state tables.
   *
   * Delivery contract: same as [[GraftContinuousApp]] — foreachBatch is
   * at-least-once, so the last applied batch id rides INSIDE the
-  * atomically-swapped fingerprint state and replays are detected and
-  * skipped; the per-batch-id output directory is overwritten, never
-  * appended, so a replayed write replaces itself.
+  * atomically-swapped state and replays are detected and skipped; the
+  * per-batch-id output directory is overwritten, never appended, so a
+  * replayed write replaces itself. All three state tables (fingerprints,
+  * band index, bucket sizes) live under ONE root and promote in a single
+  * [[StateSwap.swapAll]] — the marker is in sync with every table, with
+  * no crash window where the marker says "applied" but a table's merge
+  * was lost.
   *
   * Scale shape: state lookups are semi/anti joins on content-hash keys
   * (broadcast-able while the batch is small, hash-join on the band key
@@ -86,17 +94,16 @@ object CurateStreamApp {
                    batchId: Long = -1L): Unit = {
     val qualityMin = config.getDouble("curation.qualityMin", 0.5)
     val maxBucket = config.getInt("curation.maxBucket", 10000)
-    val fpPath = s"$stateDir/corpus_fps"
-    val bandPath = s"$stateDir/corpus_bands"
-    val sizesPath = s"$stateDir/corpus_bucket_sizes"
+    // one root, three tables, one atomic promotion per batch
+    val stateRoot = s"$stateDir/corpus_state"
 
-    val allFps = StateSwap.readOrElse(spark, fpPath,
+    val allFps = StateSwap.readTableOrElse(spark, stateRoot, "fps",
       spark.range(0).select(col("id").cast("string").as("fp"), col("id").as("doc_id")))
     val lastApplied = allFps.filter(col("fp") === BatchMarker)
       .select(col("doc_id")).collect().headOption.map(_.getLong(0))
     if (batchId >= 0 && lastApplied.exists(_ >= batchId)) return
     val stateFps = allFps.filter(col("fp") =!= BatchMarker)
-    val stateBands = StateSwap.readOrElse(spark, bandPath,
+    val stateBands = StateSwap.readTableOrElse(spark, stateRoot, "bands",
       spark.range(0).select(col("id").cast("int").as("band"),
         col("id").cast("string").as("sig"), col("id").as("doc_id")))
 
@@ -123,19 +130,31 @@ object CurateStreamApp {
     // set is config-bounded tiny; the remaining lookup is a semi join
     // whose small side is the batch (broadcast), so the state is
     // scanned, never shuffled.
-    val stateSizes = StateSwap.readOrElse(spark, sizesPath,
+    val stateSizes = StateSwap.readTableOrElse(spark, stateRoot, "bucket_sizes",
       spark.range(0).select(col("id").cast("int").as("band"),
         col("id").cast("string").as("sig"), col("id").as("n")))
     val oversized = stateSizes.filter(col("n") > maxBucket).select(col("band"), col("sig"))
     val batchBands = Dedup.lshBandsLocal(batchUnique)
-    val colliding = batchBands
+    val corpusHit = batchBands
       .join(oversized, Seq("band", "sig"), "left_anti")
       .join(stateBands, Seq("band", "sig"), "left_semi")
       .select(col("doc_id")).distinct()
-    // materialized EAGERLY: the survivor plan reads both state tables,
-    // and its three consumers below (curated write, fp merge, band
-    // merge) run across the atomic swaps that REPLACE those tables'
-    // files — a lazy plan would reread paths that no longer exist
+    // in-batch near-dups: a doc sharing any band bucket with an EARLIER
+    // (smaller doc_id) doc of the same batch is dropped too — greedy
+    // first-keeps, matching CurateApp's batch semantics for docs that
+    // would have collided had they arrived a batch apart. The self-join
+    // is batch-sized (tiny), no megabucket guard needed.
+    val inBatchHit = batchBands
+      .join(batchBands.groupBy(col("band"), col("sig")).agg(min(col("doc_id")).as("keeper")),
+        Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id")).distinct()
+    val colliding = corpusHit.unionByName(inBatchHit).distinct()
+    // materialized EAGERLY: the survivor plan reads all three state
+    // tables and feeds three consumers (curated write, fp merge, band
+    // merge) — one localCheckpoint avoids re-running the quality gate and
+    // dedup joins per consumer, and keeps the staged state writes from
+    // racing the root promotion below
     val survivors = batchUnique.join(colliding, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
@@ -144,7 +163,8 @@ object CurateStreamApp {
         .parquet(s"$outDir/curated/batch=$batchId")
     else survivors.drop("fp").write.mode(SaveMode.Append).parquet(s"$outDir/curated")
 
-    // state merge + atomic swap; the marker travels with the fp table
+    // state merge + ONE atomic swap of the whole root; the marker travels
+    // with the fp table and is therefore in sync with all three tables
     val newFps = stateFps.unionByName(survivors.select(col("fp"), col("doc_id")))
     val withMarker =
       if (batchId < 0) newFps
@@ -153,7 +173,7 @@ object CurateStreamApp {
     // bucket sizes advance by the batch's per-bucket counts only (an
     // aggregation of the SURVIVORS' bands, not a rescan of the state)
     val survivorBands = Dedup.lshBandsLocal(survivors.select(col("doc_id"), col("text")))
-      .localCheckpoint(true) // consumed after the swaps replace state files
+      .localCheckpoint(true) // consumed by two staged writes below
     val newBands = stateBands.unionByName(survivorBands)
     val batchSizes = survivorBands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("add"))
@@ -161,8 +181,7 @@ object CurateStreamApp {
       .join(batchSizes, Seq("band", "sig"), "full_outer")
       .select(col("band"), col("sig"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
-    StateSwap.swap(withMarker, fpPath)
-    StateSwap.swap(newBands, bandPath)
-    StateSwap.swap(newSizes, sizesPath)
+    StateSwap.swapAll(stateRoot, Seq(
+      "fps" -> withMarker, "bands" -> newBands, "bucket_sizes" -> newSizes))
   }
 }

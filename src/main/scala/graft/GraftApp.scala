@@ -80,7 +80,7 @@ object GraftApp {
     val osRepos = readOr(spark, s"$stateDir/os_repos",
       emptyTable(spark, "repo_ip" -> "string", "os" -> "string"))
 
-    val (alerts, updated, reputation) =
+    val (alerts, updated, reputation, release) =
       HogzillaBatch.run(spark, samples, myNets, profiles, blacklist, osRepos, config)
 
     // alerts append to the event sink (S5); reputation lists overwrite
@@ -107,5 +107,8 @@ object GraftApp {
     updatedSeq.foreach { case (name, df) =>
       graft.operators.StateSwap.swap(df, s"$stateDir/$name")
     }
+    // every output is materialized: release the shared summary cache so
+    // no block outlives the run when driven from a long-lived session
+    release()
   }
 }

@@ -83,10 +83,13 @@ object GraftContinuousApp {
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                    outDir: String, config: GraftConfig = GraftConfig.empty,
                    batchId: Long = -1L): Unit = {
-    val profPath = s"$stateDir/auth_profiles"
+    // both state tables (profiles + city coords) live under one root and
+    // promote in a single StateSwap.swapAll, so the replay marker inside
+    // the profiles is provably in sync with the coords table too
+    val stateRoot = s"$stateDir/auth_state"
     // recover-then-read via StateSwap: a crash mid-swap on the previous
     // batch is completed here instead of silently cold-starting
-    val allProfiles = StateSwap.readOrElse(spark, profPath,
+    val allProfiles = StateSwap.readTableOrElse(spark, stateRoot, "profiles",
       graft.detectors.HogzillaBatch.emptyProfiles(spark))
     // replay guard: the marker row travels with the atomic swap, so
     // "marker >= batchId" proves this batch's merge (and the alert write
@@ -99,8 +102,7 @@ object GraftContinuousApp {
     // known city coordinates: every (city, coords) this state has seen —
     // derived from the same stream and persisted beside the profiles
     // (the reference keeps coords in histogram labels)
-    val coordsPath = s"$stateDir/city_coords"
-    val savedCoords = StateSwap.readOrElse(spark, coordsPath,
+    val savedCoords = StateSwap.readTableOrElse(spark, stateRoot, "city_coords",
       batch.sparkSession.emptyDataFrame
         .withColumn("city", lit(null).cast("string"))
         .withColumn("coords", lit(null).cast("string")))
@@ -167,14 +169,15 @@ object GraftContinuousApp {
           Seq("name"))
       }.reduce(_ unionByName _))
 
-    // the applied-batch marker swaps ATOMICALLY with the merged profiles:
-    // after this rename, a replay of batchId is provably redundant
+    // the applied-batch marker swaps ATOMICALLY with the merged profiles
+    // AND the coords table (one root rename): after it, a replay of
+    // batchId is provably redundant for every table
     val withMarker =
       if (batchId < 0) updated
       else updated.unionByName(
         spark.range(1).select(lit(BatchMarker).as("name"), lit(batchId).as("size"),
           lit(null).cast("map<string,double>").as("buckets")))
-    StateSwap.swap(withMarker, profPath)
-    StateSwap.swap(cityCoords, coordsPath)
+    StateSwap.swapAll(stateRoot, Seq(
+      "profiles" -> withMarker, "city_coords" -> cityCoords))
   }
 }

@@ -64,7 +64,10 @@ object HogzillaBatch {
   }
 
   /** Run every detector over one batch of raw sFlow samples.
-    * Returns (alerts, updated profile tables, derived reputation lists).
+    * Returns (alerts, updated profile tables, derived reputation lists,
+    * release) — `release()` unpersists the shared flow summary that every
+    * returned frame reads; call it after materializing the outputs so the
+    * cached blocks don't outlive the run in a long-lived session.
     *
     * `config` carries the reference's per-detector conf surface
     * (`scripts/conf/sflow.conf` key names, `HogSFlow.scala:118-189`
@@ -77,7 +80,7 @@ object HogzillaBatch {
   def run(spark: SparkSession, samples: DataFrame, myNets: Seq[String],
       profiles: ProfileTables, blacklist: DataFrame, osRepos: DataFrame,
       config: GraftConfig = GraftConfig.empty)
-      : (DataFrame, ProfileTables, ReputationLists) = {
+      : (DataFrame, ProfileTables, ReputationLists, () => Unit) = {
     val c = config
 
     val summary = FlowSummary.summarize(samples, myNets).cache()
@@ -85,11 +88,21 @@ object HogzillaBatch {
     val generalExcluded = c.getSetString("general.excludeIPs", Set.empty)
     // reference semantics (HogSFlow.scala:173-189): per-detector
     // exclusions extend the general list and suppress alerts keyed to an
-    // excluded LOCAL host; alien-keyed alerts pass through
+    // excluded host — LOCAL or ALIEN (the reference also drops flows whose
+    // alien IP is listed, HogSFlow.scala:1159-1160, 1230-1231). Applied at
+    // alert level here; the one semantic delta vs the reference's
+    // flow-level p2p filter is that an excluded alien's flows still count
+    // toward a local host's p2p aggregates (they only stop producing
+    // alerts KEYED to the excluded IP).
     def excluding(section: String)(alerts: DataFrame): DataFrame = {
       val ex = (c.getSetString(s"$section.excludeIPs", Set.empty) ++ generalExcluded).toSeq.sorted
       if (ex.isEmpty) alerts
-      else alerts.filter(col("my_ip").isNull || !col("my_ip").isin(ex: _*))
+      else {
+        val myOk = col("my_ip").isNull || !col("my_ip").isin(ex: _*)
+        if (alerts.columns.contains("alien_ip"))
+          alerts.filter(myOk && (col("alien_ip").isNull || !col("alien_ip").isin(ex: _*)))
+        else alerts.filter(myOk)
+      }
     }
 
     // derived exclusion sets first (the reference's detector DAG)
@@ -244,6 +257,6 @@ object HogzillaBatch {
         Detectors.hist07Current(summary, p2pHosts)),
       hist08 = ProfileStore.update(profiles.hist08,
         Detectors.hist08Current(summary, p2pHosts)))
-    (withDetail, updated, reputation)
+    (withDetail, updated, reputation, () => { summary.unpersist(); () })
   }
 }

@@ -150,7 +150,13 @@ object Models {
         .setLabelCol(labelCol).setFeaturesCol("features").setPredictionCol("prediction")
         .setMaxIter(maxIter).setRegParam(regParam),
     ))
+    // cache feeds the multi-pass fit (scaler stats + SVC iterations);
+    // the single transform pass after it doesn't need the cache, so
+    // release before returning — same contract as kmeansFlagger (:44)
     df.cache()
-    pipeline.fit(df.filter(col(labelCol) >= 0)).transform(df)
+    val model = pipeline.fit(df.filter(col(labelCol) >= 0))
+    val out = model.transform(df)
+    df.unpersist()
+    out
   }
 }

@@ -84,6 +84,51 @@ object StateSwap {
     }
   }
 
+  /** Atomically replace a GROUP of state tables in one swap: each
+    * `(name, df)` is staged as `<root>.staging/<name>`, then the whole
+    * root directory promotes with the same marker protocol as [[swap]].
+    * Either every table advances or none does — the primitive a
+    * multi-table per-batch commit needs (a marker row carried inside one
+    * of the tables is then provably in sync with ALL of them; three
+    * independent [[swap]]s would leave a crash window where the marker
+    * says "applied" but a later table's merge was lost).
+    *
+    * The staged writes may read the CURRENT tables under `root` (the
+    * usual state-merge shape): the root is not touched until every
+    * staging write has finished.
+    */
+  def swapAll(root: String, tables: Seq[(String, DataFrame)]): Unit = {
+    require(tables.nonEmpty, "swapAll needs at least one table")
+    val spark = tables.head._2.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val t = new Path(root)
+    val fs = fsFor(t, conf)
+    recover(spark, root) // finish any prior in-flight swap first
+    val staging = stagingOf(t)
+    fs.delete(staging, true) // drop any marker-less (incomplete) staging debris
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(new Path(staging, name).toString)
+    }
+    fs.create(markerOf(t), true).close()
+    if (fs.exists(t)) renameOrDie(fs, t, oldOf(t))
+    renameOrDie(fs, staging, t)
+    fs.delete(oldOf(t), true)
+    fs.delete(markerOf(t), false)
+  }
+
+  /** Recover-then-read for one table of a [[swapAll]] group: recovery
+    * happens at ROOT level (the atomic unit), then the named table is
+    * read if the group exists.
+    */
+  def readTableOrElse(spark: SparkSession, root: String, name: String,
+                      default: => DataFrame): DataFrame = {
+    recover(spark, root)
+    val p = new Path(root, name)
+    if (fsFor(p, spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(p.toString)
+    else default
+  }
+
   /** Recover-then-read: the one way state tables should be loaded. */
   def readOrElse(spark: SparkSession, target: String,
                  default: => DataFrame): DataFrame = {

@@ -19,9 +19,12 @@ class CurateStreamAppSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "n_chars", "lang", "source")
   }
 
-  // long, plain sentences score well on the quality gate
+  // long, plain sentences score well on the quality gate; the two seeds
+  // share no subject so they don't collide in the LSH screen
   private val baseText = ("the quick brown fox jumps over the lazy dog and then " +
     "walks back home to rest for a while before the next run ") * 3
+  private val shipText = ("the tall ships sailed across the wide blue ocean " +
+    "carrying spices and silk toward distant harbors under a bright morning sky ") * 3
 
   test("stream curation: quality, exact-dup, and near-dup gates against evolving state; replay is a no-op") {
     val root = Files.createTempDirectory("curatestream").toFile.getAbsolutePath
@@ -29,35 +32,40 @@ class CurateStreamAppSpec extends AnyFunSuite {
     new java.io.File(stateDir).mkdirs()
 
     // batch 0: two good docs bootstrap the corpus
-    val b0 = docs(1L -> baseText, 2L -> (baseText + "unique tail of document two here"))
+    val b0 = docs(1L -> baseText, 2L -> shipText)
     CurateStreamApp.processBatch(spark, b0, stateDir, outDir, batchId = 0L)
     val out0 = spark.read.parquet(s"$outDir/curated")
     assert(out0.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
 
     // batch 1: an exact clone of doc 1, a near-dup of doc 2 (one word
-    // changed), a low-quality doc, a fresh doc, and an in-batch clone pair
-    val nearDup = (baseText + "unique tail of document two here")
-      .replace("lazy", "sleepy")
+    // changed), a low-quality doc, a fresh doc, an in-batch exact clone,
+    // and an in-batch NEAR-dup (non-identical) of the fresh doc
+    val nearDup = shipText.replace("bright", "pale")
     val fresh = ("completely different subject matter entirely about rivers " +
       "and mountains flowing gently through the green valley all day long ") * 3
+    // a trailing append keeps nearly all shingles shared → deterministic
+    // LSH band collision with 13 (a mid-text swap on this short repeated
+    // fixture perturbs too many of its few distinct shingles)
+    val freshNearDup = fresh + "with one extra closing word appended"
     val b1 = docs(
       10L -> baseText,               // exact dup of doc 1 → dropped
       11L -> nearDup,                // near-dup of doc 2 → dropped
       12L -> "x! x! x! x!",          // low quality → dropped
       13L -> fresh,                  // fresh → kept
-      14L -> fresh)                  // in-batch clone of 13 → dropped
+      14L -> fresh,                  // in-batch exact clone of 13 → dropped
+      15L -> freshNearDup)           // in-batch NEAR-dup of 13 → dropped
     CurateStreamApp.processBatch(spark, b1, stateDir, outDir, batchId = 1L)
     val out1 = spark.read.parquet(s"$outDir/curated")
     assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
 
     // state advanced: fingerprints for 1, 2, 13 (+ marker row)
-    val fps = spark.read.parquet(s"$stateDir/corpus_fps")
+    val fps = spark.read.parquet(s"$stateDir/corpus_state/fps")
     assert(fps.filter(col("fp") =!= CurateStreamApp.BatchMarker).count() == 3)
 
     // replay of batch 1 must not duplicate output rows or state
     CurateStreamApp.processBatch(spark, b1, stateDir, outDir, batchId = 1L)
     assert(spark.read.parquet(s"$outDir/curated").count() == 3)
-    assert(spark.read.parquet(s"$stateDir/corpus_fps")
+    assert(spark.read.parquet(s"$stateDir/corpus_state/fps")
       .filter(col("fp") =!= CurateStreamApp.BatchMarker).count() == 3)
 
     // the next batch still applies: doc 13's text is now corpus state
@@ -66,10 +74,10 @@ class CurateStreamAppSpec extends AnyFunSuite {
 
     // the incrementally-maintained bucket-size table mirrors the band
     // index exactly (it is the megabucket guard's source of truth)
-    val bands = spark.read.parquet(s"$stateDir/corpus_bands")
+    val bands = spark.read.parquet(s"$stateDir/corpus_state/bands")
       .groupBy(col("band"), col("sig")).count()
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val sizes = spark.read.parquet(s"$stateDir/corpus_bucket_sizes")
+    val sizes = spark.read.parquet(s"$stateDir/corpus_state/bucket_sizes")
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(sizes == bands, s"sizes drifted: ${sizes.size} vs ${bands.size} buckets")
   }

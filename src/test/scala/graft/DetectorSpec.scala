@@ -324,7 +324,7 @@ class DetectorSpec extends AnyFunSuite {
     val scan = vScanProbe(5)
     val all = samples(spam ++ scan ++ benign)
     val profiles = HogzillaBatch.emptyProfileTables(spark)
-    val (alerts, updated, reputation) = HogzillaBatch.run(spark, all, myNets, profiles,
+    val (alerts, updated, reputation, release) = HogzillaBatch.run(spark, all, myNets, profiles,
       blacklist = Seq("66.66.").toDF("prefix"),
       osRepos = Seq(("93.1.1.1", "debian")).toDF("repo_ip", "os"))
     val byDetector = alerts.groupBy("detector").count().collect()
@@ -349,9 +349,12 @@ class DetectorSpec extends AnyFunSuite {
     assert(reputation.proxies.count() == 0)
     // run 2 over the same traffic: the HIST08 profile now exists (still
     // below the maturity gate, and the 5-port burst is typical) → silent
-    val (alerts2, _, _) = HogzillaBatch.run(spark, all, myNets, updated,
+    val (alerts2, _, _, release2) = HogzillaBatch.run(spark, all, myNets, updated,
       blacklist = Seq("66.66.").toDF("prefix"),
       osRepos = Seq(("93.1.1.1", "debian")).toDF("repo_ip", "os"))
     assert(alerts2.filter(col("detector") === "vPortScan").count() == 0)
+    release(); release2()
+    // the release thunks drop the shared summary caches: nothing persisted survives
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 }

@@ -93,7 +93,7 @@ class GraftConfigSpec extends AnyFunSuite {
     val s = samples(modestSpam)
     val empty = HogzillaBatch.emptyProfiles(spark)
     val profiles = HogzillaBatch.emptyProfileTables(spark)
-    val (alerts, _, _) = HogzillaBatch.run(spark, s, myNets, profiles,
+    val (alerts, _, _, _) = HogzillaBatch.run(spark, s, myNets, profiles,
       blacklist = empty.select(col("name").as("prefix")),
       osRepos = empty.select(col("name").as("repo_ip"), col("name").as("os")),
       config = conf)

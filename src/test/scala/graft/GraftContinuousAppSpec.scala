@@ -30,7 +30,7 @@ class GraftContinuousAppSpec extends AnyFunSuite {
     q.processAllAvailable()
     val a1 = spark.read.parquet(s"$outDir/auth_alerts")
     assert(a1.filter(col("detector") === "atypicalAccess").count() == 0)
-    assert(spark.read.parquet(s"$stateDir/auth_profiles")
+    assert(spark.read.parquet(s"$stateDir/auth_state/profiles")
       .filter(col("name") === "HIST20-alice").head().getLong(1) == 12L)
 
     // batch 2: Berlin 30 min after the last São Paulo login — the mature
@@ -50,7 +50,7 @@ class GraftContinuousAppSpec extends AnyFunSuite {
     // has a single row, so the alert (if any) must come from batch 1 — none
     assert(a2.filter(col("detector") === "impossibleTravel").count() == 0)
     // the Berlin observation was learned after detection
-    val h20 = spark.read.parquet(s"$stateDir/auth_profiles")
+    val h20 = spark.read.parquet(s"$stateDir/auth_state/profiles")
       .filter(col("name") === "HIST20-alice").head()
     assert(h20.getLong(1) == 13L)
   }
@@ -65,20 +65,20 @@ class GraftContinuousAppSpec extends AnyFunSuite {
       "user_name", "ts", "city", "coords", "user_agent", "service")
 
     GraftContinuousApp.processBatch(spark, batch, stateDir, outDir, batchId = 0L)
-    val size1 = spark.read.parquet(s"$stateDir/auth_profiles")
+    val size1 = spark.read.parquet(s"$stateDir/auth_state/profiles")
       .filter(col("name") === "HIST20-bob").head().getLong(1)
     assert(size1 == 8L)
 
     // foreachBatch is at-least-once: simulate the replay of batch 0 —
     // the marker inside the swapped state must make it a no-op
     GraftContinuousApp.processBatch(spark, batch, stateDir, outDir, batchId = 0L)
-    val size2 = spark.read.parquet(s"$stateDir/auth_profiles")
+    val size2 = spark.read.parquet(s"$stateDir/auth_state/profiles")
       .filter(col("name") === "HIST20-bob").head().getLong(1)
     assert(size2 == 8L, s"replay double-merged the profile: $size2")
 
     // the NEXT batch still applies normally
     GraftContinuousApp.processBatch(spark, batch, stateDir, outDir, batchId = 1L)
-    val size3 = spark.read.parquet(s"$stateDir/auth_profiles")
+    val size3 = spark.read.parquet(s"$stateDir/auth_state/profiles")
       .filter(col("name") === "HIST20-bob").head().getLong(1)
     assert(size3 == 16L)
   }

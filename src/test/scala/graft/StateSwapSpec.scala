@@ -86,4 +86,46 @@ class StateSwapSpec extends AnyFunSuite {
     val t = tmp("swap_cold")
     assert(readGen(t) == -1)
   }
+
+  private def readTableGen(root: String, name: String): Int =
+    StateSwap.readTableOrElse(spark, root, name, df(-1))
+      .select("gen").collect()(0).getInt(0)
+
+  test("swapAll: a group of tables advances atomically, reading current state while staging") {
+    val t = tmp("swapall_basic")
+    StateSwap.swapAll(t, Seq("a" -> df(1), "b" -> df(10)))
+    // the staged generation-2 writes READ the generation-1 tables (the
+    // state-merge shape): union old with new, then promote the root once
+    val mergedA = StateSwap.readTableOrElse(spark, t, "a", df(-1)).unionByName(df(2))
+    val mergedB = StateSwap.readTableOrElse(spark, t, "b", df(-1)).unionByName(df(20))
+    StateSwap.swapAll(t, Seq("a" -> mergedA, "b" -> mergedB))
+    assert(StateSwap.readTableOrElse(spark, t, "a", df(-1)).count() == 2)
+    assert(StateSwap.readTableOrElse(spark, t, "b", df(-1)).count() == 2)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(t + ".staging")) && !fs.exists(new Path(t + ".old")) &&
+      !fs.exists(new Path(t + ".swap")))
+  }
+
+  test("swapAll crash between renames → ALL tables recover to the NEW generation together") {
+    val t = tmp("swapall_crash")
+    StateSwap.swapAll(t, Seq("a" -> df(1), "b" -> df(10)))
+    // simulate: both tables staged + marker written, death mid-promotion
+    df(2).write.parquet(t + ".staging/a")
+    df(20).write.parquet(t + ".staging/b")
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(t + ".swap"), true).close()
+    assert(fs.rename(new Path(t), new Path(t + ".old"))) // died right here
+    // recovery promotes the whole root: no state where a sees gen2 but b gen10
+    assert(readTableGen(t, "a") == 2 && readTableGen(t, "b") == 20)
+  }
+
+  test("swapAll crash during staging (no marker) → ALL tables stay at the OLD generation") {
+    val t = tmp("swapall_partial")
+    StateSwap.swapAll(t, Seq("a" -> df(1), "b" -> df(10)))
+    // only table a staged when the process died — no marker yet
+    df(2).write.parquet(t + ".staging/a")
+    assert(readTableGen(t, "a") == 1 && readTableGen(t, "b") == 10)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(t + ".staging")))
+  }
 }

@@ -148,7 +148,7 @@ class StreamingSpec extends AnyFunSuite {
     val osRepos = Seq.empty[(String, String)].toDF("repo_ip", "os")
     val q = StreamingJobs.consumeMicroBatches(stream, 1) { (batch, id) =>
       if (!batch.isEmpty) {
-        val (alerts, updated, _) = HogzillaBatch.run(spark, batch, myNets, profiles, blacklist, osRepos)
+        val (alerts, updated, _, release) = HogzillaBatch.run(spark, batch, myNets, profiles, blacklist, osRepos)
         val n = alerts.filter(col("detector") === "vPortScan").count()
         profiles = HogzillaBatch.ProfileTables(
           updated.hist01.localCheckpoint(), updated.hist02.localCheckpoint(),
@@ -157,6 +157,7 @@ class StreamingSpec extends AnyFunSuite {
           updated.hist06.localCheckpoint(), updated.hist07.localCheckpoint(),
           updated.hist08.localCheckpoint())
         perBatch.synchronized { perBatch += ((id, n)) }
+        release() // profiles are checkpointed; drop the batch's summary cache
       }
     }
     source.addData(rows: _*)

@@ -477,6 +477,64 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("hamming"))
   }
 
+  /** Production form of [[simhashCandidatePairs]]: near-dup pairs at the
+    * level of DISTINCT TEXTS (clone groups), with multiplicities, instead
+    * of one row per expanded doc pair. The expanded contract is
+    * output-bound on a clone-heavy corpus — a group of k byte-identical
+    * docs alone owns k·(k−1)/2 rows, quadratic in clone count, and at
+    * 100 TB nobody wants those rows materialized (measured: 60 s at 10×
+    * clones for d6 vs clone-count-independent here). Returns
+    *   (doc1, doc2, hamming, n_pairs)
+    * where doc1/doc2 are clone-group representatives (min doc_id of each
+    * distinct text); a cross-group row carries n_pairs = |group1|·|group2|
+    * expanded pairs, and a doc1 = doc2 row carries the group's internal
+    * k·(k−1)/2 exact-dup pairs at hamming 0. Expanding every row through
+    * the group membership reproduces [[simhashCandidatePairs]] exactly
+    * while no band bucket saturates `maxBucket` (parity-tested).
+    *
+    * Scale shape: the clone collapse is one md5 groupBy (the d4 pattern,
+    * [[ngramJaccardPairs]]); simhash is computed once per DISTINCT text;
+    * the band self-join runs on the collapsed set, so a pathological
+    * clone rate SHRINKS the quadratic stage instead of inflating it.
+    */
+  def simhashRepPairs(df: DataFrame, bucketBits: Int, maxHamming: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = df
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_clones"))
+    // signatures once per distinct text, on each group's representative
+    val repDocs = df.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sh = simhashOf(repDocs, "doc_id", "text")
+    // same exchange discipline as simhashCandidatePairs: shuffle on the
+    // bucket materializes one signature per group before the self-join
+    val repSh = groups.select(col("rep"), col("n_clones"))
+      .join(sh.withColumnRenamed("doc_id", "rep"), Seq("rep"))
+      .withColumn("bucket", pmod(col("sh"), lit(1L << bucketBits)))
+      .repartition(col("bucket"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val a = repSh.select(col("bucket"), col("rep").as("doc1"),
+      col("sh").as("sh1"), col("n_clones").as("n1"))
+    val b = repSh.select(col("bucket"), col("rep").as("doc2"),
+      col("sh").as("sh2"), col("n_clones").as("n2"))
+    val cross = a.join(b, Seq("bucket")).filter(col("doc1") < col("doc2"))
+      .withColumn("hamming", hammingDistance(col("sh1"), col("sh2")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc1"), col("doc2"), col("hamming"),
+        (col("n1") * col("n2")).as("n_pairs"))
+    // intra-group rows: k byte-identical docs = k·(k−1)/2 exact-dup pairs
+    // at hamming 0 (banding can't miss them — identical text, identical
+    // signature), reported as one row on the group representative
+    val intra = groups.filter(col("n_clones") > 1)
+      .select(col("rep").as("doc1"), col("rep").as("doc2"),
+        lit(0L).as("hamming"),
+        ((col("n_clones") * (col("n_clones") - 1)) / 2).cast("long").as("n_pairs"))
+    cross.unionByName(intra)
+  }
+
   /** Blocked edit-distance record linkage: candidate pairs share a
     * blocking key (the classic entity-resolution move — all-pairs
     * Levenshtein is O(n²·len²) and never runs at scale), then the exact

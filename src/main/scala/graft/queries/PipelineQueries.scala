@@ -57,6 +57,15 @@ object PipelineQueries {
         .orderBy(col("doc1"), col("doc2"))
     }),
 
+    // D12: the production (collapsed) form of d6 — near-dup pairs at
+    // clone-group level with multiplicities, clone-count-independent
+    // output. Expanding through group membership reproduces d6 exactly
+    // (parity spec); this is the contract a 100 TB dedup run wants.
+    "d12_simhash_repdup" -> ((s, dir) => {
+      Dedup.simhashRepPairs(Catalog.documents(s, dir), bucketBits = 4, maxHamming = 10)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
     // C6: split-leakage audit — near-dup candidate pairs that CROSS a
     // deterministic train/eval split (content-hash bucket ≥ 80 = eval).
     // THE training-data integrity check: eval contamination via
@@ -1189,6 +1198,41 @@ object PipelineQueries {
         |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
         |FROM sh x JOIN sh y ON x.sh % 16 = y.sh % 16 AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.sh, y.sh)) <= 10
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "d12_simhash_repdup" ->
+      s"""WITH g AS (
+        |  SELECT md5(text) AS fp, MIN(doc_id) AS rep, COUNT(*) AS n_clones
+        |  FROM documents GROUP BY 1),
+        |rd AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN g ON d.doc_id = g.rep),
+        |tok AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM rd),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) >> (b % 4)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM (SELECT doc_id, h, b, ascii(substr(h, CAST(b // 4 AS INT) + 1, 1)) AS a
+        |        FROM h CROSS JOIN range(0, 32) r(b))
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id),
+        |rsh AS (
+        |  SELECT g.rep, g.n_clones, sh.sh FROM g JOIN sh ON sh.doc_id = g.rep),
+        |cross_pairs AS (
+        |  SELECT x.rep AS doc1, y.rep AS doc2,
+        |    CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming,
+        |    CAST(x.n_clones * y.n_clones AS BIGINT) AS n_pairs
+        |  FROM rsh x JOIN rsh y ON x.sh % 16 = y.sh % 16 AND x.rep < y.rep
+        |  WHERE bit_count(xor(x.sh, y.sh)) <= 10),
+        |intra AS (
+        |  SELECT rep AS doc1, rep AS doc2, CAST(0 AS BIGINT) AS hamming,
+        |    CAST(n_clones * (n_clones - 1) // 2 AS BIGINT) AS n_pairs
+        |  FROM g WHERE n_clones > 1)
+        |SELECT * FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra)
         |ORDER BY doc1, doc2""".stripMargin,
 
     "d4_ngram_jaccard" ->

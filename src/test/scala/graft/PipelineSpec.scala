@@ -48,6 +48,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.simhashCandidatePairs(clones, 4, 10).count() == 12 * 11 / 2)
   }
 
+  test("simhashRepPairs: expanding rep-level pairs through clone groups reproduces d6 exactly") {
+    // a clone-heavy corpus: 3 texts (two near-dup, one unrelated), with
+    // clone groups of size 4, 3, and 1
+    val nearDup = base + " postscript"
+    val other = "completely different content about spark catalyst optimizer rules and physical plans here today"
+    val docs = docsDf(
+      (1L to 4L).map(i => i -> base) ++
+      (10L to 12L).map(i => i -> nearDup) ++
+      Seq(20L -> other))
+    val expanded = Dedup.simhashCandidatePairs(docs, 4, 10)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rep = Dedup.simhashRepPairs(docs, 4, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // expand every rep row through its clone-group membership
+    val members = Map(1L -> (1L to 4L).toSeq, 10L -> (10L to 12L).toSeq, 20L -> Seq(20L))
+    val reExpanded = rep.flatMap { case (d1, d2, _, n) =>
+      val ps =
+        if (d1 == d2) members(d1).combinations(2).map(p => (p(0), p(1))).toSeq
+        else for (a <- members(d1); b <- members(d2))
+          yield (math.min(a, b), math.max(a, b))
+      assert(ps.size == n, s"multiplicity mismatch on ($d1,$d2): ${ps.size} != $n")
+      ps
+    }.toSet
+    assert(reExpanded == expanded)
+    // output volume is clone-count-independent: at most 1 cross row + 2
+    // intra rows at rep level, vs ≥9 expanded pairs (6 + 3 intra alone)
+    assert(rep.length <= 3 && expanded.size >= 9)
+    assert(rep.length < expanded.size)
+  }
+
   test("ngramJaccardPairs confirms the planted pair above threshold") {
     val nearDup = base + " postscript"
     val docs = docsDf(Seq(1L -> base, 2L -> nearDup,

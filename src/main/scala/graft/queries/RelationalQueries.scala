@@ -263,6 +263,28 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // Q4 (TPC-H Q4 shape): correlated EXISTS — order-priority counts over
+    // one quarter, counting orders with at least one returned line item
+    // (the fixture has no commit/receipt dates; l_returnflag = 'R' keeps
+    // the correlated-predicate shape). Deliberately written as SQL so
+    // Catalyst's RewritePredicateSubquery does the decorrelation
+    // (EXISTS → left SEMI join on l_orderkey — the scan of lineitem
+    // happens once, never per outer row); PlanDisciplineSpec verifies the
+    // physical plan stays join-shaped.
+    "q4_order_priority" -> ((s, dir) => {
+      Catalog.orders(s, dir).createOrReplaceTempView("graft_q4_orders")
+      Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q4_lineitem")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
+              |FROM graft_q4_orders
+              |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+              |  AND EXISTS (
+              |    SELECT * FROM graft_q4_lineitem
+              |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Q3 (TPC-H Q5 shape): 5-table star join — revenue by supplier nation
     // where the customer is in the SAME nation (the local-supplier
     // condition forces the c_nationkey = s_nationkey equi-edge through
@@ -950,6 +972,17 @@ object RelationalQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE c_nationkey = s_nationkey
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT * FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

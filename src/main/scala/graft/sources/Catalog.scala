@@ -25,17 +25,26 @@ object Catalog {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4 refuses;
-    * read nanos as long and rebuild a microsecond timestamp. The nanos→µs
-    * division MUST be integer (`DIV`): the values exceed 2^53, so going
-    * through double (`/`) loses low bits and drifts the reconstructed
-    * timestamp by up to ±1 ms vs DuckDB's exact epoch arithmetic.
+  /** events.parquet has carried TIMESTAMP(NANOS) — which vanilla Spark 4
+    * refuses — in some fixture generations and plain TIMESTAMP(MICROS) in
+    * others, so adapt to what's on disk: under `nanosAsLong` a nanos
+    * column reads as LongType and gets its microsecond timestamp rebuilt;
+    * a micros column reads as a timestamp already and only needs the
+    * NTZ→session-UTC cast to keep one output type across layouts. The
+    * nanos→µs division MUST be integer (`DIV`): the values exceed 2^53,
+    * so going through double (`/`) loses low bits and drifts the
+    * reconstructed timestamp by up to ±1 ms vs DuckDB's exact epoch
+    * arithmetic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -41,8 +41,15 @@ object StreamingJobs {
     val link = streamDir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir.toString)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) fixture
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Any fixture table as a streaming source (same symlink-directory
@@ -57,7 +64,14 @@ object StreamingJobs {
     val link = streamDir.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
-    spark.readStream.schema(schema).parquet(streamDir.toString)
+    // the table path may be a single parquet FILE (driver fixtures) or a
+    // Spark-written DIRECTORY of part files (generated fixtures); the
+    // file stream source doesn't descend into subdirectories by default,
+    // so recurse and glob to the data files in either layout
+    spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir.toString)
   }
 
   /** The documents table as a streaming source. */

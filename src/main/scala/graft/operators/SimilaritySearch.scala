@@ -190,6 +190,125 @@ object SimilaritySearch {
       .write.mode(SaveMode.Append).partitionBy("part").parquet(s"$dir/vectors")
   }
 
+  /** Persisted IVF index, maintenance: re-fit the coarse centroids and
+    * re-home only the vectors whose cell assignment changed.
+    *
+    * [[appendToIvfIndex]] keeps an index fresh under ingest, but appended
+    * vectors never participated in centroid fitting — after enough
+    * distribution drift the cells stop reflecting the corpus (a new dense
+    * region straddles two old cells, so probes split true neighbors and
+    * recall drops; or one cell hogs the new mass and every probe of it
+    * scans too much). This job restores balance without the full-rebuild
+    * cost of [[buildIvfIndex]]:
+    *
+    *  1. re-train centroids with Lloyd's iterations SEEDED FROM the
+    *     current centroids over a deterministic hash-sample of the
+    *     vectors (cell ids stay stable — a cell whose region didn't
+    *     drift keeps its centroid and its rows);
+    *  2. assign every vector to its nearest new centroid and compute the
+    *     set of cells any row enters or leaves — only THOSE cells'
+    *     partitions are re-encoded by Spark; untouched cells are carried
+    *     into the staged layout as raw file copies (no decode, no
+    *     shuffle — at 100 TB with localized drift this is the difference
+    *     between rewriting everything and rewriting a few percent);
+    *  3. promote centroids + vectors atomically via
+    *     [[StateSwap.swapStaged]] — readers see the old index or the new
+    *     one, never a mix (mismatched centroids/cells would mis-probe).
+    *
+    * Per-iteration driver state is one centroid array (cells × dim
+    * doubles — bounded by construction, same as the query path's probed
+    * cell collect).
+    */
+  def rebalanceIvfIndex(spark: SparkSession, dir: String,
+      sampleFraction: Double = 0.1, iters: Int = 5, seed: Long = 42L): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    val dataCols = vecs.columns.filterNot(_ == "part").map(col).toSeq
+    // deterministic hash-sample: partition-layout-independent, replayable
+    val mod = 1000000L
+    val sample = vecs
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(mod)) <
+        lit((sampleFraction * mod).toLong))
+      .select(col("embedding"), col("nrm"))
+      .persist()
+    // centroids are driver-resident and tiny (cells × dim), so nearest-cell
+    // assignment is a row-LOCAL fold over a literal centroid array — no
+    // join, no shuffle, whole-stage codegen end to end; ties break to the
+    // lowest cell id (strict > keeps the first of an ascending scan),
+    // matching [[appendToIvfIndex]]'s (csim desc, part asc) ordering
+    def nearestCell(cent: Seq[(Long, Seq[Double])]): Column = {
+      val entries = cent.sortBy(_._1).map { case (p, c) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        struct(lit(p).as("p"), array(c.map(lit): _*).as("cv"), lit(cn).as("cn"))
+      }
+      aggregate(array(entries: _*),
+        struct(lit(-2.0).as("s"), lit(-1L).as("p")),
+        (acc, e) => {
+          val sim = round(when(col("nrm") * e.getField("cn") > 0,
+            dot(col("embedding"), e.getField("cv")) / (col("nrm") * e.getField("cn")))
+            .otherwise(lit(0.0)), 6)
+          when(sim > acc.getField("s"),
+            struct(sim.as("s"), e.getField("p").as("p"))).otherwise(acc)
+        }).getField("p")
+    }
+    def nearest(df: DataFrame, cent: Seq[(Long, Seq[Double])]): DataFrame =
+      df.withColumn("cpart", nearestCell(cent))
+    var cent: Seq[(Long, Seq[Double])] = spark.read.parquet(s"$dir/centroids")
+      .groupBy(col("part"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("cvec"))
+      .collect().toSeq
+      .map(r => r.getAs[Number]("part").longValue -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val means = nearest(sample, cent)
+        .select(col("cpart"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cpart"), col("i"))
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .groupBy(col("cpart"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          e => e.getField("c")).as("cvec"))
+        .collect()
+        .map(r => r.getAs[Number]("cpart").longValue -> r.getSeq[Double](1)).toMap
+      // a cell the sample never hits keeps its old centroid (never NaN)
+      cent = cent.map { case (p, c) => p -> means.getOrElse(p, c) }
+    }
+    sample.unpersist()
+    // full assignment against the new centroids; only cells some row
+    // enters or leaves get re-encoded
+    val assigned = nearest(vecs, cent)
+      .withColumn("new_part", col("cpart").cast("long")).drop("cpart")
+      .withColumn("old_part", col("part").cast("long"))
+      .persist()
+    try {
+      val changedCells = assigned
+        .filter(col("new_part") =!= col("old_part"))
+        .select(explode(array(col("new_part"), col("old_part"))).as("p"))
+        .distinct().collect().map(_.getLong(0)).toSet // bounded: ≤ cell count
+      val centLong = spark.createDataFrame(
+        cent.flatMap { case (p, c) => c.zipWithIndex.map { case (x, i) => (p, i, x) } })
+        .toDF("part", "i", "c")
+      val conf = spark.sparkContext.hadoopConfiguration
+      StateSwap.swapStaged(spark, dir) { staging =>
+        centLong.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+        if (changedCells.nonEmpty)
+          assigned.filter(col("new_part").isin(changedCells.toSeq: _*))
+            .select(dataCols :+ col("new_part").as("part"): _*)
+            .write.mode(SaveMode.Overwrite).partitionBy("part")
+            .parquet(s"$staging/vectors")
+        val live = new Path(s"$dir/vectors")
+        val fs = live.getFileSystem(conf)
+        val stagedVecs = new Path(s"$staging/vectors")
+        fs.mkdirs(stagedVecs)
+        fs.listStatus(live).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("part="))
+          .filterNot(p => changedCells.contains(p.getName.stripPrefix("part=").toLong))
+          .foreach(p => FileUtil.copy(fs, p, fs, new Path(stagedVecs, p.getName),
+            false, conf))
+      }
+    } finally assigned.unpersist()
+  }
+
   /** Persisted IVF index, query side: scores the saved centroids, probes
     * the `nProbe` nearest cells per query, and scans ONLY those cells'
     * directories — the probed-cell set is collected to the driver

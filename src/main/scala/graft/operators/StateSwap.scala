@@ -99,16 +99,31 @@ object StateSwap {
     */
   def swapAll(root: String, tables: Seq[(String, DataFrame)]): Unit = {
     require(tables.nonEmpty, "swapAll needs at least one table")
-    val spark = tables.head._2.sparkSession
+    swapStaged(tables.head._2.sparkSession, root) { staging =>
+      tables.foreach { case (name, df) =>
+        df.write.mode(SaveMode.Overwrite).parquet(new Path(staging, name).toString)
+      }
+    }
+  }
+
+  /** Generalized staged swap: the caller populates the staging directory
+    * however it likes (Spark writes, raw file copies, a mix), then the
+    * whole root promotes under the same marker protocol as [[swapAll]].
+    * This is the primitive for maintenance jobs that REWRITE part of a
+    * state root and CARRY OVER the rest byte-for-byte (e.g.
+    * [[SimilaritySearch.rebalanceIvfIndex]] copying unchanged IVF cell
+    * directories instead of re-encoding them): the staged content may
+    * read or copy from the CURRENT root, which is untouched until
+    * `stage` returns.
+    */
+  def swapStaged(spark: SparkSession, root: String)(stage: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val t = new Path(root)
     val fs = fsFor(t, conf)
     recover(spark, root) // finish any prior in-flight swap first
     val staging = stagingOf(t)
     fs.delete(staging, true) // drop any marker-less (incomplete) staging debris
-    tables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(new Path(staging, name).toString)
-    }
+    stage(staging.toString)
     fs.create(markerOf(t), true).close()
     if (fs.exists(t)) renameOrDie(fs, t, oldOf(t))
     renameOrDie(fs, staging, t)

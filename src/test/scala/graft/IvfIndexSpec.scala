@@ -69,6 +69,54 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(res.count() == 3)
   }
 
+  test("rebalanceIvfIndex restores recall after distribution drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_reb_").toString
+    SimilaritySearch.buildIvfIndex(emb, "label", dir)
+    // Worst-case drift for append-only maintenance: a tight new cluster at
+    // the EXACT midpoint of two fitted centroids, so appendToIvfIndex
+    // splits its members (= each other's true neighbors) across the two
+    // cells on noise alone and nProbe=1 recall collapses to ~the split
+    // fraction. A rebalance must consolidate the cloud into one cell.
+    val cent = spark.read.parquet(s"$dir/centroids").collect()
+      .groupBy(_.getAs[Number]("part").longValue)
+      .view.mapValues(_.sortBy(_.getAs[Number]("i").longValue)
+        .map(_.getAs[Double]("c")).toArray).toMap
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val mid = unit(unit(cent(0L)).zip(unit(cent(1L))).map { case (a, b) => a + b })
+    val rnd = new scala.util.Random(11)
+    val nDrift = 12
+    val drifted = (0 until nDrift).map { i =>
+      val raw = mid.map(m => m + rnd.nextGaussian() * 0.08)
+      (10000L + i, unit(raw).map(_.toFloat).toSeq, 99)
+    }
+    val driftDf = drifted.toDF("vec_id", "embedding", "label")
+    SimilaritySearch.appendToIvfIndex(spark, dir, driftDf)
+    val full = emb.select("vec_id", "embedding", "label").unionByName(driftDf)
+    // ground truth: exact cosine top-5 over the full drifted corpus
+    val truth = SimilaritySearch.bruteForceTopK(full, driftDf, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    def recall(): Double = {
+      val got = SimilaritySearch.queryIvfIndex(spark, dir, driftDf, k = 5, nProbe = 1)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(3)).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val before = recall()
+    SimilaritySearch.rebalanceIvfIndex(spark, dir, sampleFraction = 1.0, iters = 6, seed = 7)
+    val after = recall()
+    info(f"recall@5 nProbe=1: before=$before%.2f after=$after%.2f")
+    // no rows lost or duplicated by the changed-cell rewrite + raw copies
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count() + nDrift)
+    assert(before < 0.85, f"drift fixture failed to degrade recall (before=$before%.2f)")
+    assert(after > before + 0.15, f"rebalance did not recover recall ($before%.2f -> $after%.2f)")
+    assert(after >= 0.9, f"post-rebalance recall $after%.2f below 0.9")
+  }
+
   private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
     p.collectWithSubqueries {

@@ -63,7 +63,8 @@ object GraftApp {
     * flags, exclusion sets) — see [[GraftConfig]] / HogzillaBatch.run.
     * `sink`: optional notification transport for this run's alerts (the
     * reference's mailer role); defaults from `alert.notify` in the conf
-    * ("log" → stderr lines, anything else → no delivery).
+    * ("log" → stderr lines, "file:<dir>" → JSON-line files with retry +
+    * dead-letter, anything else → no delivery).
     */
   def run(spark: SparkSession, samplesPath: String, stateDir: String,
           outDir: String, myNets: Seq[String],
@@ -89,6 +90,8 @@ object GraftApp {
     // payload per alert and hand it to the pluggable transport
     sink.orElse(config.getString("alert.notify", "off") match {
       case "log" => Some(graft.operators.AlertSink.LogSink)
+      case s if s.startsWith("file:") => // e.g. alert.notify = file:/var/spool/alerts
+        Some(new graft.operators.AlertSink.FileSink(s.stripPrefix("file:")))
       case _ => None
     }).foreach(graft.operators.AlertSink.deliver(alerts, _))
     reputation.proxies.write.mode(SaveMode.Overwrite).parquet(s"$outDir/proxies")

@@ -78,4 +78,70 @@ class GraftAppSpec extends AnyFunSuite {
     assert(body.contains("Note: top upload"), body)
     assert(body.contains("Flows:\n"), body)
   }
+
+  test("FileSink: GraftApp delivers alert files via alert.notify=file:<dir>") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftapp_fsink").toFile.getAbsolutePath
+    val samplesPath = s"$root/samples"
+    val rows =
+      (1 to 6).map(i => ("10.0.0.9", "93.9.9." + i, "1900", "53713", "17", 5000L, 10L, "0x00", 100L + i))
+    rows.toDF("srcIP", "dstIP", "srcPort", "dstPort",
+        "IPprotocol", "packetSize", "samplingRate", "tcpFlags", "timestamp")
+      .write.parquet(samplesPath)
+    GraftApp.run(spark, samplesPath, s"$root/state", s"$root/out", Seq("10.0."),
+      config = GraftConfig.parse(s"alert.notify = file:$root/alerts"))
+    val delivered = new java.io.File(s"$root/alerts/delivered").listFiles()
+    assert(delivered != null && delivered.nonEmpty, "no delivered alert files")
+    assert(!delivered.exists(_.getName.endsWith(".tmp")), "staging debris left behind")
+    val lines = delivered.toSeq.flatMap(f =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f.toPath)).asScala)
+    val tt = lines.filter(_.contains("\"signature_id\":826001001"))
+    assert(tt.nonEmpty, s"no topTalkers delivery among:\n${lines.mkString("\n")}")
+    assert(tt.head.contains("\"title\":\"HZ: Top talker identified\""), tt.head)
+    assert(tt.head.contains("Priority: 2"), tt.head) // rendered body, escaped
+    assert(tt.head.contains("\\n"), tt.head)
+  }
+
+  test("FileSink: transient write failures retry, then deliver") {
+    val dir = Files.createTempDirectory("fsink_retry").toFile.getAbsolutePath
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val sink = new graft.operators.AlertSink.FileSink(dir, maxAttempts = 3, backoffMs = 1L) {
+      override protected def writeOnce(path: java.nio.file.Path,
+          lines: Seq[String]): Unit = {
+        if (attempts.incrementAndGet() <= 2) throw new java.io.IOException("flaky fs")
+        super.writeOnce(path, lines)
+      }
+    }
+    sink.deliver(Iterator(graft.operators.AlertSink.Rendered(7L, "t", 2, "line1\nline2")))
+    assert(attempts.get() == 3, s"expected 3 attempts, saw ${attempts.get()}")
+    val delivered = new java.io.File(s"$dir/delivered").listFiles()
+    assert(delivered != null && delivered.length == 1)
+    val line = java.nio.file.Files.readString(delivered.head.toPath)
+    assert(line.contains("\"signature_id\":7") && line.contains("line1\\nline2"), line)
+    assert(!new java.io.File(s"$dir/dead_letter").exists(), "nothing should dead-letter")
+  }
+
+  test("FileSink: a permanently failing delivery parks the payload in dead_letter") {
+    val dir = Files.createTempDirectory("fsink_dead").toFile.getAbsolutePath
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val sink = new graft.operators.AlertSink.FileSink(dir, maxAttempts = 3, backoffMs = 1L) {
+      override protected def writeOnce(path: java.nio.file.Path,
+          lines: Seq[String]): Unit = {
+        if (path.toString.contains("delivered")) {
+          attempts.incrementAndGet()
+          throw new java.io.IOException("dead fs")
+        }
+        super.writeOnce(path, lines)
+      }
+    }
+    sink.deliver(Iterator(graft.operators.AlertSink.Rendered(9L, "gone", 1, "b")))
+    assert(attempts.get() == 3, "all delivery attempts must be exhausted first")
+    assert(!new java.io.File(s"$dir/delivered").exists() ||
+      new java.io.File(s"$dir/delivered").listFiles().isEmpty)
+    val dead = new java.io.File(s"$dir/dead_letter").listFiles()
+    assert(dead != null && dead.length == 1, "payload must be dead-lettered")
+    assert(java.nio.file.Files.readString(dead.head.toPath)
+      .contains("\"signature_id\":9"))
+  }
 }

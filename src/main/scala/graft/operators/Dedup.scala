@@ -183,13 +183,20 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("fp")).cache()
     // adaptive: one tiny aggregate over the (LSH-bounded) paired-doc set
     // decides whether the collapse machinery pays for its three extra
-    // shuffles — on a clone-free corpus it cannot win, so verify pairs
-    // directly there. Both paths produce identical output (randomized
-    // parity spec); the decision is pure execution strategy.
+    // shuffles. The win is quadratic in clone-GROUP size, so a corpus
+    // needs material clone mass before collapse amortizes: at a natural
+    // ~0.2% exact-clone rate the direct join is cheaper, while a
+    // clone-replica corpus (90% of paired docs sharing a text) is where
+    // the ~100× array-join reduction lives. Engage collapse only when
+    // ≥10% of the paired docs are clones. Both paths produce identical
+    // output (randomized parity spec); the decision is pure execution
+    // strategy.
     val Array(nDocs, nTexts) = fps
       .agg(count(lit(1)), count_distinct(col("fp"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    val hasClones = nTexts < nDocs
+    val hasClones = nTexts < (nDocs * 9) / 10
+    System.err.println(s"[dedup] ngramJaccardPairs: $nDocs paired docs, " +
+      s"$nTexts distinct texts -> ${if (hasClones) "clone-collapse" else "direct"} verify")
 
     // pairs: (k1, k2, ...); sets: (k, sh) → pairs + jaccard, thresholded
     def jaccardOf(pairs: DataFrame, sets: DataFrame): DataFrame = pairs

@@ -319,6 +319,11 @@ class DetectorSpec extends AnyFunSuite {
 
   test("HogzillaBatch.run: full DAG produces the planted alerts and learns all 9 profile families") {
     import spark.implicits._
+    // snapshot the shared session's persisted blocks: the leak assertion
+    // below must only see blocks THIS test's runs add (other suites'
+    // query-level caches are swept by the session-level hygiene in
+    // Bench/app exits, not per-operator release thunks)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val spam = (1 to 30).flatMap(i => Seq.fill(4)(
       ("10.0.0.5", "66.1.1." + i, "4000", "25", "6", 200000L, 10L, "0x18", 100L + i)))
     val scan = vScanProbe(5)
@@ -354,7 +359,9 @@ class DetectorSpec extends AnyFunSuite {
       osRepos = Seq(("93.1.1.1", "debian")).toDF("repo_ip", "os"))
     assert(alerts2.filter(col("detector") === "vPortScan").count() == 0)
     release(); release2()
-    // the release thunks drop the shared summary caches: nothing persisted survives
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // the release thunks drop the shared summary caches: nothing persisted
+    // by THESE runs survives
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    assert(leaked.isEmpty, s"HogzillaBatch.run leaked cached blocks: $leaked")
   }
 }

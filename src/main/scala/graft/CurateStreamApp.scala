@@ -36,15 +36,20 @@ import graft.streaming.StreamingJobs
   *   4. survivors   — appended under `<outDir>/curated/batch=<id>` and
   *                    merged into both state tables.
   *
-  * Delivery contract: same as [[GraftContinuousApp]] — foreachBatch is
-  * at-least-once, so the last applied batch id rides INSIDE the
-  * atomically-swapped state and replays are detected and skipped; the
-  * per-batch-id output directory is overwritten, never appended, so a
-  * replayed write replaces itself. All three state tables (fingerprints,
-  * band index, bucket sizes) live under ONE root and promote in a single
-  * [[StateSwap.swapAll]] — the marker is in sync with every table, with
-  * no crash window where the marker says "applied" but a table's merge
-  * was lost.
+  * Delivery contract: foreachBatch is at-least-once, so every batch's
+  * state advance commits as one immutable DELTA directory
+  * (`corpus_deltas/batch=<id>`, staged then atomically renamed) whose
+  * existence is the applied marker — a replay is detected and skipped,
+  * and the per-batch-id output directory is overwritten, never appended,
+  * so a replayed write replaces itself. Every `curation.foldEvery`
+  * batches the delta log folds into the compacted BASE tables under
+  * `corpus_state` in a single [[StateSwap.swapAll]] (fingerprints, band
+  * index, bucket sizes advance together; the fold-through marker rides
+  * inside the fp table), and the folded deltas are reaped. Per-batch
+  * write cost is therefore O(batch), not O(corpus): at 100 TB a
+  * full-state rewrite per 10-second trigger would be the pipeline's
+  * entire IO budget, while the delta log amortizes the corpus rewrite
+  * across the fold interval (or hands it to an out-of-band compactor).
   *
   * Scale shape: state lookups are semi/anti joins on content-hash keys
   * (broadcast-able while the batch is small, hash-join on the band key
@@ -85,27 +90,126 @@ object CurateStreamApp {
       if (!batch.isEmpty) processBatch(spark, batch, stateDir, outDir, config, batchId)
     }
 
-  /** One micro-batch: screen, write survivors, merge state atomically.
+  /** The corpus state as ONE logical view over its log-structured layout:
+    * compacted BASE tables under `corpus_state` (atomically replaced by
+    * [[foldDeltas]]) plus one small immutable DELTA directory per applied
+    * micro-batch under `corpus_deltas/batch=<id>`. `appliedThrough` is
+    * the base's fold-through batch id; `liveDeltas` the committed batch
+    * ids newer than it (stale delta dirs at or below the marker are
+    * fold-then-crash debris and are excluded here, deleted by the next
+    * fold). Bucket sizes are the base table plus the live deltas' band
+    * counts — an aggregation of a few batch-sized frames, never a rescan
+    * of the corpus index.
+    */
+  private[graft] final case class CorpusState(fps: DataFrame, bands: DataFrame,
+      sizes: DataFrame, appliedThrough: Long, liveDeltas: Seq[Long])
+
+  private def deltaDirs(spark: SparkSession, deltaRoot: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(deltaRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("batch=") && !n.endsWith(".staging"))
+      .map(_.stripPrefix("batch=").toLong).sorted
+  }
+
+  private[graft] def readCorpusState(spark: SparkSession, stateDir: String): CorpusState = {
+    val stateRoot = s"$stateDir/corpus_state"
+    val deltaRoot = s"$stateDir/corpus_deltas"
+    val allFps = StateSwap.readTableOrElse(spark, stateRoot, "fps",
+      spark.range(0).select(col("id").cast("string").as("fp"), col("id").as("doc_id")))
+    val appliedThrough = allFps.filter(col("fp") === BatchMarker)
+      .select(col("doc_id")).collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+    val baseFps = allFps.filter(col("fp") =!= BatchMarker)
+    val baseBands = StateSwap.readTableOrElse(spark, stateRoot, "bands",
+      spark.range(0).select(col("id").cast("int").as("band"),
+        col("id").cast("string").as("sig"), col("id").as("doc_id")))
+    val baseSizes = StateSwap.readTableOrElse(spark, stateRoot, "bucket_sizes",
+      spark.range(0).select(col("id").cast("int").as("band"),
+        col("id").cast("string").as("sig"), col("id").as("n")))
+    val live = deltaDirs(spark, deltaRoot).filter(_ > appliedThrough)
+    if (live.isEmpty) CorpusState(baseFps, baseBands, baseSizes, appliedThrough, live)
+    else {
+      val dFps = live.map(b => spark.read.parquet(s"$deltaRoot/batch=$b/fps"))
+        .reduce(_ unionByName _)
+      val dBands = live.map(b => spark.read.parquet(s"$deltaRoot/batch=$b/bands"))
+        .reduce(_ unionByName _)
+      val sizes = baseSizes
+        .join(dBands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("add")),
+          Seq("band", "sig"), "full_outer")
+        .select(col("band"), col("sig"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
+      CorpusState(baseFps.unionByName(dFps), baseBands.unionByName(dBands),
+        sizes, appliedThrough, live)
+    }
+  }
+
+  /** Commit one batch's state advance as an immutable delta directory —
+    * stage, then ONE atomic rename. O(batch) bytes written, independent
+    * of corpus size; the existence of `batch=<id>` IS the applied marker.
+    */
+  private def writeDelta(spark: SparkSession, deltaRoot: String, batchId: Long,
+                         fps: DataFrame, bands: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$batchId")
+    val fs = target.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$batchId.staging")
+    fs.delete(staging, true) // marker-less staging debris from a crash
+    // deltas are batch-sized: one file per table keeps the pre-fold file
+    // count at 2 per batch
+    fps.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(staging, "fps").toString)
+    bands.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(staging, "bands").toString)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(staging, target))
+      sys.error(s"CurateStreamApp: delta commit rename $staging -> $target failed")
+  }
+
+  /** Compact the delta log into the base tables: fold every live delta
+    * into `corpus_state` (one [[StateSwap.swapAll]], marker = highest
+    * folded batch id), then delete the folded delta directories. A crash
+    * after the swap leaves deltas at or below the marker on disk — they
+    * are ignored by [[readCorpusState]] and reaped here next time.
+    * Amortizes the O(corpus) rewrite across `curation.foldEvery` batches;
+    * at production scale this fold can also run out-of-band.
+    */
+  private[graft] def foldDeltas(spark: SparkSession, stateDir: String): Unit = {
+    val stateRoot = s"$stateDir/corpus_state"
+    val deltaRoot = s"$stateDir/corpus_deltas"
+    val state = readCorpusState(spark, stateDir)
+    val upTo = (state.liveDeltas :+ state.appliedThrough).max
+    if (state.liveDeltas.nonEmpty) {
+      val withMarker = state.fps.unionByName(spark.range(1)
+        .select(lit(BatchMarker).as("fp"), lit(upTo).as("doc_id")))
+      StateSwap.swapAll(stateRoot, Seq(
+        "fps" -> withMarker, "bands" -> state.bands, "bucket_sizes" -> state.sizes))
+    }
+    val p = new org.apache.hadoop.fs.Path(deltaRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    deltaDirs(spark, deltaRoot).filter(_ <= upTo).foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$b"), true))
+  }
+
+  /** One micro-batch: screen, write survivors, commit the state advance.
     * `batchId < 0` (direct test/tool invocations) appends to the output
-    * root and skips replay tracking.
+    * root, skips replay tracking, and folds its state advance straight
+    * into the base tables.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                    outDir: String, config: GraftConfig = GraftConfig.empty,
                    batchId: Long = -1L): Unit = {
     val qualityMin = config.getDouble("curation.qualityMin", 0.5)
     val maxBucket = config.getInt("curation.maxBucket", 10000)
-    // one root, three tables, one atomic promotion per batch
+    val foldEvery = config.getInt("curation.foldEvery", 8)
     val stateRoot = s"$stateDir/corpus_state"
+    val deltaRoot = s"$stateDir/corpus_deltas"
 
-    val allFps = StateSwap.readTableOrElse(spark, stateRoot, "fps",
-      spark.range(0).select(col("id").cast("string").as("fp"), col("id").as("doc_id")))
-    val lastApplied = allFps.filter(col("fp") === BatchMarker)
-      .select(col("doc_id")).collect().headOption.map(_.getLong(0))
-    if (batchId >= 0 && lastApplied.exists(_ >= batchId)) return
-    val stateFps = allFps.filter(col("fp") =!= BatchMarker)
-    val stateBands = StateSwap.readTableOrElse(spark, stateRoot, "bands",
-      spark.range(0).select(col("id").cast("int").as("band"),
-        col("id").cast("string").as("sig"), col("id").as("doc_id")))
+    val state = readCorpusState(spark, stateDir)
+    if (batchId >= 0 &&
+      (batchId <= state.appliedThrough || state.liveDeltas.contains(batchId))) return
+    val stateFps = state.fps
+    val stateBands = state.bands
 
     // 1. quality gate — row-local, no shuffle
     val toks = tokens(col("text"))
@@ -130,9 +234,7 @@ object CurateStreamApp {
     // set is config-bounded tiny; the remaining lookup is a semi join
     // whose small side is the batch (broadcast), so the state is
     // scanned, never shuffled.
-    val stateSizes = StateSwap.readTableOrElse(spark, stateRoot, "bucket_sizes",
-      spark.range(0).select(col("id").cast("int").as("band"),
-        col("id").cast("string").as("sig"), col("id").as("n")))
+    val stateSizes = state.sizes
     val oversized = stateSizes.filter(col("n") > maxBucket).select(col("band"), col("sig"))
     val batchBands = Dedup.lshBandsLocal(batchUnique)
     val corpusHit = batchBands
@@ -163,25 +265,38 @@ object CurateStreamApp {
         .parquet(s"$outDir/curated/batch=$batchId")
     else survivors.drop("fp").write.mode(SaveMode.Append).parquet(s"$outDir/curated")
 
-    // state merge + ONE atomic swap of the whole root; the marker travels
-    // with the fp table and is therefore in sync with all three tables
-    val newFps = stateFps.unionByName(survivors.select(col("fp"), col("doc_id")))
-    val withMarker =
-      if (batchId < 0) newFps
-      else newFps.unionByName(spark.range(1)
-        .select(lit(BatchMarker).as("fp"), lit(batchId).as("doc_id")))
-    // bucket sizes advance by the batch's per-bucket counts only (an
-    // aggregation of the SURVIVORS' bands, not a rescan of the state)
+    // state advance: the batch's survivors only
     val survivorBands = Dedup.lshBandsLocal(survivors.select(col("doc_id"), col("text")))
-      .localCheckpoint(true) // consumed by two staged writes below
-    val newBands = stateBands.unionByName(survivorBands)
-    val batchSizes = survivorBands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("add"))
-    val newSizes = stateSizes
-      .join(batchSizes, Seq("band", "sig"), "full_outer")
-      .select(col("band"), col("sig"),
-        (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
-    StateSwap.swapAll(stateRoot, Seq(
-      "fps" -> withMarker, "bands" -> newBands, "bucket_sizes" -> newSizes))
+      .localCheckpoint(true) // consumed by two writes below
+    if (batchId >= 0) {
+      // O(batch) commit: one immutable delta directory, one atomic
+      // rename — per-batch cost is independent of corpus size, unlike a
+      // full-state swap, which at 100 TB would rewrite the entire index
+      // every 10-second trigger. The base rewrite happens once per
+      // `foldEvery` batches instead.
+      writeDelta(spark, deltaRoot, batchId,
+        survivors.select(col("fp"), col("doc_id")), survivorBands)
+      if (state.liveDeltas.size + 1 >= foldEvery) foldDeltas(spark, stateDir)
+    } else {
+      // direct invocation: compact any live deltas first (so the base IS
+      // the whole state), then fold the advance into it via one atomic
+      // multi-table swap (the marker, if any, is preserved)
+      if (state.liveDeltas.nonEmpty) foldDeltas(spark, stateDir)
+      val base = readCorpusState(spark, stateDir)
+      val newFps = base.fps.unionByName(survivors.select(col("fp"), col("doc_id")))
+      val withMarker =
+        if (base.appliedThrough < 0) newFps
+        else newFps.unionByName(spark.range(1)
+          .select(lit(BatchMarker).as("fp"), lit(base.appliedThrough).as("doc_id")))
+      val newBands = base.bands.unionByName(survivorBands)
+      val batchSizes = survivorBands.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("add"))
+      val newSizes = base.sizes
+        .join(batchSizes, Seq("band", "sig"), "full_outer")
+        .select(col("band"), col("sig"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
+      StateSwap.swapAll(stateRoot, Seq(
+        "fps" -> withMarker, "bands" -> newBands, "bucket_sizes" -> newSizes))
+    }
   }
 }

@@ -58,27 +58,48 @@ class CurateStreamAppSpec extends AnyFunSuite {
     val out1 = spark.read.parquet(s"$outDir/curated")
     assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
 
-    // state advanced: fingerprints for 1, 2, 13 (+ marker row)
-    val fps = spark.read.parquet(s"$stateDir/corpus_state/fps")
-    assert(fps.filter(col("fp") =!= CurateStreamApp.BatchMarker).count() == 3)
+    // state advanced: fingerprints for 1, 2, 13, committed as immutable
+    // per-batch delta directories (base stays empty until a fold)
+    def state() = CurateStreamApp.readCorpusState(spark, stateDir)
+    assert(state().fps.count() == 3)
+    assert(state().liveDeltas == Seq(0L, 1L))
 
     // replay of batch 1 must not duplicate output rows or state
     CurateStreamApp.processBatch(spark, b1, stateDir, outDir, batchId = 1L)
     assert(spark.read.parquet(s"$outDir/curated").count() == 3)
-    assert(spark.read.parquet(s"$stateDir/corpus_state/fps")
-      .filter(col("fp") =!= CurateStreamApp.BatchMarker).count() == 3)
+    assert(state().fps.count() == 3)
 
     // the next batch still applies: doc 13's text is now corpus state
     CurateStreamApp.processBatch(spark, docs(20L -> fresh), stateDir, outDir, batchId = 2L)
     assert(spark.read.parquet(s"$outDir/curated").count() == 3)
 
-    // the incrementally-maintained bucket-size table mirrors the band
+    // the incrementally-maintained bucket-size view mirrors the band
     // index exactly (it is the megabucket guard's source of truth)
-    val bands = spark.read.parquet(s"$stateDir/corpus_state/bands")
-      .groupBy(col("band"), col("sig")).count()
-      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val sizes = spark.read.parquet(s"$stateDir/corpus_state/bucket_sizes")
-      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(sizes == bands, s"sizes drifted: ${sizes.size} vs ${bands.size} buckets")
+    def sizesMirrorBands(): Unit = {
+      val s = state()
+      val bands = s.bands.groupBy(col("band"), col("sig")).count()
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val sizes = s.sizes
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(sizes == bands, s"sizes drifted: ${sizes.size} vs ${bands.size} buckets")
+    }
+    sizesMirrorBands()
+
+    // folding compacts the delta log into the base without changing the
+    // logical state, reaps the delta dirs, and keeps replays no-ops
+    val fpsBefore = state().fps.collect().map(_.toSeq).toSet
+    CurateStreamApp.foldDeltas(spark, stateDir)
+    val folded = state()
+    assert(folded.liveDeltas.isEmpty, s"deltas not reaped: ${folded.liveDeltas}")
+    assert(folded.appliedThrough == 2L)
+    assert(folded.fps.collect().map(_.toSeq).toSet == fpsBefore)
+    assert(!new java.io.File(s"$stateDir/corpus_deltas/batch=1").exists())
+    sizesMirrorBands()
+    CurateStreamApp.processBatch(spark, b1, stateDir, outDir, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+    // and the stream continues on top of the folded base
+    CurateStreamApp.processBatch(spark, docs(30L -> (fresh + " and beyond")),
+      stateDir, outDir, batchId = 3L)
+    assert(state().liveDeltas == Seq(3L))
   }
 }

@@ -114,10 +114,12 @@ object SoakR6 {
       val t0 = System.nanoTime()
       q.processAllAvailable()
       val dt = (System.nanoTime() - t0) / 1e9
-      val (sf, sb) = dirStats(s"$cState/corpus_state")
+      val (bf, bb) = dirStats(s"$cState/corpus_state")
+      val (df2, db) = dirStats(s"$cState/corpus_deltas")
+      val (sf, sb) = (bf + df2, bb + db)
       val curated = spark.read.option("basePath", s"$cOut/curated")
         .parquet(s"$cOut/curated").count()
-      println(f"[soak] curate batch $b: $dt%.1f s, corpus_state $sf files ${sb / 1048576}%d MiB, $curated curated total")
+      println(f"[soak] curate batch $b: $dt%.1f s, state $sf files ${sb / 1048576}%d MiB, $curated curated total")
       (b, dt, sf, sb, curated)
     }
     q.stop()

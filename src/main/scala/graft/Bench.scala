@@ -18,7 +18,8 @@ object Bench {
     // candidates: a smaller sibling of sfDir, else small fixtures under
     // SPARK_GRAFT_WARM_ROOT (for custom sfDirs outside the fixture tree —
     // no hardcoded host paths, the env var is the only escape hatch)
-    val warmDir = (Seq("sf0.001", "sf0.01").map(s => sfDir.replaceAll("sf[0-9.]+$", s)) ++
+    val warmDir = (Seq("sf0.001", "sf0.01").map(s => sfDir.replaceAll("sf[0-9.]+$", s))
+        .filter(_ != sfDir) ++ // a no-op rewrite is sfDir itself: NOT a small fixture
         sys.env.get("SPARK_GRAFT_WARM_ROOT").toSeq
           .flatMap(r => Seq(s"$r/sf0.001", s"$r/sf0.01")))
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)

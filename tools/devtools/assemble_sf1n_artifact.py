@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_sf1n_r06.json: the natural-sf1 bench run vs the r5
+sf0.1 per-query baseline (min-of-2 series on both sides), flagging any
+query above the 10x linear bound."""
+import json, sys
+
+bench_out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf1n.out"
+out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1n_r06.json"
+
+with open(bench_out) as f:
+    first_line = f.readline()
+run = json.loads(first_line)
+r5 = json.load(open("BENCH_r05.json"))
+base = r5.get("queries", {})
+
+sf1n = run["queries"]
+ratios = {}
+over10 = {}
+for q, t in sf1n.items():
+    b = base.get(q)
+    if b and b > 0.05:  # sub-50ms baselines are pure jitter
+        ratios[q] = round(t / b, 2)
+        if t / b > 10.0:
+            over10[q] = {"sf1n_sec": t, "sf0_1_sec": b, "ratio": round(t / b, 1)}
+
+med = sorted(ratios.values())[len(ratios) // 2] if ratios else None
+artifact = {
+    "round": 6,
+    "note": ("natural-distribution 10x fixture (/tmp/sf1n, fresh draws via "
+             "tools/devtools/GenSf1Natural.scala: ~4.8% near-dup + ~0.2% exact-clone "
+             "docs, matching sf0.1's rates) replacing r5's pathological 10-clone "
+             "replica. sf0.1 comparison series: BENCH_r05.json (min-of-2 on both "
+             "sides)."),
+    "sf1n_total_sec": round(run["value"], 1),
+    "sf1n_first_pass_total_sec": round(run.get("first_pass_total", 0), 1),
+    "sf1n_n_queries": len(sf1n),
+    "sf0_1_r5_total_sec": round(r5.get("value", 0), 1),
+    "median_per_query_ratio_10x_data": med,
+    "n_compared": len(ratios),
+    "queries_over_10x": over10,
+    "sf1n_queries": {k: round(v, 3) for k, v in sorted(sf1n.items())},
+    "sf1n_queries_first_pass": {k: round(v, 3) for k, v in
+                                sorted(run.get("queries_first", {}).items())},
+}
+with open(out_path, "w") as f:
+    json.dump(artifact, f, indent=1)
+print(f"total {artifact['sf1n_total_sec']}s over {artifact['sf1n_n_queries']} queries; "
+      f"median 10x-data ratio {med}; {len(over10)} queries over 10x bound")
+for q, d in sorted(over10.items(), key=lambda kv: -kv[1]["ratio"]):
+    print(f"  OVER10x {q}: {d['sf1n_sec']:.1f}s vs {d['sf0_1_sec']:.2f}s ({d['ratio']}x)")

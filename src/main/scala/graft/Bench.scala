@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 object Bench {
+  /** Cumulative task-level shuffle/spill counters. Registered once; the
+    * per-query delta of these totals attributes shuffle volume to the
+    * query that ran between two snapshots (queries run strictly
+    * sequentially here, and each snapshot is taken after the
+    * post-query sweep, whose own jobs — clearCache + a listTables
+    * collect — move no shuffle bytes, and which leaves the listener bus
+    * ample time to drain).
+    */
+  private final class ShuffleMeter extends SparkListener {
+    val read = new AtomicLong; val write = new AtomicLong; val spill = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (read.get, write.get, spill.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +76,8 @@ object Bench {
         .foreach(t => spark.catalog.dropTempView(t.name))
       if (gc) System.gc() // let the ContextCleaner reap dead broadcasts/shuffles
     } catch { case _: Throwable => }
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  gc: Boolean = true): Double = {
       val t0 = System.nanoTime()
@@ -66,7 +91,19 @@ object Bench {
       sweep(gc)
       dt
     }
-    val firstPass = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(fn) }
+    // per-query shuffle/spill attribution: delta of the cumulative meter
+    // around each first-pass run (the retime pass reuses the first-pass
+    // numbers — shuffle volume is plan-determined, not run-jittered)
+    var shuffleMb = Map.empty[String, Double]
+    var spillMb = Map.empty[String, Double]
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+      val (r0, w0, s0) = meter.snapshot
+      val dt = timeOnce(fn)
+      val (r1, w1, s1) = meter.snapshot
+      shuffleMb += name -> ((r1 - r0) + (w1 - w0)) / 1048576.0
+      spillMb += name -> (s1 - s0) / 1048576.0
+      name -> dt
+    }
     // Fast queries are dominated by stage-scheduling + GC jitter in a
     // 150+-query single-JVM run (round-over-round "regressions" in
     // sub-second queries turned out to be exactly this), so re-time them
@@ -88,8 +125,17 @@ object Bench {
     // headline), "queries_first" = single-pass (r1–r4-comparable) — so
     // cross-round ratios never mix timing methodologies again
     val firstTotal = if (firstPass.nonEmpty) firstPass.values.sum else 0.0
+    // shuffle discipline, quantified: total MB moved per query (read+write,
+    // so one shuffled MB counts twice), plus any query that spilled. At
+    // bench SF nothing should spill; at 100 TB the same ranking predicts
+    // which stages dominate the network.
+    val totalShuffleMb = shuffleMb.values.sum
+    val totalSpillMb = spillMb.values.sum
+    val spilled = spillMb.filter(_._2 > 0.5)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""first_pass_total":$firstTotal,"queries_first":${fmt(firstPass)},"sf":"$sfDir"}""")
+      s""""first_pass_total":$firstTotal,"queries_first":${fmt(firstPass)},""" +
+      f""""shuffle_mb_total":$totalShuffleMb%.1f,"spill_mb_total":$totalSpillMb%.1f,""" +
+      s""""shuffle_mb":${fmt(shuffleMb)},"spilled_queries":${fmt(spilled)},"sf":"$sfDir"}""")
     // The full line above is ~5 KB — longer than the harness's 2000-char
     // stdout tail, so its leading total was unparseable in r2/r3. Repeat
     // the headline numbers (plus the 10 slowest queries) as a compact
@@ -98,7 +144,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       f""""mean_sec_per_query":${if (results.isEmpty) 0.0 else total / results.size}%.4f,""" +
-      f""""first_pass_total":$firstTotal%.2f,"slowest":$slow,"sf":"$sfDir"}""")
+      f""""first_pass_total":$firstTotal%.2f,"shuffle_mb_total":$totalShuffleMb%.1f,""" +
+      f""""spill_mb_total":$totalSpillMb%.1f,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

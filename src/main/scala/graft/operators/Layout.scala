@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — multi-dimensional data layout for
+  * scan pruning, the missing piece [[DataSkipping]]'s zone maps assume: a
+  * zone map only skips IO when rows with nearby key values actually live
+  * in the same buckets. Sorting clusters ONE dimension; interleaving the
+  * bits of several dimensions' bucket ids clusters ALL of them at once,
+  * so a box predicate over any subset of the dims intersects O(few)
+  * cells instead of all of them.
+  *
+  * At 100 TB this is a table-maintenance job: [[zCluster]] the fact
+  * table once (range-shuffle on the z-value, sort within partitions,
+  * write), keep the [[DataSkipping.zoneMap]] of the layout, and every
+  * multi-dim range scan afterwards prunes file-granular. All arithmetic
+  * below is integer-exact builtin expressions (shift/and/or on longs) —
+  * whole-stage-codegen'd, no UDFs.
+  *
+  * The reference has no layout optimizer (its scans are full HBase
+  * table sweeps, e.g. `HogHBaseRDD.scala:228`); this generalizes its
+  * time-keyed row-prefix scheme to arbitrary dimension sets.
+  */
+object Layout {
+
+  /** Exact integer floor-division for non-negative operands, built from
+    * exact ops only: (a - a mod b) is an exact multiple of b, and IEEE
+    * division of an exact multiple is exact (operands stay < 2^53).
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Scale a value into [0, 2^bits) using precomputed min/max columns —
+    * integer-exact, clamps the degenerate single-value range to bucket 0.
+    */
+  def minMaxBucket(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val top = (1L << bits) - 1
+    idiv((c - mn).cast("long") * top, greatest((mx - mn).cast("long"), lit(1L)))
+  }
+
+  /** Morton z-value: interleave the low `bits` bits of each dimension's
+    * bucket id (dim d's bit i lands at position i*ndims + d). Pure
+    * shift/mask/or over longs; ndims * bits must stay ≤ 63.
+    */
+  def zvalue(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"ndims(${dims.size}) * bits($bits) must be in (0, 63]")
+    val n = dims.size
+    dims.zipWithIndex.flatMap { case (c, d) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + d)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The z-value of `dimCols` scaled into [0, 2^bits) per dim from the
+    * single-row stats frame `stats` carrying min_<dim>/max_<dim> columns
+    * (broadcast-joined: the build side is ONE row by construction).
+    */
+  def withZValue(df: DataFrame, dimCols: Seq[String], stats: DataFrame,
+                 bits: Int, out: String = "zval"): DataFrame =
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, zvalue(
+        dimCols.map(d => minMaxBucket(col(d), col(s"min_$d"), col(s"max_$d"), bits)),
+        bits))
+      .drop(dimCols.flatMap(d => Seq(s"min_$d", s"max_$d")): _*)
+
+  /** One-row min/max stats frame for the given dims (min_<dim>/max_<dim>). */
+  def dimStats(df: DataFrame, dimCols: Seq[String]): DataFrame = {
+    val stats = dimCols.flatMap(d =>
+      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+    df.agg(stats.head, stats.tail: _*)
+  }
+
+  /** Re-layout `df` along the Morton curve of `dimCols`: range-shuffle on
+    * the z-value into `nParts` partitions, sort within each, keep the
+    * z-value column for zone-map bookkeeping. Write the result with any
+    * sink; pair with [[DataSkipping.zoneMap]] over `spark_partition_id`
+    * (or the file id after the write) to get the pruning stats table.
+    */
+  def zCluster(df: DataFrame, dimCols: Seq[String], bits: Int = 8,
+               nParts: Int = 0): DataFrame = {
+    val z = withZValue(df, dimCols, dimStats(df, dimCols), bits)
+    val parts = if (nParts > 0) z.repartitionByRange(nParts, col("zval"))
+                else z.repartitionByRange(col("zval"))
+    parts.sortWithinPartitions(col("zval"))
+  }
+
+  /** Per-cell zone map of the z-layout: coarse cell = zval >> cellShift,
+    * stats = row count + min/max of every dim. On a well-interleaved
+    * layout each cell's per-dim envelope is narrow — this is the frame a
+    * box predicate intersects to decide which cells to read.
+    */
+  def zCells(df: DataFrame, dimCols: Seq[String], bits: Int,
+             cellShift: Int): DataFrame = {
+    val z = withZValue(df, dimCols, dimStats(df, dimCols), bits)
+    DataSkipping.zoneMap(z, shiftright(col("zval"), cellShift), dimCols)
+  }
+}

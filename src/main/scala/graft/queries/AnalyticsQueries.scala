@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.sources.Catalog
-import graft.operators.{DataSkipping, EventAnalytics, GraphOps, Integrity, Robust, RuntimeFilter, Scd, Skew}
+import graft.operators.{DataSkipping, EventAnalytics, GraphOps, Integrity, Layout, Robust, RuntimeFilter, Scd, Skew}
 
 /** Beyond-reference event-analytics and join-acceleration operators:
   * ordered funnels, cohort retention, robust (median/MAD) outliers, and
@@ -178,6 +178,20 @@ object AnalyticsQueries {
           Catalog.lineitem(s, dir).withColumn("sd", col("l_shipdate").cast("date")),
           expr("l_orderkey DIV 4096"), Seq("sd"))
         .orderBy(col("bucket"))
+    }),
+
+    // C7: Z-order layout cells — Morton-interleave (l_partkey, l_suppkey)
+    // into a 16-bit z-value and zone-map the coarse cells. Each cell's
+    // per-dim min/max envelope is narrow BY CONSTRUCTION of the curve,
+    // which is exactly what makes a 2-dim box predicate prunable at
+    // 100 TB (LayoutSpec measures the pruning rate; zCluster writes the
+    // physical layout). Integer-exact bit arithmetic, codegen'd.
+    "c7_zorder_cells" -> ((s, dir) => {
+      Layout.zCells(
+          Catalog.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+          Seq("l_partkey", "l_suppkey"), bits = 8, cellShift = 10)
+        .withColumnRenamed("bucket", "cell")
+        .orderBy(col("cell"))
     }),
 
     // A22: single-pass binned quantile estimate (width-1 value bins,
@@ -554,6 +568,30 @@ object AnalyticsQueries {
         |  MIN(CAST(l_shipdate AS DATE)) AS min_sd,
         |  MAX(CAST(l_shipdate AS DATE)) AS max_sd
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // same bit-interleave as Layout.zvalue (dim d bit i → position 2i+d),
+    // expressed as plain integer arithmetic; the terms are generated so
+    // the SQL and the Scala operator can't drift on the bit layout
+    "c7_zorder_cells" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((bp >> $i) & 1) << ${2 * i})", s"(((bs >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""WITH s AS (
+         |  SELECT MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp,
+         |         MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ((l_partkey - mnp) * 255) // GREATEST(mxp - mnp, 1) AS bp,
+         |    ((l_suppkey - mns) * 255) // GREATEST(mxs - mns, 1) AS bs
+         |  FROM lineitem, s),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey, ($terms) AS zval FROM b)
+         |SELECT (zval >> 10) AS cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey,
+         |  MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey
+         |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
+    },
 
     "a22_binned_quantile" ->
       """WITH b AS (

@@ -285,6 +285,40 @@ object RelationalQueries {
               |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // Q21 (TPC-H Q21 shape): the hardest decorrelation pattern in the
+    // TPC-H suite — one correlated EXISTS and one correlated NOT EXISTS
+    // over the SAME fact table, both correlated on l_orderkey with an
+    // anti-condition on l_suppkey. "Suppliers who were the sole returner
+    // on a finished multi-supplier order" (the fixture has no
+    // receipt/commit dates, so l_returnflag='R' stands in for Q21's
+    // late-delivery predicate; the plan shape — two decorrelated
+    // semi/anti joins against lineitem — is identical). Catalyst
+    // rewrites both subqueries into LeftSemi/LeftAnti hash joins on
+    // l_orderkey; nothing is executed per-row.
+    "q21_sole_fault" -> ((s, dir) => {
+      Catalog.supplier(s, dir).createOrReplaceTempView("graft_q21_supplier")
+      Catalog.orders(s, dir).createOrReplaceTempView("graft_q21_orders")
+      Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q21_lineitem")
+      s.sql("""SELECT s_name, COUNT(*) AS numwait
+              |FROM graft_q21_supplier, graft_q21_lineitem l1, graft_q21_orders
+              |WHERE s_suppkey = l1.l_suppkey
+              |  AND o_orderkey = l1.l_orderkey
+              |  AND o_orderstatus = 'F'
+              |  AND l1.l_returnflag = 'R'
+              |  AND EXISTS (
+              |    SELECT * FROM graft_q21_lineitem l2
+              |    WHERE l2.l_orderkey = l1.l_orderkey
+              |      AND l2.l_suppkey <> l1.l_suppkey)
+              |  AND NOT EXISTS (
+              |    SELECT * FROM graft_q21_lineitem l3
+              |    WHERE l3.l_orderkey = l1.l_orderkey
+              |      AND l3.l_suppkey <> l1.l_suppkey
+              |      AND l3.l_returnflag = 'R')
+              |GROUP BY s_name
+              |ORDER BY numwait DESC, s_name
+              |LIMIT 20""".stripMargin)
+    }),
+
     // Q3 (TPC-H Q5 shape): 5-table star join — revenue by supplier nation
     // where the customer is in the SAME nation (the local-supplier
     // condition forces the c_nationkey = s_nationkey equi-edge through
@@ -983,6 +1017,26 @@ object RelationalQueries {
         |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q21_sole_fault" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT * FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT * FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -102,8 +102,14 @@ object StreamingQueries {
       val corpusBands = graft.operators.Dedup.lshBands(
         graft.sources.Catalog.documents(s, dir)).cache()
       val stream = StreamingJobs.documentsStream(s, dir)
-      StreamingJobs.runToTable(s,
-          StreamingJobs.streamNearDupCandidates(stream, corpusBands), OutputMode.Append)
+      val drained = StreamingJobs.runToTable(s,
+        StreamingJobs.streamNearDupCandidates(stream, corpusBands), OutputMode.Append)
+      // runToTable has drained the stream, so every micro-batch's join
+      // against the band index has already executed — release the cache
+      // here instead of letting it outlive the query invocation (the
+      // batch-land canonicalization below reads only the memory sink)
+      corpusBands.unpersist()
+      drained
         .select(least(col("doc_id"), col("match_id")).as("doc1"),
           greatest(col("doc_id"), col("match_id")).as("doc2"))
         .distinct()

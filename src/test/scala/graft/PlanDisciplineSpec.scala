@@ -16,8 +16,8 @@ class PlanDisciplineSpec extends AnyFunSuite {
     * broadcast (non-equi or scalar-stats joins that cannot be hash
     * joins, with a provably bounded build side):
     *  - a9_znorm, h4_kl_divergence, t12_bm25, t13_lm_score,
-    *    t22_tfidf_terms: crossJoin of a ONE-ROW global-stats frame onto
-    *    the fact side;
+    *    t22_tfidf_terms, c7_zorder_cells: crossJoin of a ONE-ROW
+    *    global-stats frame onto the fact side;
     *  - j1_prefix_semijoin: startsWith against the fixed myNets prefix
     *    list (a handful of strings);
     *  - j8_longest_prefix: dictionary-prefix match, broadcast side is the
@@ -31,7 +31,7 @@ class PlanDisciplineSpec extends AnyFunSuite {
     */
   private val allowedBnlj = Set(
     "a9_znorm", "h4_kl_divergence", "t12_bm25", "t13_lm_score",
-    "t22_tfidf_terms",
+    "t22_tfidf_terms", "c7_zorder_cells",
     "j1_prefix_semijoin", "j8_longest_prefix",
     "v1_knn_brute", "v4_ivf_topk", "v10_ivf_persisted", "v5_int8_knn",
     "v9_coarse_rerank")

@@ -42,6 +42,22 @@ artifact = {
     "sf1n_queries_first_pass": {k: round(v, 3) for k, v in
                                 sorted(run.get("queries_first", {}).items())},
 }
+if "shuffle_mb_total" in run:
+    artifact["sf1n_shuffle_mb_total"] = round(run["shuffle_mb_total"], 1)
+    artifact["sf1n_spill_mb_total"] = round(run.get("spill_mb_total", 0), 1)
+    artifact["sf1n_shuffle_mb_top10"] = dict(sorted(
+        run.get("shuffle_mb", {}).items(), key=lambda kv: -kv[1])[:10])
+
+# strategy-probe evidence: the adaptive Jaccard-verify chooser logs its
+# decision to stderr; on a natural-clone-rate corpus it must pick the
+# direct (non-collapse) path — capture the observed lines verbatim
+err_path = bench_out.rsplit(".", 1)[0] + ".err"
+try:
+    with open(err_path) as f:
+        probes = [ln.strip() for ln in f if "[dedup] ngramJaccardPairs" in ln]
+    artifact["dedup_strategy_probe"] = probes
+except OSError:
+    pass
 with open(out_path, "w") as f:
     json.dump(artifact, f, indent=1)
 print(f"total {artifact['sf1n_total_sec']}s over {artifact['sf1n_n_queries']} queries; "

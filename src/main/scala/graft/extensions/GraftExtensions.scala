@@ -117,6 +117,32 @@ object GraftFunctions {
         }
         graft.expressions.CountInSet(args.head, words)
       })),
+    // graft_zvalue(x, y, bits): 2-dim Morton interleave of the low `bits`
+    // bits of two bucket ids — the same bit layout as Layout.zvalue, so a
+    // SQL user clusters/prunes identically to the Scala layout jobs. Pure
+    // shift/mask/or nodes, fully codegen'd; `bits` must be a foldable
+    // literal (it fixes the expression tree's size).
+    ("graft_zvalue",
+      new ExpressionInfo("graft", "graft_zvalue"),
+      arity("graft_zvalue", 3)(args => {
+        val bitsArg = args(2)
+        if (!bitsArg.foldable) throw new IllegalArgumentException(
+          "graft_zvalue expects a foldable integer literal as its third argument")
+        val bits = bitsArg.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_zvalue bits must be an integer literal, got $other")
+        }
+        if (bits < 1 || bits > 31) throw new IllegalArgumentException(
+          s"graft_zvalue bits must be in [1, 31], got $bits")
+        Seq(Cast(args(0), LongType), Cast(args(1), LongType)).zipWithIndex
+          .flatMap { case (c, d) =>
+            (0 until bits).map(i => ShiftLeft(
+              BitwiseAnd(ShiftRight(c, Literal(i)), Literal(1L)),
+              Literal(i * 2 + d)): Expression)
+          }.reduce(BitwiseOr)
+      })),
     // graft_minhash_sig(toks): the corpus-standard 12-permutation MinHash
     // signature (array<long>) from a token array — same constants as
     // Dedup.lshBands, so SQL users band/bucket identically to the Scala

@@ -542,6 +542,79 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Sorted-neighborhood SimHash candidates (the Manku/Das/Sarma
+    * near-duplicate index shape, WWW'07): instead of banding the
+    * signature space into buckets and self-joining (quadratic per
+    * bucket, so a hot bucket needs a cap — [[simhashCandidatePairs]]'s
+    * `maxBucket` guard silently bounds recall on dense corpora), sort
+    * the corpus by several NIBBLE-ROTATED views of the signature and
+    * pair each doc with its `window` successors in each sort order. Two
+    * signatures within a few bits of each other agree on their high
+    * nibbles in whichever rotation pushes the differing nibbles to the
+    * bottom, so they sort near each other there.
+    *
+    * Cost is O(rotations · n log n) shuffle-sort + O(rotations · window
+    * · n) exact Hamming checks — NO quadratic stage, no caps, no
+    * degenerate-key risk (signature bytes are hash-uniform), which makes
+    * this the 100 TB candidate generator. Each rotation's sort is
+    * partitioned by the key's top `blockBits` bits (deterministic
+    * blocks, so results are engine-reproducible; a pair straddling a
+    * block boundary in one rotation is interior in another — raise
+    * `blockBits` for cluster-scale parallelism).
+    *
+    * Emits canonical (doc1 < doc2) pairs with exact Hamming ≤
+    * `maxHamming`. Byte-identical clones have identical keys in every
+    * rotation and adjacent (doc_id-ordered) sort positions, so
+    * hamming-0 chains always surface without a dedicated exact pass.
+    */
+  def simhashSortedNeighborPairs(df: DataFrame, maxHamming: Int,
+      window: Int = 6, blockBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockBits >= 1 && blockBits <= 16, s"blockBits=$blockBits")
+    // materialize the signature table ONCE: every rotation branch
+    // re-shuffles it on a different key, so without the checkpoint the
+    // tokenize+md5+vote aggregation would run 8x (the d4 pattern —
+    // executor-local blocks, freed by the ContextCleaner when the
+    // result frame is dropped). O(n) rows of (doc_id, sh).
+    val sh = simhashOf(df, "doc_id", "text").localCheckpoint(true)
+    val rotated = (0 until 8).map { t =>
+      // nibble-gather permutation of the 32-bit signature: output nibble
+      // j takes input nibble (j + t) mod 8; non-negative by
+      // construction. Nibble (not byte) granularity: a pair differing in
+      // k bits dirties ≤ k nibbles, and some rotation pushes them low,
+      // keeping the pair's key distance — and hence the number of
+      // interposing docs in the sort — small.
+      val key = (0 until 8).map { j =>
+        shiftleft(
+          shiftright(col("sh"), 4 * ((j + t) % 8)).bitwiseAND(lit(15L)),
+          4 * j)
+      }.reduce(_ bitwiseOR _)
+      val keyed = sh.select(col("doc_id"), col("sh"), key.as("k"))
+        .withColumn("blk", shiftright(col("k"), 32 - blockBits))
+      val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
+      // all `window` leads ride ONE window pass, unpivoted by a single
+      // explode in a follow-up projection (per-lead union branches would
+      // re-run the WindowExec once per branch; a generator can't host
+      // window expressions directly)
+      val leads = keyed.select(
+        col("doc_id") +: col("sh") +:
+          (1 to window).flatMap(i => Seq(
+            lead(col("doc_id"), i).over(w).as(s"d$i"),
+            lead(col("sh"), i).over(w).as(s"s$i"))): _*)
+      leads.select(col("doc_id").as("da"), col("sh").as("sa"),
+          explode(array((1 to window).map(i =>
+            struct(col(s"d$i").as("db"), col(s"s$i").as("sb"))): _*)).as("p"))
+        .select(col("da"), col("sa"), col("p.db").as("db"), col("p.sb").as("sb"))
+        .filter(col("db").isNotNull)
+    }.reduce(_ unionByName _)
+    rotated
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"),
+        hammingDistance(col("sa"), col("sb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Blocked edit-distance record linkage: candidate pairs share a
     * blocking key (the classic entity-resolution move — all-pairs
     * Levenshtein is O(n²·len²) and never runs at scale), then the exact

@@ -26,6 +26,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == java.lang.Long.bitCount(12345L ^ 54321L))
   }
 
+  test("graft_zvalue SQL form matches Layout.zvalue and the scalar interleave") {
+    GraftFunctions.register(spark)
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val pairs = Seq((0L, 0L), (5L, 9L), (15L, 15L), (3L, 12L))
+    val rows = spark.sql(
+      "SELECT graft_zvalue(a, b, 4) AS z FROM VALUES (0, 0), (5, 9), (15, 15), (3, 12) AS t(a, b)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == pairs.map { case (a, b) => morton(a, b, 4) })
+    // column form agrees with the SQL form
+    import spark.implicits._
+    val viaColumn = Seq((5L, 9L)).toDF("a", "b")
+      .select(graft.operators.Layout.zvalue(Seq(col("a"), col("b")), 4))
+      .head().getLong(0)
+    assert(viaColumn == morton(5, 9, 4))
+    // non-literal bits arg is rejected at analysis time
+    intercept[Exception] {
+      spark.sql("SELECT graft_zvalue(a, a, a) FROM VALUES (1) AS t(a)").collect()
+    }
+  }
+
   test("graft_net24 truncates to the /24 network") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT graft_net24('10.1.2.3')").head().getString(0) == "10.1.2")

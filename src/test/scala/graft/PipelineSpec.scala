@@ -48,6 +48,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.simhashCandidatePairs(clones, 4, 10).count() == 12 * 11 / 2)
   }
 
+  test("simhashSortedNeighborPairs finds planted near-dups and clone chains, no caps") {
+    val nearDup = base + " postscript"
+    val other =
+      "completely different content about spark catalyst optimizer rules and physical plans here today"
+    // 12 identical docs: the configuration that zeroes simhashCandidatePairs
+    // under its megabucket guard must still fully surface here (identical
+    // signatures sort adjacently in every rotation → doc_id chains)
+    val clones = docsDf((1L to 12L).map(i => i -> base))
+    val chainPairs = Dedup.simhashSortedNeighborPairs(clones, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chainPairs.forall(_._3 == 0L))
+    // window=4 leads per rotation: every doc pairs with its 4 successors —
+    // enough edges that connected components recover the full clone set
+    val nodes = chainPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(nodes == (1L to 12L).toSet, s"missing clone nodes: $nodes")
+    assert(chainPairs.map(p => (p._1, p._2)).toSet
+      .intersect((1L to 11L).map(i => (i, i + 1)).toSet).size == 11,
+      "consecutive clone chain must be complete")
+
+    // a planted near-dup pair and an unrelated doc
+    val docs = docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> other))
+    val got = Dedup.simhashSortedNeighborPairs(docs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+
+    // candidate quality vs the banding generator on the sf0.001 corpus,
+    // measured on TRUE near-dups (hamming <= 3 — real clone/edit pairs).
+    // The hamming-8..10 tail of d6's output is random-signature
+    // background a 16-neighbor scan rightly ignores; a <=3-bit pair has
+    // a clean byte, hence a rotation that sorts it adjacently, so the
+    // sorted neighborhood must recover nearly all of them
+    // (deterministic fixture + algorithm → fixed ratio).
+    val corpus = graft.sources.Catalog.documents(spark, "/root/testdata/sf0.001")
+    val banded = Dedup.simhashCandidatePairs(corpus, 4, 10)
+      .filter(col("hamming") <= 3)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sorted = Dedup.simhashSortedNeighborPairs(corpus, 10)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (banded.nonEmpty) {
+      val recall = banded.intersect(sorted).size.toDouble / banded.size
+      assert(recall >= 0.8, f"sorted-neighborhood recall on hamming<=3 pairs: $recall%.2f")
+    }
+  }
+
   test("simhashRepPairs: expanding rep-level pairs through clone groups reproduces d6 exactly") {
     // a clone-heavy corpus: 3 texts (two near-dup, one unrelated), with
     // clone groups of size 4, 3, and 1

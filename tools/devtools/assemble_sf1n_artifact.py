@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
-"""Assemble BENCH_sf1n_r06.json: the natural-sf1 bench run vs the r5
-sf0.1 per-query baseline (min-of-2 series on both sides), flagging any
+"""Assemble BENCH_sf1n_r06.json: the natural-sf1 bench run vs a clean
+same-code sf0.1 per-query baseline (min-of-2 series on both sides), flagging any
 query above the 10x linear bound."""
 import json, sys
 
@@ -10,8 +10,12 @@ out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1n_r06.json"
 with open(bench_out) as f:
     first_line = f.readline()
 run = json.loads(first_line)
-r5 = json.load(open("BENCH_r05.json"))
-base = r5.get("queries", {})
+# comparison base: a clean same-code sf0.1 run (per-query min-of-2 series);
+# BENCH_r05.json only preserved the compact tail line, not the query map
+base_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/bench_sf01.out"
+with open(base_path) as f:
+    base_run = json.loads(f.readline())
+base = base_run["queries"]
 
 sf1n = run["queries"]
 ratios = {}
@@ -29,12 +33,13 @@ artifact = {
     "note": ("natural-distribution 10x fixture (/tmp/sf1n, fresh draws via "
              "tools/devtools/GenSf1Natural.scala: ~4.8% near-dup + ~0.2% exact-clone "
              "docs, matching sf0.1's rates) replacing r5's pathological 10-clone "
-             "replica. sf0.1 comparison series: BENCH_r05.json (min-of-2 on both "
-             "sides)."),
+             "replica. sf0.1 comparison series: a clean same-code, same-host run "
+             "(min-of-2 on both sides)."),
+    "sf0_1_total_sec": round(base_run["value"], 1),
+    "sf0_1_n_queries": len(base),
     "sf1n_total_sec": round(run["value"], 1),
     "sf1n_first_pass_total_sec": round(run.get("first_pass_total", 0), 1),
     "sf1n_n_queries": len(sf1n),
-    "sf0_1_r5_total_sec": round(r5.get("value", 0), 1),
     "median_per_query_ratio_10x_data": med,
     "n_compared": len(ratios),
     "queries_over_10x": over10,
@@ -58,6 +63,16 @@ try:
     artifact["dedup_strategy_probe"] = probes
 except OSError:
     pass
+
+# optional end-to-end runs (CurateApp / GraftApp timed wall-clock at sf1n)
+# and the multi-round soak blob, merged verbatim if present
+for key, path in [("end_to_end", "/tmp/e2e_sf1n.json"),
+                  ("soak", "/tmp/SOAK_r06.json")]:
+    try:
+        with open(path) as f:
+            artifact[key] = json.load(f)
+    except OSError:
+        pass
 with open(out_path, "w") as f:
     json.dump(artifact, f, indent=1)
 print(f"total {artifact['sf1n_total_sec']}s over {artifact['sf1n_n_queries']} queries; "

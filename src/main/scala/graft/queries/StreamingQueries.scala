@@ -96,19 +96,22 @@ object StreamingQueries {
     // index; canonical pair + distinct applied on the materialized
     // result (batch land), where they're cheap and stateless.
     "st7_stream_neardup" -> ((s, dir) => {
-      // the static index is evaluated once and cached: every micro-batch
-      // joins against the SAME materialized bands (in production this is
-      // a persisted bucketed table, not a recomputation per trigger)
-      val corpusBands = graft.operators.Dedup.lshBands(
-        graft.sources.Catalog.documents(s, dir)).cache()
+      // the static index is a PERSISTED table, exactly the production
+      // layout CurateStreamApp maintains incrementally: guarded once at
+      // build time (megabucket cap applied before the write, so no
+      // per-trigger window over the corpus) and clustered on the join
+      // key (band, sig). Each micro-batch then pays only a parquet scan
+      // + hash join — no recompute, no session-lifetime cache.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("st7_bands_").toString + "/bands"
+      StreamingJobs.guardedBandIndex(graft.operators.Dedup.lshBands(
+          graft.sources.Catalog.documents(s, dir)))
+        .repartition(col("band"), col("sig"))
+        .write.mode("overwrite").parquet(idxDir)
+      val corpusIndex = s.read.parquet(idxDir)
       val stream = StreamingJobs.documentsStream(s, dir)
       val drained = StreamingJobs.runToTable(s,
-        StreamingJobs.streamNearDupCandidates(stream, corpusBands), OutputMode.Append)
-      // runToTable has drained the stream, so every micro-batch's join
-      // against the band index has already executed — release the cache
-      // here instead of letting it outlive the query invocation (the
-      // batch-land canonicalization below reads only the memory sink)
-      corpusBands.unpersist()
+        StreamingJobs.streamNearDupAgainstIndex(stream, corpusIndex), OutputMode.Append)
       drained
         .select(least(col("doc_id"), col("match_id")).as("doc1"),
           greatest(col("doc_id"), col("match_id")).as("doc2"))

@@ -96,17 +96,37 @@ object StreamingJobs {
     * (distinct here would force unbounded streaming state).
     */
   def streamNearDupCandidates(docsStream: DataFrame, corpusBands: DataFrame,
-      maxBucket: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val guarded = corpusBands
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("bsz") <= maxBucket)
+      maxBucket: Int = 10000): DataFrame =
+    streamNearDupAgainstIndex(docsStream, guardedBandIndex(corpusBands, maxBucket))
+
+  /** The megabucket-capped corpus band index: `(match_id, band, sig)` with
+    * degenerate buckets (> maxBucket members) dropped. Apply this ONCE at
+    * index-build time and persist the result — a stream-static join
+    * re-evaluates the static plan every trigger, so a guard left inline
+    * (as a window over the full index) would re-shuffle the whole corpus
+    * per micro-batch. CurateStreamApp goes further and maintains the
+    * bucket sizes incrementally; for a one-shot build the groupBy is the
+    * same O(index) cost paid once.
+    */
+  def guardedBandIndex(corpusBands: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    val oversized = corpusBands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucket)
+      .select(col("band"), col("sig"))
+    corpusBands
+      .join(oversized, Seq("band", "sig"), "left_anti")
       .select(col("doc_id").as("match_id"), col("band"), col("sig"))
+  }
+
+  /** Join-only half of ST7: the index must already be guarded (and, in
+    * production, read back from a persisted (band, sig)-clustered table —
+    * see `st7_stream_neardup`, which builds exactly that layout).
+    */
+  def streamNearDupAgainstIndex(docsStream: DataFrame,
+      guardedIndex: DataFrame): DataFrame =
     graft.operators.Dedup.lshBandsLocal(docsStream)
-      .join(guarded, Seq("band", "sig"))
+      .join(guardedIndex, Seq("band", "sig"))
       .filter(col("doc_id") =!= col("match_id"))
       .select(col("doc_id"), col("match_id"), col("band"))
-  }
 
   /** T3/T5: tumbling-window per-type counts. Runs identically on batch and
     * stream inputs; on a stream, pair with a watermark for state eviction.

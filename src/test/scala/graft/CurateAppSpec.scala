@@ -49,4 +49,25 @@ class CurateAppSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(report2 == Map("kept" -> report("kept")), report2.toString)
   }
+
+  test("no cached block outlives a CurateApp run") {
+    report // force the first run so outDir/curated exists
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val in3 = java.nio.file.Files.createTempDirectory("curate3_in_").toString
+    spark.read.parquet(s"$outDir/curated")
+      .write.mode("overwrite").parquet(s"$in3/documents.parquet")
+    val out3 = java.nio.file.Files.createTempDirectory("curate3_out_").toString
+    CurateApp.run(spark, in3, out3).collect()
+    // the shared pipeline stages are released synchronously by run()'s
+    // finally-thunk; the near-dup verify's localCheckpoint blocks are
+    // freed by the ContextCleaner once the frame is unreferenced — GC
+    // and give the cleaner a bounded window, then require EMPTY
+    val deadline = System.currentTimeMillis + 15000
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    while (leaked.nonEmpty && System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(250)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    }
+    assert(leaked.isEmpty, s"cached RDDs leaked past run + GC window: $leaked")
+  }
 }

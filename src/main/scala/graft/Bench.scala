@@ -47,9 +47,15 @@ object Bench {
           .flatMap(r => Seq(s"$r/sf0.001", s"$r/sf0.01")))
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
     // bounded: warmup must never eat a driver-side timeout as the query
-    // set grows — 150s covers the full surface today with headroom
+    // set grows — but a fixed cap silently stops covering the surface as
+    // queries are added (at 167 queries a 150s cap left 47 un-warmed, and
+    // a ≥2.5s query timed cold skips the retime pass, reading as a
+    // phantom regression). Scale the budget with the query count
+    // (~1.5 s/query at sf0.001 covers the slowest streaming warmups),
+    // floored at the old 150s.
     val warmStart = System.nanoTime()
-    val warmDeadline = warmStart + 150L * 1000000000L
+    val warmBudgetSec = math.max(150L, (SparkEntry.queries.size * 3L) / 2)
+    val warmDeadline = warmStart + warmBudgetSec * 1000000000L
     var warmed = 0
     SparkEntry.queries.foreach { case (_, fn) =>
       if (System.nanoTime() < warmDeadline) {

@@ -478,10 +478,58 @@ object Dedup {
       .drop("bsz")
     val a = sh.select(col("bucket"), col("doc_id").as("doc1"), col("sh").as("sh1"))
     val b = sh.select(col("bucket"), col("doc_id").as("doc2"), col("sh").as("sh2"))
-    a.join(b, Seq("bucket")).filter(col("doc1") < col("doc2"))
+    saltedBucketSelfJoin(a, b, 1 << bucketBits, maxBucket)
+      .filter(col("doc1") < col("doc2"))
       .withColumn("hamming", hammingDistance(col("sh1"), col("sh2")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc1"), col("doc2"), col("hamming"))
+  }
+
+  /** Guarded-index rows above which the self-join stops broadcasting and
+    * falls back to the salted shuffle join. The megabucket guard bounds
+    * the joinable index at nBuckets·maxBucket rows BY CONSTRUCTION, so
+    * for small band configs (d6/d12: 16 buckets × 10k cap = 160k rows,
+    * a few MB) the bound itself proves broadcastability.
+    */
+  private val BroadcastIndexRowCap = 1L << 18
+
+  /** Within-bucket self-join of the band index, with the quadratic pair
+    * enumeration spread over ALL cores instead of one task per bucket.
+    *
+    * With few band buckets (d6/d12 use bucketBits=4 → 16 buckets) a
+    * plain bucket join lands the pair blowup on 16 tasks no matter how
+    * many cores the cluster has — AQE cannot help because its skew
+    * splitter sizes INPUT partitions, and the blowup happens at the
+    * join (bounded tiny input rows → tens of millions of pairs).
+    *
+    * Small configs (nBuckets·maxBucket ≤ [[BroadcastIndexRowCap]]):
+    * broadcast the b side — the guard makes it provably bounded — and
+    * round-robin the probe side, so every core enumerates pairs for its
+    * slice of `a` with no join shuffle at all.
+    *
+    * Large configs: salt the b side into `splits` slices and replicate
+    * the a side across them. Output identical (every (a,b) pair meets
+    * in exactly one (bucket, split) cell — the one b hashes to); join
+    * parallelism multiplied by `splits` (~4 tasks per core by default).
+    */
+  private def saltedBucketSelfJoin(a: DataFrame, b: DataFrame, nBuckets: Int,
+      maxBucket: Int, splits: Int = 0): DataFrame = {
+    val spark = a.sparkSession
+    if (nBuckets.toLong * maxBucket <= BroadcastIndexRowCap)
+      a.repartition(2 * spark.sparkContext.defaultParallelism)
+        .join(broadcast(b), Seq("bucket"))
+    else {
+      val s =
+        if (splits > 0) splits
+        else math.max(1, (4 * spark.sparkContext.defaultParallelism + nBuckets - 1) / nBuckets)
+      if (s == 1) a.join(b, Seq("bucket"))
+      else {
+        val aRep = a.withColumn("split", explode(sequence(lit(0), lit(s - 1))))
+        val bSplit = b.withColumn("split",
+          pmod(xxhash64(col("doc2")), lit(s.toLong)).cast("int"))
+        aRep.join(bSplit, Seq("bucket", "split")).drop("split")
+      }
+    }
   }
 
   /** Production form of [[simhashCandidatePairs]]: near-dup pairs at the
@@ -527,7 +575,8 @@ object Dedup {
       col("sh").as("sh1"), col("n_clones").as("n1"))
     val b = repSh.select(col("bucket"), col("rep").as("doc2"),
       col("sh").as("sh2"), col("n_clones").as("n2"))
-    val cross = a.join(b, Seq("bucket")).filter(col("doc1") < col("doc2"))
+    val cross = saltedBucketSelfJoin(a, b, 1 << bucketBits, maxBucket)
+      .filter(col("doc1") < col("doc2"))
       .withColumn("hamming", hammingDistance(col("sh1"), col("sh2")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc1"), col("doc2"), col("hamming"),

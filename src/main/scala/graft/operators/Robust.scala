@@ -59,6 +59,92 @@ object Robust {
         round(max(col("mad")), 6).as("mad"))
   }
 
+  /** Exact per-group quantiles with linear interpolation, computed by
+    * distributed SELECTION rather than a per-group window sort.
+    *
+    * [[groupedQuantile]] ranks every row with a window partitioned on the
+    * group key, so its parallelism is the NUMBER OF GROUPS: with 3 groups
+    * at 100 TB, three tasks sort the universe. This form never sorts more
+    * than one histogram bin in one task:
+    *   1. per-group n/min/max — one codegen aggregate;
+    *   2. per-group `bins`-bin histogram — one map-side-combined
+    *      aggregate (bounded state: ≤ `bins` counts per group);
+    *   3. each requested order statistic is located in its bin via
+    *      cumulative counts over the OCCUPIED bins (a tiny frame), and
+    *      only those (group, bin) cells are probed and ranked — expected
+    *      occupancy n/`bins` per probed bin.
+    * The probe is rank-exact regardless of float bin placement because
+    * `floor((v−lo)/w)` is monotone in v, so (bin, v) order is v order.
+    * All-equal groups (w = 0) short-circuit to the constant. A bin
+    * dominated by one hot value still sorts that bin in one task — the
+    * honest bound is max-bin occupancy, not n/`bins`, under value skew.
+    * Nulls are ignored (quantile_cont semantics). Interpolation is the
+    * same `lo + frac·(hi−lo)` as [[groupedQuantile]], so results are
+    * bit-identical (parity-tested).
+    *
+    * Regime note: built for the FEW-GROUPS case, where the window form
+    * degenerates; the located/probe side frames it broadcasts are
+    * O(groups·|ps|) rows. With millions of groups the window form is
+    * already parallel — use that.
+    */
+  def exactGroupedQuantiles(df: DataFrame, keys: Seq[String], value: Column,
+      ps: Seq[(Double, String)], bins: Int = 65536): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (p, _) => p > 0 && p <= 1 },
+      s"need 0<p<=1 for every requested quantile; got ${ps.map(_._1)}")
+    val kc = keys.map(col)
+    val base = df.select(kc :+ value.cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val stats = base.groupBy(kc: _*).agg(
+      count(lit(1)).as("__n"), min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      .withColumn("__w", (col("__hi") - col("__lo")) / lit(bins.toDouble))
+    // one row per (group, p): fractional rank idx and its two order stats
+    val targets = stats
+      .withColumn("__p", explode(array(ps.map(p => lit(p._1)): _*)))
+      .withColumn("__idx", (col("__n") - 1) * col("__p"))
+      .withColumn("__rlo", (floor(col("__idx")) + 1).cast("long"))
+      .withColumn("__rhi", least(col("__rlo") + 1, col("__n")))
+    val flat = targets.filter(col("__w") === 0)
+      .select(kc :+ col("__p") :+ col("__lo").as("__q"): _*)
+    val live = targets.filter(col("__w") =!= 0)
+
+    val binned = base
+      .join(stats.select(kc :+ col("__lo") :+ col("__w"): _*), keys)
+      .filter(col("__w") =!= 0)
+      .withColumn("__bin", least(lit((bins - 1).toLong),
+        floor((col("__v") - col("__lo")) / col("__w")).cast("long")))
+    val counts = binned.groupBy(kc :+ col("__bin"): _*).agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(kc: _*).orderBy(col("__bin"))
+    val cum = counts
+      .withColumn("__end", sum(col("__c")).over(wg))
+      .withColumn("__start", col("__end") - col("__c") + 1)
+    val ranks = live
+      .select(kc :+ explode(array(col("__rlo"), col("__rhi"))).as("__r"): _*)
+      .distinct()
+    val located = cum.join(ranks, keys)
+      .filter(col("__r").between(col("__start"), col("__end")))
+      .select(kc :+ col("__bin") :+ col("__r") :+
+        (col("__r") - col("__start") + 1).as("__k"): _*)
+    val probed = binned
+      .join(broadcast(located.select(kc :+ col("__bin"): _*).distinct()),
+        keys :+ "__bin", "left_semi")
+      .withColumn("__bin_rn", row_number().over(
+        Window.partitionBy(kc :+ col("__bin"): _*).orderBy(col("__v"))))
+    val ordStats = probed.join(broadcast(located), keys :+ "__bin")
+      .filter(col("__bin_rn") === col("__k"))
+      .select(kc :+ col("__r") :+ col("__v").as("__ov"): _*)
+    val interp = live
+      .join(ordStats.select(kc :+ col("__r").as("__rlo") :+ col("__ov").as("__vlo"): _*),
+        keys :+ "__rlo")
+      .join(ordStats.select(kc :+ col("__r").as("__rhi") :+ col("__ov").as("__vhi"): _*),
+        keys :+ "__rhi")
+      .select(kc :+ col("__p") :+
+        (col("__vlo") + (col("__idx") - floor(col("__idx"))) *
+          (col("__vhi") - col("__vlo"))).as("__q"): _*)
+    val aggs = ps.map { case (p, name) =>
+      max(when(col("__p") === lit(p), col("__q"))).as(name) }
+    interp.unionByName(flat).groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Single-pass approximate per-group quantile via fixed-width value
     * bins — the bounded-memory alternative to `groupedQuantile`'s exact
     * window sort. Aggregation state is one count per occupied bin (≤

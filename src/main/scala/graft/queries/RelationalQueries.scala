@@ -463,33 +463,19 @@ object RelationalQueries {
     // A17 (beyond-reference): exact percentiles (sort-based aggregate
     // with linear interpolation — matches DuckDB quantile_cont at 4 dp).
     "a17_percentile" -> ((s, dir) => {
-      // exact percentiles via window rank + linear interpolation (the
-      // same lower + frac·(upper−lower) both engines define) instead of
-      // the `percentile` aggregate, whose per-partition value-counts map
-      // serializes every distinct value through the merge phase — the
-      // sort is codegen'd and the aggregate only ever sees ≤6 candidate
-      // rows per group
+      // exact percentiles with quantile_cont's lower + frac·(upper−lower)
+      // interpolation, via distributed binned SELECTION — the previous
+      // window-rank form partitioned on l_returnflag, so THREE tasks
+      // sorted the whole table regardless of cluster size (the
+      // few-groups window degeneracy; see Robust.exactGroupedQuantiles'
+      // scaladoc for the selection shape and its bounds)
       import s.implicits._
-      val v = col("l_extendedprice").cast("double")
-      val wg = Window.partitionBy($"l_returnflag")
-      val ranked = Catalog.lineitem(s, dir)
-        .select($"l_returnflag", v.as("v"))
-        .withColumn("rn", row_number().over(wg.orderBy(col("v"))))
-        .withColumn("n", count(lit(1)).over(wg))
-      def pct(p: Double): org.apache.spark.sql.Column = {
-        val rowLo = floor((col("n") - 1) * p) + 1 // per-row, inside the agg
-        val vlo = max(when(col("rn") === rowLo, col("v")))
-        val vhi = coalesce(max(when(col("rn") === rowLo + 1, col("v"))), vlo)
-        val idx = (max(col("n")) - 1) * p // group-constant fractional rank
-        round(vlo + (idx - floor(idx)) * (vhi - vlo), 4)
-      }
-      def pidx(p: Double) = {
-        val idx = (col("n") - 1) * p
-        col("rn") === floor(idx) + 1 || col("rn") === floor(idx) + 2
-      }
-      ranked.filter(pidx(0.5) || pidx(0.95) || pidx(0.99))
-        .groupBy($"l_returnflag")
-        .agg(pct(0.5).as("p50"), pct(0.95).as("p95"), pct(0.99).as("p99"))
+      graft.operators.Robust.exactGroupedQuantiles(
+          Catalog.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice"),
+          Seq("l_returnflag"), col("l_extendedprice"),
+          Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99"))
+        .select($"l_returnflag", round($"p50", 4).as("p50"),
+          round($"p95", 4).as("p95"), round($"p99", 4).as("p99"))
         .orderBy($"l_returnflag")
     }),
 

@@ -277,6 +277,35 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("exactGroupedQuantiles matches the window-rank form on random data") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(700 + seed)
+      // mixed regimes: a big spread group, a tight group, an all-equal
+      // group (w=0 short-circuit) and a singleton group
+      val rows = Seq.fill(400)(("big", rnd.nextDouble() * 1e6 - 5e5)) ++
+        Seq.fill(300)(("tight", 40.0 + rnd.nextDouble() * 1e-3)) ++
+        Seq.fill(50)(("const", 7.25)) ++ Seq(("one", 13.0))
+      val df = rnd.shuffle(rows).toDF("k", "v")
+      val ps = Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+      // small bin count forces multi-row bins through the probe path
+      val got = graft.operators.Robust
+        .exactGroupedQuantiles(df, Seq("k"), col("v"), ps, bins = 16)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val expect = ps.map { case (p, _) =>
+        p -> graft.operators.Robust.groupedQuantile(df, Seq("k"), col("v"), p, "q")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }.toMap
+      for (k <- Seq("big", "tight", "const", "one")) {
+        val (g50, g95, g99) = got(k)
+        for ((p, g) <- Seq(0.5 -> g50, 0.95 -> g95, 0.99 -> g99))
+          assert(math.abs(g - expect(p)(k)) <= math.abs(expect(p)(k)).max(1.0) * 1e-12,
+            s"seed $seed k=$k p=$p got=$g want=${expect(p)(k)}")
+      }
+    }
+  }
+
   test("rangeJoin matches a naive filter join on random intervals") {
     import spark.implicits._
     for (seed <- 1 to 3) {

@@ -673,6 +673,26 @@ object Dedup {
     *
     * Levenshtein is a Spark builtin with identical semantics in DuckDB,
     * so linkage results are oracle-checkable cross-engine.
+    *
+    * The DP domain is DISTINCT NAMES, not rows: records sharing a name
+    * inside a block are collapsed before the quadratic step (the same
+    * collapse-before-expansion move as the shingle-bucket dedup in
+    * [[exactSubstringSpans]]), distances are computed once per distinct
+    * (name, name) pair in the block, and the surviving name pairs are
+    * re-expanded to id pairs by two joins on (block, name). Real entity
+    * streams are duplicate-heavy — that is why linkage runs at all — so
+    * the n² that matters shrinks from rows² to distinct-names², while a
+    * fully-unique corpus degrades exactly to the old per-row cost. The
+    * id-pair OUTPUT is still quadratic in duplicate-group size; that is
+    * the contract, and it is produced by joins, not by DP.
+    *
+    * The name-pair stream is thinned by two result-preserving cuts
+    * before any DP runs: (1) edit distance ≥ |len(a)−len(b)|, so a pair
+    * with a length gap over `maxDist` is filtered on two precomputed
+    * ints; (2) the survivors run the THRESHOLDED
+    * `levenshtein(l, r, maxDist)` builtin, whose banded DP is
+    * O(len·maxDist) instead of O(len²) and returns −1 above the
+    * threshold (exact below it).
     */
   def blockedEditDistancePairs(df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[org.apache.spark.sql.Column], maxDist: Int,
@@ -688,12 +708,25 @@ object Dedup {
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__block"))))
       .filter(col("__bsz").between(2, maxBlock))
       .select(col("__block"), col(idCol), col(nameCol))
-    val a = blocked.select(col("__block"), col(idCol).as("id1"), col(nameCol).as("name1"))
-    val b = blocked.select(col("__block"), col(idCol).as("id2"), col(nameCol).as("name2"))
-    a.join(b, Seq("__block")).filter(col("id1") < col("id2"))
-      .withColumn("dist", levenshtein(col("name1"), col("name2")))
-      .filter(col("dist") <= maxDist)
-      .select(col("id1"), col("id2"), col("dist"))
+    val reps = blocked.select(col("__block"), col(nameCol)).distinct()
+    val namePairs = reps.select(col("__block"), col(nameCol).as("__n1"))
+      .join(reps.select(col("__block"), col(nameCol).as("__n2")), Seq("__block"))
+      .filter(col("__n1") <= col("__n2"))
+      .filter(abs(length(col("__n1")) - length(col("__n2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__n1"), col("__n2"), maxDist))
+      .filter(col("dist") >= 0)
+    val a = blocked.select(col("__block"), col(idCol).as("__ida"),
+      col(nameCol).as("__n1"))
+    val b = blocked.select(col("__block"), col(idCol).as("__idb"),
+      col(nameCol).as("__n2"))
+    a.join(namePairs, Seq("__block", "__n1"))
+      .join(b, Seq("__block", "__n2"))
+      // same-name groups emit each unordered id pair once (ida < idb);
+      // cross-name groups emit every (ida, idb) combo exactly once
+      // because an id has one name, so no pair arrives via two routes
+      .filter(col("__n1") < col("__n2") || col("__ida") < col("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("id1"),
+        greatest(col("__ida"), col("__idb")).as("id2"), col("dist"))
   }
 
   /** Exact duplicated-substring detection between documents, the

@@ -74,21 +74,27 @@ object Relevance {
     * order reproducible across engines computing ln in different libms.
     *
     * Scale shape: tf is one shuffle on (doc, term) with map-side partial
-    * aggregation; df reduces tf (vocabulary-sized) and broadcasts back;
-    * the top-K is a per-doc window that Spark 4 executes with
-    * WindowGroupLimit (per-partition heap, no full sort of the corpus).
+    * aggregation; df rides a `count` WINDOW over the term partition of
+    * that same tf frame — the corpus is tokenized ONCE, nothing
+    * vocabulary-sized is aggregated on or broadcast from the driver (a
+    * term dictionary is unbounded at corpus scale, so a broadcast build
+    * is the wrong shape even when it fits at test SF). A term's window
+    * group holds df rows — one per DOCUMENT containing it, not per
+    * occurrence — and WindowExec's buffer spills, so stopword groups
+    * degrade to disk, never OOM. The top-K is a per-doc window that
+    * Spark 4 executes with WindowGroupLimit (per-partition heap, no
+    * full sort of the corpus).
     */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val idf = log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * idf, 6))
       .withColumn("rank", row_number().over(w).cast("long"))

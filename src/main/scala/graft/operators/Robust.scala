@@ -174,4 +174,100 @@ object Robust {
         lit(width) * (max(col("__bin")) + (max(target) - max(col("__cum") - col("__c"))) /
           max(col("__c"))), 6).as(out))
   }
+
+  /** Exact equal-frequency binning (ntile semantics) by distributed
+    * selection — `(bin, n, lo, hi)` per tile, never sorting the table.
+    *
+    * `ntile(k)` needs a TOTAL order, so the window form runs on one
+    * partition — the whole table through a single task's sort (WindowExec
+    * even warns). But the ntile CONTRACT is closed-form in the global
+    * rank: with n rows, `q = n/k` and `r = n mod k`, tile `t` holds ranks
+    * `[(t−1)q + min(t−1,r) + 1, tq + min(t,r)]` — sizes are arithmetic,
+    * and each tile's lo/hi VALUE is the order statistic at its boundary
+    * ranks (ties straddling a boundary contribute the same value to both
+    * sides, so the arbitrary tie split cannot change lo/hi/n). Those
+    * ≤ 2k order statistics are located the [[exactGroupedQuantiles]] way:
+    * bounded-state histogram → cumulative counts over occupied bins →
+    * rank one probed bin per boundary (expected occupancy n/`bins`).
+    * Empty tiles (n < k) are dropped, matching what `ntile` emits.
+    */
+  def equalFrequencyBins(df: DataFrame, value: Column, k: Int,
+                         bins: Int = 65536): DataFrame = {
+    require(k > 0, s"need k>0 tiles; got $k")
+    val base = df.select(value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val stats = base.agg(
+      count(lit(1)).as("__n"), min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      .withColumn("__w", (col("__hi") - col("__lo")) / lit(bins.toDouble))
+    val tiles = stats
+      .withColumn("__t", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("__q", floor(col("__n") / k).cast("long"))
+      .withColumn("__r", pmod(col("__n"), lit(k.toLong)))
+      .withColumn("__size",
+        when(col("__t") <= col("__r"), col("__q") + 1).otherwise(col("__q")))
+      .filter(col("__size") > 0)
+      .withColumn("__start",
+        (col("__t") - 1) * col("__q") + least(col("__t") - 1, col("__r")) + 1)
+      .withColumn("__end", col("__t") * col("__q") + least(col("__t"), col("__r")))
+    // all-equal input (w = 0): every tile is the constant value
+    val flat = tiles.filter(col("__w") === 0).select(
+      col("__t"), col("__size"), col("__lo").as("__vstart"), col("__lo").as("__vend"))
+    val live = tiles.filter(col("__w") =!= 0)
+
+    // one-row stats frame onto the fact side: the same deliberate
+    // tiny-broadcast crossJoin as a9/t12 (allowlisted in
+    // PlanDisciplineSpec) — an equi-join on a constant key would
+    // constant-fold to the same nested-loop plan anyway
+    val binned = base
+      .crossJoin(broadcast(stats.select(col("__lo"), col("__w"))))
+      .filter(col("__w") =!= 0)
+      .withColumn("__bin", least(lit((bins - 1).toLong),
+        floor((col("__v") - col("__lo")) / col("__w")).cast("long")))
+    val counts = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+    // Cumulative counts over occupied bins WITHOUT a global window (a
+    // window partitioned on the constant `__g` constant-folds to "no
+    // partition defined" — the single-task shape this operator exists to
+    // avoid): two-level chunked prefix sum. Within-chunk cumulation is a
+    // window partitioned on the chunk key (≤1024 rows per chunk); the
+    // ≤64 chunk offsets come from a triangular explode + equi-join on
+    // the chunk-total frame (≤64 rows — no theta-join, no window).
+    val chunked = counts.withColumn("__chunk", shiftrightunsigned(col("__bin"), 10))
+    val chunkTotals = chunked.groupBy(col("__chunk")).agg(sum(col("__c")).as("__ct"))
+    val chunkPrefix = chunkTotals
+      .select(col("__chunk"), explode(sequence(lit(0L), col("__chunk"))).as("__src"))
+      .join(chunkTotals.select(col("__chunk").as("__src"), col("__ct")), Seq("__src"))
+      .groupBy(col("__chunk")).agg(sum(col("__ct")).as("__inclusive"))
+      .join(chunkTotals, Seq("__chunk"))
+      .select(col("__chunk"), (col("__inclusive") - col("__ct")).as("__offset"))
+    val wc = Window.partitionBy(col("__chunk")).orderBy(col("__bin"))
+    val cum = chunked
+      .withColumn("__incum", sum(col("__c")).over(wc))
+      .join(broadcast(chunkPrefix), Seq("__chunk"))
+      .withColumn("__bend", col("__incum") + col("__offset"))
+      .withColumn("__bstart", col("__bend") - col("__c") + 1)
+    val ranks = live
+      .select(explode(array(col("__start"), col("__end"))).as("__r"))
+      .distinct()
+    // ≤2k boundary ranks against ≤`bins` occupied-bin rows — bounded by
+    // construction on both sides
+    val located = cum.crossJoin(broadcast(ranks))
+      .filter(col("__r").between(col("__bstart"), col("__bend")))
+      .select(col("__bin"), col("__r"), (col("__r") - col("__bstart") + 1).as("__k"))
+    val probed = binned
+      .join(broadcast(located.select(col("__bin")).distinct()), Seq("__bin"), "left_semi")
+      .withColumn("__bin_rn",
+        row_number().over(Window.partitionBy(col("__bin")).orderBy(col("__v"))))
+    val ordStats = probed.join(broadcast(located), Seq("__bin"))
+      .filter(col("__bin_rn") === col("__k"))
+      .select(col("__r"), col("__v").as("__ov"))
+    live
+      .join(ordStats.select(col("__r").as("__start"), col("__ov").as("__vstart")),
+        Seq("__start"))
+      .join(ordStats.select(col("__r").as("__end"), col("__ov").as("__vend")),
+        Seq("__end"))
+      .select(col("__t"), col("__size"), col("__vstart"), col("__vend"))
+      .unionByName(flat)
+      .select(col("__t").as("bin"), col("__size").as("n"),
+        col("__vstart").as("lo"), col("__vend").as("hi"))
+  }
 }

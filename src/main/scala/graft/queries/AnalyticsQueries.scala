@@ -244,17 +244,17 @@ object AnalyticsQueries {
     }),
 
     // A26: equal-frequency binning — order totals cut into deciles
-    // (ntile), per-bin count and value range: the calibration/binning
-    // pass (monotone, deterministic with the total tie-break order).
+    // (ntile semantics), per-bin count and value range. NOT the ntile
+    // window: that needs a total order, so WindowExec runs the whole
+    // table through ONE partition (it warns about exactly this) — the
+    // closed-form tile boundaries + distributed order-statistic
+    // selection in Robust.equalFrequencyBins produce the identical
+    // (bin, n, lo, hi) contract with no single-task sort.
     "a26_ntile_bins" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Catalog.orders(s, dir)
-        .withColumn("decile", ntile(10).over(w).cast("int"))
-        .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n"),
-          round(min(col("o_totalprice")), 2).as("lo"),
-          round(max(col("o_totalprice")), 2).as("hi"))
+      graft.operators.Robust.equalFrequencyBins(
+          Catalog.orders(s, dir), col("o_totalprice"), 10)
+        .select(col("bin").cast("int").as("decile"), col("n"),
+          round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"))
         .orderBy(col("decile"))
     }),
 

@@ -18,6 +18,10 @@ class PlanDisciplineSpec extends AnyFunSuite {
     *  - a9_znorm, h4_kl_divergence, t12_bm25, t13_lm_score,
     *    t22_tfidf_terms, c7_zorder_cells: crossJoin of a ONE-ROW
     *    global-stats frame onto the fact side;
+    *  - a26_ntile_bins: equalFrequencyBins' two tiny crossJoins — the
+    *    one-row stats frame onto the fact side, and ≤2k boundary ranks
+    *    onto the ≤65536 occupied-bin frame (both bounded by
+    *    construction; the alternative ntile window is single-task);
     *  - j1_prefix_semijoin: startsWith against the fixed myNets prefix
     *    list (a handful of strings);
     *  - j8_longest_prefix: dictionary-prefix match, broadcast side is the
@@ -31,7 +35,7 @@ class PlanDisciplineSpec extends AnyFunSuite {
     */
   private val allowedBnlj = Set(
     "a9_znorm", "h4_kl_divergence", "t12_bm25", "t13_lm_score",
-    "t22_tfidf_terms", "c7_zorder_cells",
+    "t22_tfidf_terms", "c7_zorder_cells", "a26_ntile_bins",
     "j1_prefix_semijoin", "j8_longest_prefix",
     "v1_knn_brute", "v4_ivf_topk", "v10_ivf_persisted", "v5_int8_knn",
     "v9_coarse_rerank")

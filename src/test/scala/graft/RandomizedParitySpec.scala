@@ -326,4 +326,34 @@ class RandomizedParitySpec extends AnyFunSuite {
       assert(got == expected, s"seed $seed")
     }
   }
+
+  test("equalFrequencyBins matches the ntile window form on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // regimes: continuous values with duplicates (ties straddle tile
+    // boundaries), an all-equal frame (w=0 path), and n < k (empty tiles
+    // dropped). Parity target: the single-partition ntile window.
+    val cases = Seq(
+      (1 to 3).flatMap(seed => {
+        val rnd = new Random(4200 + seed)
+        Seq.fill(997)(math.floor(rnd.nextDouble() * 500) / 10) // many ties
+      }),
+      Seq.fill(40)(7.25),  // all-equal
+      Seq(3.0, 1.0, 2.0))  // n < k
+    for ((vals, i) <- cases.zipWithIndex) {
+      val df = new Random(i).shuffle(vals).zipWithIndex
+        .map { case (v, id) => (id.toLong, v) }.toDF("id", "v")
+      val w = Window.orderBy(col("v"), col("id"))
+      val expect = df.withColumn("bin", ntile(10).over(w))
+        .groupBy("bin").agg(count(lit(1)).as("n"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .collect().map(r => (r.getInt(0).toLong, r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      // small histogram so multi-rank bins exercise the probe path
+      val got = graft.operators.Robust.equalFrequencyBins(df, col("v"), 10, bins = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      assert(got == expect, s"case $i")
+    }
+  }
 }

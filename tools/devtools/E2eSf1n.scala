@@ -1,0 +1,84 @@
+package graft.tmp
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 end-to-end wall-clock at the natural sf1 fixture: one full
+  * CurateApp pass over the sf1n documents table (cold, then a second
+  * pass to show warm-JIT cost), and one GraftApp batch round over 5M
+  * synthetic sFlow samples. Emits /tmp/e2e_sf1n.json for the round
+  * artifact assembler.
+  *
+  *   tools/run.sh graft.tmp.E2eSf1n /tmp/sf1n /tmp/e2e_sf1n.json
+  */
+object E2eSf1n {
+
+  private def h(id: org.apache.spark.sql.Column, salt: Int, n: Int) =
+    pmod(xxhash64(id, lit(salt)), lit(n.toLong)).cast("int")
+  private def u(id: org.apache.spark.sql.Column, salt: Int) =
+    pmod(xxhash64(id, lit(salt)), lit(1000000000L)).cast("double") / 1e9
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf1n"
+    val outFile = if (args.length > 1) args(1) else "/tmp/e2e_sf1n.json"
+    val work = java.nio.file.Files.createTempDirectory("e2e_sf1n_").toString
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+
+    // ---- CurateApp over the natural sf1n documents table -------------
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val (curateCold, report1) = timed {
+      graft.CurateApp.run(spark, sfDir, s"$work/curate1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val (curateWarm, _) = timed {
+      graft.CurateApp.run(spark, sfDir, s"$work/curate2").collect()
+    }
+
+    // ---- GraftApp one batch round over 5M synthetic samples ----------
+    val n = 5000000L
+    val s = 4242
+    val samples = spark.range(n).select(
+      concat(lit("10.0."), h(col("id"), s + 1, 40), lit("."),
+        h(col("id"), s + 2, 250) + 1).as("srcIP"),
+      concat(lit("93."), h(col("id"), s + 3, 200), lit("."),
+        h(col("id"), s + 4, 200), lit("."), h(col("id"), s + 5, 250) + 1).as("dstIP"),
+      when(h(col("id"), s + 6, 100) < 3, lit("1900"))
+        .otherwise((h(col("id"), s + 7, 28000) + 32768).cast("string")).as("srcPort"),
+      element_at(array(lit("443"), lit("80"), lit("53"), lit("22"), lit("25")),
+        h(col("id"), s + 8, 5) + 1).as("dstPort"),
+      when(h(col("id"), s + 9, 10) < 8, lit("6")).otherwise(lit("17")).as("IPprotocol"),
+      (lit(60) + (u(col("id"), s + 10) * lit(1440.0)).cast("long")).as("packetSize"),
+      lit(10L).as("samplingRate"),
+      when(h(col("id"), s + 9, 10) < 8, lit("0x18")).otherwise(lit("0x00")).as("tcpFlags"),
+      (lit(1704067200L) + pmod(col("id"), lit(21600L))).as("timestamp"))
+    val samplesPath = s"$work/samples"
+    samples.write.parquet(samplesPath)
+    val gState = s"$work/graft/state"; new java.io.File(gState).mkdirs()
+    val (graftSec, _) = timed {
+      graft.GraftApp.run(spark, samplesPath, gState, s"$work/graft/out",
+        Seq("10."))
+    }
+    val nAlerts = spark.read.parquet(s"$work/graft/out/alerts").count()
+
+    val json =
+      s"""{"curateapp":{"input_docs":$nDocs,"cold_run_sec":${f"$curateCold%.1f"},""" +
+      s""""second_run_sec":${f"$curateWarm%.1f"},""" +
+      s""""report":{${report1.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}},""" +
+      s""""graftapp":{"input_samples":$n,"run_sec":${f"$graftSec%.1f"},""" +
+      s""""alerts":$nAlerts,"note":"full 19-detector batch incl. profile build + state write"}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

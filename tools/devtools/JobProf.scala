@@ -22,13 +22,14 @@ object JobProf {
         }
     })
     val name = args.headOption.getOrElse("c5_curate_report")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val fn = graft.SparkEntry.queries(name)
     // warm run first
-    fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+    fn(spark, dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache(); System.gc()
     jobs.synchronized(jobs.clear())
     val t0 = System.nanoTime()
-    fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+    fn(spark, dir).write.format("noop").mode("overwrite").save()
     println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s, ${jobs.size} jobs")
     jobs.sortBy(-_._2).take(20).foreach { case (id, dt, d) =>
       println(f"  job $id%3d  $dt%6.2f s  $d")

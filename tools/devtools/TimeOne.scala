@@ -6,12 +6,16 @@ object TimeOne {
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { name =>
+    args.foreach { arg =>
+      // "dir=name" runs against an explicit fixture dir (else env/default)
+      val (dirOpt, name) = arg.split("=", 2) match {
+        case Array(d, n) => (Some(d), n); case _ => (None, arg)
+      }
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to 5).map { i =>
         try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
         val t0 = System.nanoTime()
-        fn(spark, "/root/testdata/sf0.1")
+        fn(spark, dirOpt.getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }

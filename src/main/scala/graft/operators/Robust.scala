@@ -86,6 +86,18 @@ object Robust {
     * degenerates; the located/probe side frames it broadcasts are
     * O(groups·|ps|) rows. With millions of groups the window form is
     * already parallel — use that.
+    *
+    * Materialization discipline: the tiny derived frames (`stats`,
+    * `located`, `ordStats` — all O(groups·|ps|) rows) are each referenced
+    * by 2+ downstream branches, and Catalyst re-evaluates a subtree per
+    * reference, so WITHOUT materialization every reference re-scans the
+    * fact table (measured: 6+ scans, 2.2× the window form it replaced at
+    * sf0.1). `localCheckpoint` pins each one after a single evaluation —
+    * executor-block storage, no driver round-trip — cutting the plan to
+    * the algorithmic three scans (stats, histogram, probe). The
+    * checkpointed frames become LogicalRDDs whose size estimate is the
+    * conservative default, so joins against them carry explicit
+    * `broadcast` hints.
     */
   def exactGroupedQuantiles(df: DataFrame, keys: Seq[String], value: Column,
       ps: Seq[(Double, String)], bins: Int = 65536): DataFrame = {
@@ -97,6 +109,7 @@ object Robust {
     val stats = base.groupBy(kc: _*).agg(
       count(lit(1)).as("__n"), min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
       .withColumn("__w", (col("__hi") - col("__lo")) / lit(bins.toDouble))
+      .localCheckpoint(true)
     // one row per (group, p): fractional rank idx and its two order stats
     val targets = stats
       .withColumn("__p", explode(array(ps.map(p => lit(p._1)): _*)))
@@ -108,7 +121,7 @@ object Robust {
     val live = targets.filter(col("__w") =!= 0)
 
     val binned = base
-      .join(stats.select(kc :+ col("__lo") :+ col("__w"): _*), keys)
+      .join(broadcast(stats.select(kc :+ col("__lo") :+ col("__w"): _*)), keys)
       .filter(col("__w") =!= 0)
       .withColumn("__bin", least(lit((bins - 1).toLong),
         floor((col("__v") - col("__lo")) / col("__w")).cast("long")))
@@ -120,10 +133,11 @@ object Robust {
     val ranks = live
       .select(kc :+ explode(array(col("__rlo"), col("__rhi"))).as("__r"): _*)
       .distinct()
-    val located = cum.join(ranks, keys)
+    val located = cum.join(broadcast(ranks), keys)
       .filter(col("__r").between(col("__start"), col("__end")))
       .select(kc :+ col("__bin") :+ col("__r") :+
         (col("__r") - col("__start") + 1).as("__k"): _*)
+      .localCheckpoint(true)
     val probed = binned
       .join(broadcast(located.select(kc :+ col("__bin"): _*).distinct()),
         keys :+ "__bin", "left_semi")
@@ -132,10 +146,13 @@ object Robust {
     val ordStats = probed.join(broadcast(located), keys :+ "__bin")
       .filter(col("__bin_rn") === col("__k"))
       .select(kc :+ col("__r") :+ col("__v").as("__ov"): _*)
+      .localCheckpoint(true)
     val interp = live
-      .join(ordStats.select(kc :+ col("__r").as("__rlo") :+ col("__ov").as("__vlo"): _*),
+      .join(broadcast(ordStats.select(
+          kc :+ col("__r").as("__rlo") :+ col("__ov").as("__vlo"): _*)),
         keys :+ "__rlo")
-      .join(ordStats.select(kc :+ col("__r").as("__rhi") :+ col("__ov").as("__vhi"): _*),
+      .join(broadcast(ordStats.select(
+          kc :+ col("__r").as("__rhi") :+ col("__ov").as("__vhi"): _*)),
         keys :+ "__rhi")
       .select(kc :+ col("__p") :+
         (col("__vlo") + (col("__idx") - floor(col("__idx"))) *
@@ -196,9 +213,16 @@ object Robust {
     require(k > 0, s"need k>0 tiles; got $k")
     val base = df.select(value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
+    // same materialization discipline as exactGroupedQuantiles: the tiny
+    // derived frames (one-row stats, ≤`bins`-row counts, ≤2k-row located /
+    // ordStats) each feed 2+ downstream branches, and without pinning each
+    // reference re-scans the fact table (measured ~10 scans, 4.5× the
+    // single-task ntile this replaced at sf0.1); localCheckpoint holds
+    // them to one evaluation and the plan to its three algorithmic scans
     val stats = base.agg(
       count(lit(1)).as("__n"), min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
       .withColumn("__w", (col("__hi") - col("__lo")) / lit(bins.toDouble))
+      .localCheckpoint(true)
     val tiles = stats
       .withColumn("__t", explode(sequence(lit(1L), lit(k.toLong))))
       .withColumn("__q", floor(col("__n") / k).cast("long"))
@@ -224,6 +248,7 @@ object Robust {
       .withColumn("__bin", least(lit((bins - 1).toLong),
         floor((col("__v") - col("__lo")) / col("__w")).cast("long")))
     val counts = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     // Cumulative counts over occupied bins WITHOUT a global window (a
     // window partitioned on the constant `__g` constant-folds to "no
     // partition defined" — the single-task shape this operator exists to
@@ -253,6 +278,7 @@ object Robust {
     val located = cum.crossJoin(broadcast(ranks))
       .filter(col("__r").between(col("__bstart"), col("__bend")))
       .select(col("__bin"), col("__r"), (col("__r") - col("__bstart") + 1).as("__k"))
+      .localCheckpoint(true)
     val probed = binned
       .join(broadcast(located.select(col("__bin")).distinct()), Seq("__bin"), "left_semi")
       .withColumn("__bin_rn",
@@ -260,10 +286,11 @@ object Robust {
     val ordStats = probed.join(broadcast(located), Seq("__bin"))
       .filter(col("__bin_rn") === col("__k"))
       .select(col("__r"), col("__v").as("__ov"))
+      .localCheckpoint(true)
     live
-      .join(ordStats.select(col("__r").as("__start"), col("__ov").as("__vstart")),
+      .join(broadcast(ordStats.select(col("__r").as("__start"), col("__ov").as("__vstart"))),
         Seq("__start"))
-      .join(ordStats.select(col("__r").as("__end"), col("__ov").as("__vend")),
+      .join(broadcast(ordStats.select(col("__r").as("__end"), col("__ov").as("__vend"))),
         Seq("__end"))
       .select(col("__t"), col("__size"), col("__vstart"), col("__vend"))
       .unionByName(flat)

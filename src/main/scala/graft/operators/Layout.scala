@@ -97,4 +97,47 @@ object Layout {
     val z = withZValue(df, dimCols, dimStats(df, dimCols), bits)
     DataSkipping.zoneMap(z, shiftright(col("zval"), cellShift), dimCols)
   }
+
+  /** Write-once bucketed layout for a repeatedly-joined fact table: the
+    * table lands hash-BUCKETED (and sorted) on its join key, so every
+    * later equi-join between two tables bucketed the same way plans a
+    * SortMergeJoin with NO Exchange on either side — Catalyst recognizes
+    * the scan's `HashPartitioning(key, buckets)` as already satisfying
+    * the join's distribution (BucketedJoinSpec proves the plan shape).
+    *
+    * This is THE large×large join strategy at 100 TB: a broadcast can't
+    * absorb either side and a per-query shuffle moves the whole table
+    * through the network every join, while bucketing pays that shuffle
+    * ONCE at write time and amortizes it over every subsequent join,
+    * aggregation, or window keyed on the same column. (`buckets` must
+    * match on both sides; pick it for ~executor-memory-sized buckets at
+    * the target scale.)
+    *
+    * Idempotent per table name: rebuilds only when the catalog doesn't
+    * know the table — the amortization story, same as the persisted IVF
+    * index (SimilaritySearch) and st7's band-index table. Callers key
+    * the name by fixture dir so distinct inputs never collide.
+    */
+  def ensureBucketed(spark: org.apache.spark.sql.SparkSession, name: String,
+      key: String, buckets: Int)(df: => DataFrame): DataFrame = {
+    val db = "graft_bucketed"
+    if (!spark.catalog.databaseExists(db)) spark.sql(s"CREATE DATABASE $db")
+    val full = s"$db.$name"
+    if (!spark.catalog.tableExists(full)) {
+      // bucket metadata lives only in the (session-scoped, in-memory)
+      // catalog: a location left behind by an earlier JVM is plain
+      // parquet with no bucketing contract, so clear it and rebuild
+      // rather than trip CREATE's LOCATION_ALREADY_EXISTS guard
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getDatabaseMetadata(db).locationUri.getPath,
+        name)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(full)
+    }
+    spark.table(full)
+  }
 }

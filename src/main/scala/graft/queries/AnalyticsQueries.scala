@@ -194,6 +194,29 @@ object AnalyticsQueries {
         .orderBy(col("cell"))
     }),
 
+    // C8: bucketed co-located join — both fact tables land ONCE in a
+    // bucketBy(join key) layout (Layout.ensureBucketed; rebuilt only when
+    // the catalog lacks them), after which the large×large
+    // lineitem⋈orders join plans a SortMergeJoin with NO Exchange on
+    // either side (BucketedJoinSpec asserts the plan). At 100 TB this
+    // turns the most expensive per-query shuffle into a one-time write
+    // cost amortized over every join keyed on the same column. Revenue
+    // math follows the q2/q3 integer-cents discipline.
+    "c8_bucketed_join" -> ((s, dir) => {
+      val tag = f"${math.abs(dir.hashCode)}%x"
+      val li = Layout.ensureBucketed(s, s"lineitem_$tag", "l_orderkey", 16)(
+        Catalog.lineitem(s, dir).select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4")))
+      val ord = Layout.ensureBucketed(s, s"orders_$tag", "o_orderkey", 16)(
+        Catalog.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("rev_e4")) / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // A22: single-pass binned quantile estimate (width-1 value bins,
     // p95 via cumulative counts + in-bin interpolation) — the bounded-
     // memory alternative to the a17/a21 exact window sort.
@@ -592,6 +615,16 @@ object AnalyticsQueries {
          |  MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey
          |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
     },
+
+    // layout-independent semantics: the oracle joins the raw parquet —
+    // bucketing changes the plan, never the result
+    "c8_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "a22_binned_quantile" ->
       """WITH b AS (

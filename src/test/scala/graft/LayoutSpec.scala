@@ -89,3 +89,51 @@ class LayoutSpec extends AnyFunSuite {
     cells.unpersist()
   }
 }
+
+/** Bucketed co-located join: the written layout must actually remove the
+  * join-time shuffle — asserted on the physical plan, not assumed.
+  */
+class BucketedJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("same-bucketing equi-join plans with no Exchange on either side") {
+    val tag = f"spec${math.abs(sf.hashCode)}%x"
+    val a = Layout.ensureBucketed(spark, s"li_$tag", "l_orderkey", 8)(
+      graft.sources.Catalog.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity")))
+    val b = Layout.ensureBucketed(spark, s"ord_$tag", "o_orderkey", 8)(
+      graft.sources.Catalog.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority")))
+    // the operator targets the large×large regime; at spec scale the
+    // planner would broadcast the tiny side (also shuffle-free, but not
+    // the shape under test), so pin that regime for the plan assertion
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try a.join(b, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    val joined = a.join(b, col("l_orderkey") === col("o_orderkey"))
+    // and the result is the plain-join result (layout never changes rows)
+    val plain = graft.sources.Catalog.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .join(graft.sources.Catalog.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == plain.count())
+  }
+
+  test("rebuild is skipped when the table already exists (amortized write)") {
+    val tag = f"once${math.abs(sf.hashCode)}%x"
+    var builds = 0
+    def src = { builds += 1
+      graft.sources.Catalog.orders(spark, sf).select(col("o_orderkey")) }
+    Layout.ensureBucketed(spark, s"o1_$tag", "o_orderkey", 4)(src).count()
+    Layout.ensureBucketed(spark, s"o1_$tag", "o_orderkey", 4)(src).count()
+    assert(builds == 1, s"second call must reuse the written table; built $builds times")
+  }
+}

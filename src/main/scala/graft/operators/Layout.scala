@@ -118,25 +118,49 @@ object Layout {
     * index (SimilaritySearch) and st7's band-index table. Callers key
     * the name by fixture dir so distinct inputs never collide.
     */
+  /** Write-once DIRECTORY-partitioned layout — the third layout primitive
+    * next to [[ensureBucketed]] (join co-location) and [[zCluster]]
+    * (multi-dim clustering): rows land under one directory per value of
+    * `partCol`, and any scan filtering on that column prunes whole
+    * directories at PLANNING time (`PartitionFilters` on the scan;
+    * PartitionPruningSpec asserts exactly one partition is read). At
+    * 100 TB this is how a day's query touches a day's files — the
+    * coarsest, cheapest skipping there is, and the precondition for
+    * [[graft.operators.Retention]]-style partition-drop lifecycles.
+    * Same idempotent rebuild contract as [[ensureBucketed]].
+    */
+  def ensurePartitioned(spark: org.apache.spark.sql.SparkSession, name: String,
+      partCol: String)(df: => DataFrame): DataFrame =
+    ensureLayout(spark, name)(w => df.write.format("parquet")
+      .partitionBy(partCol).mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(w))
+
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession, name: String,
-      key: String, buckets: Int)(df: => DataFrame): DataFrame = {
-    val db = "graft_bucketed"
+      key: String, buckets: Int)(df: => DataFrame): DataFrame =
+    ensureLayout(spark, name)(w => df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(w))
+
+  /** Shared write-once skeleton: build `name` in the layout database iff
+    * the session catalog doesn't know it. Layout metadata (bucketing,
+    * partition discovery) lives only in the session-scoped in-memory
+    * catalog, so a location left behind by an earlier JVM carries no
+    * layout contract — clear it and rebuild rather than trip CREATE's
+    * LOCATION_ALREADY_EXISTS guard.
+    */
+  private def ensureLayout(spark: org.apache.spark.sql.SparkSession,
+      name: String)(build: String => Unit): DataFrame = {
+    val db = "graft_layout"
     if (!spark.catalog.databaseExists(db)) spark.sql(s"CREATE DATABASE $db")
     val full = s"$db.$name"
     if (!spark.catalog.tableExists(full)) {
-      // bucket metadata lives only in the (session-scoped, in-memory)
-      // catalog: a location left behind by an earlier JVM is plain
-      // parquet with no bucketing contract, so clear it and rebuild
-      // rather than trip CREATE's LOCATION_ALREADY_EXISTS guard
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.getDatabaseMetadata(db).locationUri.getPath,
         name)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
-      df.write.format("parquet")
-        .bucketBy(buckets, key).sortBy(key)
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .saveAsTable(full)
+      build(full)
     }
     spark.table(full)
   }

@@ -217,6 +217,27 @@ object AnalyticsQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // C9: directory-partition pruning — events land ONCE partitioned by
+    // day (Layout.ensurePartitioned), then a one-day query prunes every
+    // other day's directories at planning time (PartitionPruningSpec
+    // asserts numPartitions==1 on the executed scan). The coarsest,
+    // cheapest data skipping at 100 TB: a day's query reads a day's
+    // files. The probed day is the table's min — a one-row driver
+    // lookup over the partition column only. Integer aggregates keep
+    // the contract summation-order-proof across engines.
+    "c9_partition_pruning" -> ((s, dir) => {
+      val tag = f"${math.abs(dir.hashCode)}%x"
+      val ev = Layout.ensurePartitioned(s, s"events_$tag", "event_date")(
+        Catalog.events(s, dir).select(col("user_id"), col("event_type"),
+          col("ts"), to_date(col("ts")).as("event_date")))
+      val day = ev.agg(min(col("event_date"))).head.getDate(0)
+      ev.filter(col("event_date") === lit(day))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // A22: single-pass binned quantile estimate (width-1 value bins,
     // p95 via cumulative counts + in-bin interpolation) — the bounded-
     // memory alternative to the a17/a21 exact window sort.
@@ -625,6 +646,13 @@ object AnalyticsQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "c9_partition_pruning" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "a22_binned_quantile" ->
       """WITH b AS (

@@ -127,6 +127,33 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(joined.count() == plain.count())
   }
 
+  test("c9's one-day query reads exactly one partition of the day-partitioned table") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // post-execution AQE plans bury scans inside QueryStageExec LEAVES —
+    // recurse through both the adaptive root and materialized stages
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collectWithSubqueries {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+        case q: QueryStageExec => fileScans(q.plan)
+      }.flatten
+    val df = SparkEntry.queries("c9_partition_pruning")(spark, sf)
+    // execute through THIS Dataset's QueryExecution (a write would plan a
+    // fresh one and leave these scan nodes' metrics untouched)
+    assert(df.collect().nonEmpty)
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "").contains("event_date"))
+    assert(scans.nonEmpty, "no scan with an event_date partition filter")
+    val partsRead = scans.map(_.metrics("numPartitions").value)
+    assert(partsRead.forall(_ == 1L), s"partitions read per scan: $partsRead")
+    // the pruning is non-vacuous: the table holds more than one day
+    val tag = f"${math.abs(sf.hashCode)}%x"
+    val nDays = spark.table(s"graft_layout.events_$tag")
+      .select(col("event_date")).distinct().count()
+    assert(nDays > 1, s"fixture has $nDays day(s); pruning proof is vacuous")
+  }
+
   test("rebuild is skipped when the table already exists (amortized write)") {
     val tag = f"once${math.abs(sf.hashCode)}%x"
     var builds = 0

@@ -665,8 +665,13 @@ object PipelineQueries {
     // from `documents` in SQL: a content check of the decode itself.
     "m1_media_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Catalog.documents(s, dir))
-      Multimodal.extractFeatures(media)
-        .filter(col("kind") === "image")
+      // kind filter BELOW extractFeatures: mapPartitions is an opaque
+      // barrier no filter can push through, so filtering after it would
+      // decode (and synthesize) the other two modalities' payloads only
+      // to drop them — 3× the work for the same rows (measured 15.4 →
+      // 5.7 s at 10×). The when-chains in mediaFromDocuments evaluate
+      // lazily per row, so pre-filtered rows never build foreign payloads.
+      Multimodal.extractFeatures(media.filter(col("kind") === "image"))
         .select(col("media_id"), col("kind"),
           col("decoded_width"), col("decoded_height"), col("channels"),
           round(element_at(col("features"), 1).cast("double"), 4).as("mean_r"),
@@ -709,8 +714,8 @@ object PipelineQueries {
     // every value integer-exact, so no float tolerance games).
     "m5_audio_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Catalog.documents(s, dir))
-      Multimodal.extractFeatures(media)
-        .filter(col("kind") === "audio")
+      // same pre-barrier kind filter as m1 (see the note there)
+      Multimodal.extractFeatures(media.filter(col("kind") === "audio"))
         .select(col("media_id"), col("kind"), col("channels"),
           element_at(col("features"), 1).cast("long").as("sample_rate"),
           element_at(col("features"), 2).cast("long").as("n_samples"),

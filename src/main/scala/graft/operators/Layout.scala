@@ -135,6 +135,18 @@ object Layout {
       .partitionBy(partCol).mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(w))
 
+  /** Write-once PLAIN table — the materialized-dimension primitive: a
+    * derived frame (e.g. a calendar of per-day stats) lands as a real
+    * table so star-schema queries filter it like any dimension, which is
+    * what lets dynamic partition pruning key a fact scan off a dim
+    * predicate at run time. Same idempotent rebuild contract as
+    * [[ensureBucketed]].
+    */
+  def ensureTable(spark: org.apache.spark.sql.SparkSession, name: String)(
+      df: => DataFrame): DataFrame =
+    ensureLayout(spark, name)(w => df.write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(w))
+
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession, name: String,
       key: String, buckets: Int)(df: => DataFrame): DataFrame =
     ensureLayout(spark, name)(w => df.write.format("parquet")

@@ -238,6 +238,42 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // C10: DYNAMIC partition pruning — c9's static literal becomes a
+    // runtime value: the day-partitioned fact joins a materialized
+    // calendar dimension (Layout.ensureTable; is_busy = ≥80% of the max
+    // daily volume, computed once at dim-build time) filtered on that
+    // NON-key column, so the prunable day set only exists at run time.
+    // Catalyst plants a dynamicpruningexpression on the fact scan that
+    // reuses the dim broadcast, and only the busy days' directories are
+    // read (PartitionPruningSpec asserts both). THE star-schema scan
+    // pattern at 100 TB: dim predicates prune fact partitions without
+    // any hand-written date literal.
+    "c10_dynamic_pruning" -> ((s, dir) => {
+      val tag = f"${math.abs(dir.hashCode)}%x"
+      val fact = Layout.ensurePartitioned(s, s"events_$tag", "event_date")(
+        Catalog.events(s, dir).select(col("user_id"), col("event_type"),
+          col("ts"), to_date(col("ts")).as("event_date")))
+      val cal = Layout.ensureTable(s, s"calendar_$tag") {
+        val dayStats = Catalog.events(s, dir)
+          .groupBy(to_date(col("ts")).as("event_date"))
+          .agg(count(lit(1)).as("day_n"))
+        dayStats
+          .crossJoin(broadcast(dayStats.agg(max(col("day_n")).as("max_n"))))
+          .select(col("event_date"), col("day_n"),
+            when(col("day_n") >= col("max_n") * 0.8, "busy")
+              .otherwise("quiet").as("day_class"))
+      }
+      // EqualTo on a string attribute: a bare boolean flag would be
+      // simplified to a lone attribute reference, which the DPP rule's
+      // selectivity check does not recognize as a pruning predicate
+      fact.join(broadcast(cal.filter(col("day_class") === "busy")
+          .select(col("event_date"))), Seq("event_date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_date")).as("n_busy_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // A22: single-pass binned quantile estimate (width-1 value bins,
     // p95 via cumulative counts + in-bin interpolation) — the bounded-
     // memory alternative to the a17/a21 exact window sort.
@@ -652,6 +688,19 @@ object AnalyticsQueries {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
         |WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "c10_dynamic_pruning" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS day_n
+        |  FROM events GROUP BY 1),
+        |busy AS (
+        |  SELECT event_date FROM d
+        |  WHERE day_n >= (SELECT MAX(day_n) FROM d) * 0.8)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_busy_days
+        |FROM events
+        |WHERE CAST(ts AS DATE) IN (SELECT event_date FROM busy)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "a22_binned_quantile" ->

@@ -154,6 +154,28 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(nDays > 1, s"fixture has $nDays day(s); pruning proof is vacuous")
   }
 
+  test("c10's dim filter prunes fact partitions at RUN time (DPP)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collectWithSubqueries {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+        case q: QueryStageExec => fileScans(q.plan)
+      }.flatten
+    val df = SparkEntry.queries("c10_dynamic_pruning")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val factScans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "").contains("dynamicpruning"))
+    assert(factScans.nonEmpty, "no scan carries a dynamicpruning partition filter")
+    val tag = f"${math.abs(sf.hashCode)}%x"
+    val nDays = spark.table(s"graft_layout.events_$tag")
+      .select(col("event_date")).distinct().count()
+    val partsRead = factScans.map(_.metrics("numPartitions").value)
+    assert(partsRead.forall(n => n >= 1 && n < nDays),
+      s"runtime pruning read $partsRead of $nDays partitions")
+  }
+
   test("rebuild is skipped when the table already exists (amortized write)") {
     val tag = f"once${math.abs(sf.hashCode)}%x"
     var builds = 0

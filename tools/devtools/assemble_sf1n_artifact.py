@@ -36,15 +36,16 @@ artifact = {
     "round": 6,
     "note": ("natural-distribution 10x fixture (/tmp/sf1n, fresh draws via "
              "tools/devtools/GenSf1Natural.scala: ~4.8% near-dup + ~0.2% exact-clone "
-             "docs, matching sf0.1's rates) replacing r5's pathological 10-clone "
-             "replica. sf0.1 comparison series: a clean same-code, same-host run "
-             "(min-of-2 on both sides). Both runs at 12g driver heap: a 48g heap "
-             "measurably GC-poisons large queries (d6 first-run 63s at 48g vs 13s "
-             "at 8g, 5x erratic) - oversized unified memory lets sort/agg buffers "
-             "balloon past cache-friendly sizes and G1 old-gen churn dominates; "
-             "right-sizing executor memory and letting chunked spill-merge do its "
-             "job is faster AND bounded, the same sizing rule a real cluster "
-             "deployment applies per executor."),
+             "docs, matching sf0.1's rates). sf0.1 comparison series: a clean same-code, "
+             "same-host, same-session run (min-of-2 both sides, 12g driver heap - a 48g "
+             "heap measurably GC-poisons large queries; see README). Refreshed late in "
+             "round 6 after the media-path fixes (cached audio SPI + heap-cached "
+             "ImageIO + CPU-sized decode stage: m1/m5 15-16s -> ~1s at 10x), the "
+             "Robust localCheckpoint pinning (a17/a26), and the three layout "
+             "primitives (c8/c9/c10); totals are NOT comparable to mid-round runs - "
+             "the shared host drifts 1.3-1.5x across hours (verified by benching the "
+             "unchanged r5 checkout same-day), which is why the headline metric is "
+             "the per-query 10x ratio within ONE session, not wall totals."),
     "sf0_1_total_sec": round(base_run["value"], 1),
     "sf0_1_n_queries": len(base),
     "sf1n_total_sec": round(run["value"], 1),

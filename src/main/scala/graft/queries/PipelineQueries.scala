@@ -52,9 +52,13 @@ object PipelineQueries {
     // D6: SimHash-banded near-dup candidates — docs sharing the low 4
     // simhash bits pair up, exact Hamming ≤ 10 filters (the SimHash
     // counterpart of the MinHash pipeline in d2/d4).
+    // No ORDER BY: the pair SET is the contract, and the gate's compare
+    // is row-order-independent (it sorts both sides) — while a global
+    // sort of the ~10^8-pair output (108.6M rows at the natural 10×
+    // fixture) was the query's single largest shuffle (~1.6 GB), a pure
+    // harness artifact no 100 TB dedup run would pay.
     "d6_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashCandidatePairs(Catalog.documents(s, dir), bucketBits = 4, maxHamming = 10)
-        .orderBy(col("doc1"), col("doc2"))
     }),
 
     // D12: the production (collapsed) form of d6 — near-dup pairs at
@@ -62,8 +66,8 @@ object PipelineQueries {
     // output. Expanding through group membership reproduces d6 exactly
     // (parity spec); this is the contract a 100 TB dedup run wants.
     "d12_simhash_repdup" -> ((s, dir) => {
+      // unordered pair-set contract, same rationale as d6
       Dedup.simhashRepPairs(Catalog.documents(s, dir), bucketBits = 4, maxHamming = 10)
-        .orderBy(col("doc1"), col("doc2"))
     }),
 
     // D13: sorted-neighborhood SimHash candidates (Manku WWW'07 shape) —

@@ -78,6 +78,15 @@ object Detectors {
     * skew bound a hand-written two-phase rank gives, with one exchange
     * and one global sort instead of two of each. The render groupBy then
     * reuses the window's hash partitioning (no further exchange).
+    *
+    * The key semi-join MUST broadcast: `keys` is an alerted-host set,
+    * bounded by the per-detector alert caps (take(100)/take(30) in the
+    * reference) — while letting it plan as a sort-merge join would
+    * exchange the WHOLE summary on the key column (tens of distinct
+    * hosts → that many active partitions, a full-data skewed sort) AND
+    * sit between the window and the scan, silently defeating the
+    * map-side partial above (measured at 50×: 37 s with the SMJ in the
+    * way, 6 s broadcast).
     */
   def flowDetail(summary: DataFrame, keys: DataFrame, keyCol: String = "my_ip",
       limit: Int = FlowListLimit): DataFrame = {
@@ -85,7 +94,7 @@ object Detectors {
       .orderBy((col("bytes_up") + col("bytes_down")).desc,
         col("alien_ip"), col("alien_port"), col("my_ip"), col("my_port"), col("proto"))
     summary
-      .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+      .join(broadcast(keys.select(keyCol).distinct()), Seq(keyCol), "left_semi")
       .withColumn("__rn", row_number().over(order))
       .filter(col("__rn") <= limit)
       .withColumn("__line", flowLine)

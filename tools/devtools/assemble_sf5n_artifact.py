@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Assemble the 50x full-coverage scale artifact: pair the sf5n bench run
+(every query except the two output-quadratic pair contracts d6/d12, which
+the d12/d13 production contracts serve at scale) with a same-day sf0.1 run
+and report per-query 50x-data ratios against the linear bound.
+
+Usage: assemble_sf5n_artifact.py [sf5n.out] [out.json] [sf01.out]
+"""
+import json, sys
+
+sf5_out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf5n_full.out"
+out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf5n_r06.json"
+base_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/bench_sf01_v4.out"
+
+def first_json(path):
+    with open(path) as f:
+        for ln in f:
+            if ln.startswith('{"metric"'):
+                return json.loads(ln)
+    raise SystemExit(f"no bench JSON line in {path}")
+
+run = first_json(sf5_out)
+base = first_json(base_path)["queries"]
+q5 = run["queries"]
+common = sorted(set(q5) & set(base))
+ratios = {k: q5[k] / max(base[k], 1e-9) for k in common}
+over = {k: round(r, 1) for k, r in ratios.items() if r > 50.0}
+med = sorted(ratios.values())[len(ratios) // 2]
+artifact = {
+    "round": 6,
+    "note": ("FULL-coverage 50x scale run: every oracle query except d6/d12 "
+             "(whose expanded-pair contracts are output-quadratic on the "
+             "tiny-vocab fixture BY DESIGN and are served at scale by the "
+             "d12 collapsed and d13 sorted-neighborhood contracts, both "
+             "included here) on a natural-distribution scale=50 fixture "
+             "(30M lineitem / 7.5M orders / 5M events / 250k documents / "
+             "100k embeddings, ~1 GB parquet; tools/devtools/"
+             "GenSf1Natural.scala). Base series: same-day sf0.1 run of the "
+             "same code (min-of-2 both sides, 12g heap, warmup at "
+             "sf0.001)."),
+    "sf0_1_total_sec": round(sum(base[k] for k in common), 1),
+    "sf5n_total_sec": round(sum(q5[k] for k in common), 1),
+    "sf5n_first_pass_total_sec": round(run.get("first_pass_total", 0.0), 1),
+    "n_queries": len(common),
+    "median_per_query_ratio_50x_data": round(med, 2),
+    "max_per_query_ratio_50x_data": round(max(ratios.values()), 1),
+    "queries_over_50x": over,
+    "sf5n_queries": {k: round(q5[k], 3) for k in common},
+    "ratios_50x_data": {k: round(ratios[k], 2) for k in common},
+    "sf5n_shuffle_mb_total": round(sum(run.get("shuffle_mb", {}).values()), 1),
+    "sf5n_spilled_queries": run.get("spilled_queries", {}),
+}
+with open(out_path, "w") as f:
+    json.dump(artifact, f, indent=1)
+print(f"{artifact['sf5n_total_sec']}s over {len(common)} queries at 50x; "
+      f"median ratio {artifact['median_per_query_ratio_50x_data']}; "
+      f"{len(over)} over the 50x bound")

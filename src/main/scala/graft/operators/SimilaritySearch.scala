@@ -401,6 +401,38 @@ object SimilaritySearch {
     }
   }
 
+  /** [[nearDupPairs]] with the plane count chosen from the corpus size so
+    * the expected bucket population stays near `targetBucket` — the
+    * production contract for embedding near-dup at scale (the embedding
+    * analog of the d6→d12/d13 precedent for text SimHash).
+    *
+    * With a FIXED plane count p the bucket self-join scores
+    * ~nTables·n²/2^(p+1) pairs — quadratic in the corpus. Choosing the
+    * smallest p (≥4) with 2^p·targetBucket ≥ n bounds the work at
+    * ~nTables·n·targetBucket/2 — linear in n, the shape a 1000-executor
+    * run needs. The plane-count rule is exact integer arithmetic (no
+    * float log) so any engine reproduces the same p, and planes are the
+    * same deterministic md5 signs as [[nearDupPairs]], so at small n
+    * (p=4) this is bit-identical to the fixed contract.
+    *
+    * Recall trade (documented, inherent to bucket-size-targeted LSH): a
+    * higher p keeps only closer pairs colliding — at p=10 a 0.9-cosine
+    * pair survives ~50% per OR-amplified 3-table screen vs ~90% at p=4.
+    * The contract is "pairs surfaced by this config", deterministically.
+    * The count() driving p is a parquet metadata-only aggregate — cheap
+    * even at 100 TB.
+    */
+  def nearDupPairsAdaptive(corpus: DataFrame, minSim: Double, dim: Int,
+      targetBucket: Int = 128, nTables: Int = 3, maxBucket: Int = 100000): DataFrame =
+    nearDupPairs(corpus, minSim, adaptivePlaneCount(corpus.count(), targetBucket),
+      dim, maxBucket, nTables)
+
+  /** Smallest p in [4, 30] with 2^p·targetBucket ≥ n — exact integer
+    * arithmetic (no float log2) so any engine derives the same p.
+    */
+  def adaptivePlaneCount(n: Long, targetBucket: Int): Int =
+    (4 to 30).find(p => (1L << p) * targetBucket >= n).getOrElse(30)
+
   /** Per-dimension (min, max) quantization parameters, as one row of two
     * index-ordered arrays — the int8 scalar-quantization codebook. One
     * aggregate over the corpus; the result is dim-sized and broadcasts.

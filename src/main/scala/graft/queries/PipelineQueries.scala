@@ -117,6 +117,17 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // D14: the production (adaptive-plane) form of d5 — plane count grows
+    // with the corpus so expected bucket size stays ~128 and the bucket
+    // self-join is O(n·bucket) instead of O(n²/2^p). At ≤2k vectors the
+    // chosen p is 4, making this bit-identical to d5; at 100k vectors it
+    // picks p=10 (1024 buckets/table). Unordered pair-set contract, same
+    // rationale as d6/d12.
+    "d14_embedding_neardup_scaled" -> ((s, dir) => {
+      SimilaritySearch.nearDupPairsAdaptive(Catalog.embeddings(s, dir), 0.35,
+          dim = 64, targetBucket = 128, nTables = 3)
+    }),
+
     // V1: brute-force cosine top-10 for 5 query vectors (exact ANN baseline).
     "v1_knn_brute" -> ((s, dir) => {
       val emb = Catalog.embeddings(s, dir)
@@ -1353,6 +1364,41 @@ object PipelineQueries {
         |FROM cand c JOIN n a ON a.vec_id = c.id1 JOIN n b ON b.vec_id = c.id2
         |WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    // adaptive-plane variant of d5: plane count p = min p≥4 with
+    // 2^p·128 ≥ n (exact integer rule, mirrored by the Scala side);
+    // bucket strings are substrings of the same md5-derived signs, so at
+    // n ≤ 2048 (where p stays 4) this is bit-identical to d5. No ORDER
+    // BY: the pair set is the contract; the gate's compare sorts both sides.
+    "d14_embedding_neardup_scaled" ->
+      """WITH pc AS (
+        |  SELECT min(j) AS p FROM range(4, 31) r(j)
+        |  WHERE (CAST(1 AS BIGINT) << j) * 128 >= (SELECT count(*) FROM embeddings)),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, [CASE WHEN (CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) & 1 = 1
+        |             THEN 1.0 ELSE -1.0 END
+        |             for a in [ascii(substr(md5(CAST(j AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)) for i in range(0, 64)]] AS p
+        |  FROM range(0, 93) r(j) WHERE j < 3 * (SELECT p FROM pc)),
+        |sigs AS (
+        |  SELECT vec_id, j // (SELECT p FROM pc) AS t,
+        |         string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        |  FROM (
+        |    SELECT v.vec_id, planes.j,
+        |      list_sum(list_transform(range(1, 65), i -> v.v[i] * planes.p[i])) AS proj
+        |    FROM v CROSS JOIN planes)
+        |  GROUP BY vec_id, j // (SELECT p FROM pc)),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+        |cand AS (
+        |  SELECT DISTINCT s1.vec_id AS id1, s2.vec_id AS id2
+        |  FROM sigs s1 JOIN sigs s2 ON s1.t = s2.t AND s1.bucket = s2.bucket
+        |  WHERE s1.vec_id < s2.vec_id)
+        |SELECT c.id1, c.id2,
+        |  ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS sim
+        |FROM cand c JOIN n a ON a.vec_id = c.id1 JOIN n b ON b.vec_id = c.id2
+        |WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
 
     "v1_knn_brute" ->
       """WITH v AS (

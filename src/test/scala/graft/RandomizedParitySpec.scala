@@ -145,6 +145,43 @@ class RandomizedParitySpec extends AnyFunSuite {
       s"recall $recalled/${plantedPairs.size} below 0.7")
   }
 
+  test("adaptive nearDupPairs picks the integer-exact plane count and delegates") {
+    import spark.implicits._
+    import graft.operators.SimilaritySearch
+    // the selection rule: smallest p≥4 with 2^p·target ≥ n
+    assert(SimilaritySearch.adaptivePlaneCount(500, 128) == 4)
+    assert(SimilaritySearch.adaptivePlaneCount(2048, 128) == 4) // exact boundary
+    assert(SimilaritySearch.adaptivePlaneCount(2049, 128) == 5)
+    assert(SimilaritySearch.adaptivePlaneCount(20000, 128) == 8)
+    assert(SimilaritySearch.adaptivePlaneCount(100000, 128) == 10)
+    val rnd = new Random(7)
+    val dim = 16
+    // small corpus (n ≤ 2048 → p = 4): bit-identical to the fixed contract
+    val small = Seq.tabulate(40)(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val fixed = SimilaritySearch.nearDupPairs(small, 0.5, nPlanes = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toSet
+    val adaptive = SimilaritySearch.nearDupPairsAdaptive(small, 0.5, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toSet
+    assert(adaptive == fixed)
+    // large corpus (n = 5050 → p = 6): pure delegation to the chosen p,
+    // and planted ~0.99-cosine dups still recalled through more planes
+    val base = Seq.tabulate(5000)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val planted = base.take(50).map { case (i, v) =>
+      (10000L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    assert(SimilaritySearch.adaptivePlaneCount(5050, 128) == 6)
+    val big = SimilaritySearch.nearDupPairsAdaptive(corpus, 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atP6 = SimilaritySearch.nearDupPairs(corpus, 0.9, nPlanes = 6, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(big == atP6)
+    val recalledBig = (0 until 50).count(i => big.contains((i.toLong, 10000L + i)))
+    assert(recalledBig >= 40, s"planted recall $recalledBig/50 below 40")
+  }
+
   test("window-interpolated percentiles match Spark's exact percentile aggregate") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -28,11 +28,17 @@ over = {k: round(r, 1) for k, r in ratios.items() if r > 50.0}
 med = sorted(ratios.values())[len(ratios) // 2]
 artifact = {
     "round": 6,
-    "note": ("FULL-coverage 50x scale run: every oracle query except d6/d12 "
-             "(whose expanded-pair contracts are output-quadratic on the "
-             "tiny-vocab fixture BY DESIGN and are served at scale by the "
-             "d12 collapsed and d13 sorted-neighborhood contracts, both "
-             "included here) on a natural-distribution scale=50 fixture "
+    "note": ("FULL-coverage 50x scale run: every oracle query except the "
+             "three fixed-parameter parity contracts d6/d12 (expanded-pair "
+             "output is quadratic on the tiny-vocab fixture BY DESIGN; "
+             "served at scale by the d12 collapsed and d13 "
+             "sorted-neighborhood contracts, both included here) and d5 "
+             "(fixed 4-plane LSH scores ~n^2/2^5 candidate pairs by "
+             "construction - measured 60x at 50x data, 54.9s standalone; "
+             "served at scale by the adaptive-plane d14 contract, included "
+             "here, which is bit-identical to d5 below 2048 vectors and "
+             "linear-in-n above: 2.33s standalone on this fixture) on a "
+             "natural-distribution scale=50 fixture "
              "(30M lineitem / 7.5M orders / 5M events / 250k documents / "
              "100k embeddings, ~1 GB parquet; tools/devtools/"
              "GenSf1Natural.scala). Base series: same-day sf0.1 run of the "

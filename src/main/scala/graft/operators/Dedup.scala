@@ -729,6 +729,125 @@ object Dedup {
         greatest(col("__ida"), col("__idb")).as("id2"), col("dist"))
   }
 
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo, SIGMOD'95)
+    * — the cap-free scale path for [[blockedEditDistancePairs]], whose
+    * distinct-name pair stage is still quadratic in block population by
+    * construction (measured 33x wall for 50x data on the natural
+    * scale-50 fixture; fine under the linear bound, but the wrong curve
+    * for a 100 TB linkage run).
+    *
+    * Within each coarse block the DISTINCT names are sorted and each
+    * name pairs only with its next `window` neighbors — candidate
+    * volume is O(distinct-names · window) per pass, cap-free and linear
+    * in n. Two passes (the classic multi-pass SNM): the forward name
+    * order, and the REVERSED-string order — a prefix edit teleports a
+    * name in forward order but leaves it adjacent in reversed order, so
+    * the union catches both edit positions; only a simultaneous
+    * prefix+suffix edit within `maxDist` can escape, and the spec
+    * measures that residual recall on planted typos. Same-name id pairs
+    * (dist 0) are emitted exactly as in the blocked contract, so this is
+    * a drop-in production replacement. The d13 analog for strings
+    * (reference has neither: HogSFlow's dedup is exact-key only).
+    */
+  def sortedNeighborEditPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[org.apache.spark.sql.Column], maxDist: Int,
+      window: Int = 10): DataFrame = {
+    val blocked = df
+      .withColumn("__block", concat_ws("|", blockCols: _*))
+      .select(col("__block"), col(idCol), col(nameCol))
+    // the distinct-name table feeds both SNM sort passes and the
+    // reflexive branch — pin it once (the d13 rotation pattern)
+    val names = blocked.select(col("__block"), col(nameCol).as("__n"))
+      .distinct().localCheckpoint(true)
+    val namePairs = snmNeighborNamePairs(names, maxDist, window).unionByName(
+      names.select(col("__block"), col("__n").as("__n1"),
+        col("__n").as("__n2"), lit(0).as("dist")))
+    val a = blocked.select(col("__block"), col(idCol).as("__ida"),
+      col(nameCol).as("__n1"))
+    val b = blocked.select(col("__block"), col(idCol).as("__idb"),
+      col(nameCol).as("__n2"))
+    a.join(namePairs, Seq("__block", "__n1"))
+      .join(b, Seq("__block", "__n2"))
+      // same pair-once argument as the blocked contract
+      .filter(col("__n1") < col("__n2") || col("__ida") < col("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("id1"),
+        greatest(col("__ida"), col("__idb")).as("id2"), col("dist"))
+  }
+
+  /** The collapsed (rep-level) form of [[sortedNeighborEditPairs]] — the
+    * d12 pattern applied to record linkage. The expanded id-pair output
+    * is quadratic in duplicate-group size BY CONTRACT (measured 156M
+    * rows at the natural scale-50 fixture, 2500× the sf0.1 output); at
+    * 100 TB nobody wants those rows materialized. This contract emits
+    * one row per matched distinct-NAME pair, on each group's
+    * representative (min id), with `n_pairs` = the number of id pairs
+    * the row stands for — cross-group rows carry n₁·n₂, and each
+    * same-name group of k ids is one `(rep, rep, 0, k·(k−1)/2)` row.
+    * Expanding through group membership reproduces the expanded
+    * contract exactly (parity spec). Output is linear in distinct-name
+    * matches, independent of clone multiplicity.
+    */
+  def sortedNeighborRepPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[org.apache.spark.sql.Column], maxDist: Int,
+      window: Int = 10): DataFrame = {
+    val blocked = df
+      .withColumn("__block", concat_ws("|", blockCols: _*))
+      .select(col("__block"), col(idCol), col(nameCol))
+    // groups feeds both SNM passes, both expansion sides, and the
+    // intra branch — pin it once
+    val groups = blocked.groupBy(col("__block"), col(nameCol))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val namePairs = snmNeighborNamePairs(
+      groups.select(col("__block"), col(nameCol).as("__n")), maxDist, window)
+    val g1 = groups.select(col("__block"), col(nameCol).as("__n1"),
+      col("__rep").as("__r1"), col("__c").as("__c1"))
+    val g2 = groups.select(col("__block"), col(nameCol).as("__n2"),
+      col("__rep").as("__r2"), col("__c").as("__c2"))
+    val cross = namePairs
+      .join(g1, Seq("__block", "__n1"))
+      .join(g2, Seq("__block", "__n2"))
+      .select(least(col("__r1"), col("__r2")).as("id1"),
+        greatest(col("__r1"), col("__r2")).as("id2"), col("dist"),
+        (col("__c1") * col("__c2")).cast("long").as("n_pairs"))
+    val intra = groups.filter(col("__c") > 1)
+      .select(col("__rep").as("id1"), col("__rep").as("id2"),
+        lit(0).as("dist"),
+        ((col("__c") * (col("__c") - 1)) / 2).cast("long").as("n_pairs"))
+    cross.unionByName(intra)
+  }
+
+  /** Shared SNM candidate stage: distinct (block, name) rows in, matched
+    * distinct-name pairs (dist in [1, maxDist]) out — forward and
+    * reversed-string passes, `window` leads each, one WindowExec per
+    * pass (the d13 lead-array idiom). Both passes re-shuffle `names` on
+    * a different sort key — callers pass a pinned (localCheckpoint)
+    * frame so the upstream distinct/aggregate runs once.
+    */
+  private def snmNeighborNamePairs(names: DataFrame, maxDist: Int,
+      window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val passes = Seq(col("__n"), reverse(col("__n"))).map { key =>
+      val w = Window.partitionBy(col("__block")).orderBy(key, col("__n"))
+      // all `window` leads ride ONE window pass, unpivoted by a single
+      // explode (per-lead union branches would re-run the WindowExec)
+      names
+        .select(col("__block") +: col("__n") +:
+          (1 to window).map(i => lead(col("__n"), i).over(w).as(s"__l$i")): _*)
+        .select(col("__block"), col("__n"),
+          explode(array((1 to window).map(i => col(s"__l$i")): _*)).as("__m"))
+        .filter(col("__m").isNotNull)
+    }.reduce(_ unionByName _)
+    passes
+      .select(col("__block"),
+        least(col("__n"), col("__m")).as("__n1"),
+        greatest(col("__n"), col("__m")).as("__n2"))
+      .distinct()
+      .filter(abs(length(col("__n1")) - length(col("__n2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__n1"), col("__n2"), maxDist))
+      .filter(col("dist") >= 0)
+  }
+
   /** Exact duplicated-substring detection between documents, the
     * span-level complement of token-shingle near-dup: two docs share a
     * verbatim run of ≥ `k` characters iff they share a char `k`-gram, and

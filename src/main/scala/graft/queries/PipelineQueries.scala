@@ -223,6 +223,29 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // D15: the production (sorted-neighborhood) form of d10 — distinct
+    // names pair only with their `window` sorted neighbors per block
+    // (forward + reversed-string passes, Hernández-Stolfo multi-pass
+    // SNM), O(n·w) candidates instead of quadratic-in-block-population.
+    // Unordered pair-set contract, same rationale as d6/d12.
+    "d15_editdist_sorted" -> ((s, dir) => {
+      val p = Catalog.part(s, dir)
+      Dedup.sortedNeighborEditPairs(p, "p_partkey", "p_name",
+          Seq(split(col("p_name"), " ").getItem(0), col("p_size").cast("string")),
+          maxDist = 2, window = 10)
+    }),
+
+    // D16: the collapsed (rep-level) form of d15 — one row per matched
+    // distinct-NAME pair with clone multiplicities, clone-count-
+    // independent output (the d12 pattern applied to record linkage;
+    // d15's expanded id pairs measured 156M rows at scale 50).
+    "d16_editdist_repdup" -> ((s, dir) => {
+      val p = Catalog.part(s, dir)
+      Dedup.sortedNeighborRepPairs(p, "p_partkey", "p_name",
+          Seq(split(col("p_name"), " ").getItem(0), col("p_size").cast("string")),
+          maxDist = 2, window = 10)
+    }),
+
     // V7: product-quantization codes — 8 subspaces × nearest subspace
     // centroid: a 64-dim float32 vector stored as 8 small codes (32×
     // compression) plus the per-subvector reconstruction error.
@@ -1658,6 +1681,68 @@ object PipelineQueries {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id1, id2""".stripMargin,
+
+    // sorted-neighborhood form: same block key, but candidates are the
+    // `window`=10 sorted neighbors of each DISTINCT name, forward +
+    // reversed-string passes, plus the reflexive same-name pairs. No
+    // ORDER BY: pair-set contract, the gate's compare sorts both sides.
+    "d15_editdist_sorted" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] || '|' || CAST(p_size AS VARCHAR) AS blk
+        |  FROM part),
+        |names AS (SELECT DISTINCT blk, p_name AS n FROM p),
+        |f AS (SELECT blk, n, row_number() OVER (PARTITION BY blk ORDER BY n) AS rn FROM names),
+        |r AS (SELECT blk, n, row_number() OVER (PARTITION BY blk ORDER BY reverse(n), n) AS rn FROM names),
+        |nb AS (
+        |  SELECT a.blk, least(a.n, b.n) AS n1, greatest(a.n, b.n) AS n2
+        |  FROM f a JOIN f b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 10
+        |  UNION
+        |  SELECT a.blk, least(a.n, b.n) AS n1, greatest(a.n, b.n) AS n2
+        |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 10),
+        |np AS (
+        |  SELECT blk, n1, n2, CAST(levenshtein(n1, n2) AS INT) AS dist
+        |  FROM nb
+        |  WHERE abs(len(n1) - len(n2)) <= 2 AND levenshtein(n1, n2) <= 2
+        |  UNION ALL
+        |  SELECT blk, n, n, 0 FROM names),
+        |x AS (
+        |  SELECT least(a.p_partkey, b.p_partkey) AS id1,
+        |    greatest(a.p_partkey, b.p_partkey) AS id2, np.dist
+        |  FROM np JOIN p a ON a.blk = np.blk AND a.p_name = np.n1
+        |          JOIN p b ON b.blk = np.blk AND b.p_name = np.n2
+        |  WHERE np.n1 < np.n2 OR a.p_partkey < b.p_partkey)
+        |SELECT id1, id2, dist FROM x""".stripMargin,
+
+    // collapsed form: same SNM candidates, but one row per matched name
+    // pair on the group representatives, with n_pairs multiplicities
+    "d16_editdist_repdup" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] || '|' || CAST(p_size AS VARCHAR) AS blk
+        |  FROM part),
+        |g AS (
+        |  SELECT blk, p_name AS n, MIN(p_partkey) AS rep, COUNT(*) AS c
+        |  FROM p GROUP BY blk, p_name),
+        |f AS (SELECT blk, n, row_number() OVER (PARTITION BY blk ORDER BY n) AS rn FROM g),
+        |r AS (SELECT blk, n, row_number() OVER (PARTITION BY blk ORDER BY reverse(n), n) AS rn FROM g),
+        |nb AS (
+        |  SELECT a.blk, least(a.n, b.n) AS n1, greatest(a.n, b.n) AS n2
+        |  FROM f a JOIN f b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 10
+        |  UNION
+        |  SELECT a.blk, least(a.n, b.n) AS n1, greatest(a.n, b.n) AS n2
+        |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 10),
+        |np AS (
+        |  SELECT blk, n1, n2, CAST(levenshtein(n1, n2) AS INT) AS dist
+        |  FROM nb
+        |  WHERE abs(len(n1) - len(n2)) <= 2 AND levenshtein(n1, n2) <= 2)
+        |SELECT least(g1.rep, g2.rep) AS id1, greatest(g1.rep, g2.rep) AS id2,
+        |  np.dist, CAST(g1.c * g2.c AS BIGINT) AS n_pairs
+        |FROM np JOIN g g1 ON g1.blk = np.blk AND g1.n = np.n1
+        |        JOIN g g2 ON g2.blk = np.blk AND g2.n = np.n2
+        |UNION ALL
+        |SELECT rep, rep, 0, CAST(c * (c - 1) // 2 AS BIGINT)
+        |FROM g WHERE c > 1""".stripMargin,
 
     "t19_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -122,6 +122,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.length < expanded.size)
   }
 
+  test("sortedNeighborEditPairs: subset of blocked pairs, recalls prefix AND suffix typos") {
+    import spark.implicits._
+    import scala.util.Random
+    val rnd = new Random(11)
+    def randName() = Seq.fill(12)(('a' + rnd.nextInt(26)).toChar).mkString
+    // one big block (> window distinct names): 160 base names, 20 planted
+    // suffix-edit variants (forward-sort-adjacent) and 20 planted
+    // prefix-edit variants (reversed-sort-adjacent)
+    val bases = Iterator.continually(randName()).distinct.take(160).toSeq
+    def flip(c: Char) = if (c == 'z') 'y' else 'z' // never the identity
+    val suffixPairs = bases.slice(0, 20).zipWithIndex.map { case (n, i) =>
+      (1000L + i, n.dropRight(1) + flip(n.last)) }
+    val prefixPairs = bases.slice(20, 40).zipWithIndex.map { case (n, i) =>
+      (2000L + i, flip(n.head) + n.drop(1)) }
+    val df = (bases.zipWithIndex.map { case (n, i) => (i.toLong, n) } ++
+      suffixPairs ++ prefixPairs).toDF("id", "name")
+    val blockCols = Seq(lit("b"))
+    val snm = Dedup.sortedNeighborEditPairs(df, "id", "name", blockCols, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = Dedup.blockedEditDistancePairs(df, "id", "name", blockCols, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // soundness: SNM never emits a pair the full blocked join would not
+    assert(snm.subsetOf(blocked))
+    // recall: every planted suffix-edit pair shares an 11-char prefix
+    // with its base (forward-adjacent), every prefix-edit pair an
+    // 11-char suffix (reversed-adjacent) — all 40 must be recovered
+    val recalledSuffix = (0 until 20).count(i => snm.contains((i.toLong, 1000L + i, 1)))
+    val recalledPrefix = (0 until 20).count(i => snm.contains((20L + i, 2000L + i, 1)))
+    assert(recalledSuffix == 20, s"suffix-edit recall $recalledSuffix/20")
+    assert(recalledPrefix == 20, s"prefix-edit recall $recalledPrefix/20")
+  }
+
+  test("sortedNeighborRepPairs: expanding rep pairs through name groups reproduces d15 exactly") {
+    import spark.implicits._
+    // clone-heavy frame, one block: name A ×4, near-name B ×3 (dist 1),
+    // far name C ×1 (dist > maxDist)
+    val a = "lemon chocolate powder"; val b = "lemon chocolate powdez"
+    val c = "lemon chocolate zzzzzz"
+    val df = ((1L to 4L).map(i => (i, a)) ++ (10L to 12L).map(i => (i, b)) ++
+      Seq((20L, c))).toDF("id", "name")
+    val blockCols = Seq(split(col("name"), " ").getItem(0))
+    val expanded = Dedup.sortedNeighborEditPairs(df, "id", "name", blockCols, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rep = Dedup.sortedNeighborRepPairs(df, "id", "name", blockCols, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val members = Map(1L -> (1L to 4L).toSeq, 10L -> (10L to 12L).toSeq, 20L -> Seq(20L))
+    val reExpanded = rep.flatMap { case (d1, d2, dist, n) =>
+      val ps =
+        if (d1 == d2) members(d1).combinations(2).map(p => (p(0), p(1))).toSeq
+        else for (x <- members(d1); y <- members(d2))
+          yield (math.min(x, y), math.max(x, y))
+      assert(ps.size == n, s"multiplicity mismatch on ($d1,$d2): ${ps.size} != $n")
+      ps.map { case (x, y) => (x, y, dist) }
+    }.toSet
+    assert(reExpanded == expanded)
+    // rep output is clone-count-independent: 1 cross + 2 intra rows vs
+    // 12 cross + 6 + 3 intra expanded pairs
+    assert(rep.length == 3 && expanded.size == 21)
+  }
+
   test("ngramJaccardPairs confirms the planted pair above threshold") {
     val nearDup = base + " postscript"
     val docs = docsDf(Seq(1L -> base, 2L -> nearDup,

@@ -433,6 +433,83 @@ object SimilaritySearch {
   def adaptivePlaneCount(n: Long, targetBucket: Int): Int =
     (4 to 30).find(p => (1L << p) * targetBucket >= n).getOrElse(30)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space with a seeded K-Means fit on a bounded
+    * deterministic sample, assign every vector to its nearest centroid,
+    * then within each cluster drop every vector that has a more senior
+    * (lower-id) neighbor at cosine ≥ `tau`. Returns one row per input id:
+    * (vec_id, cluster, kept) with kept = 1 iff the vector survives — the
+    * full-population form a curation attrition report needs.
+    *
+    * Scale shape: the fit touches only a hash-prefix sample capped at
+    * `fitSampleCap` rows (SemDeDup itself fits on a sample); assignment
+    * is one narrow map against broadcast centroids; the only data-sized
+    * shuffles are the cluster-key self-join — O(n·E[cluster size]), so
+    * callers pick k ~ n/targetCluster to keep cluster population bounded
+    * as the corpus grows ([[semanticDedupAdaptive]]) — and the final
+    * kept-flag join on the unique vec_id key. Nothing is quadratic in n
+    * and nothing data-sized reaches the driver. (At the 100 TB tier the
+    * assignment map reads the persisted coarse-quantizer table of
+    * [[buildIvfIndex]] instead of an in-memory model; the join shapes
+    * are identical.)
+    *
+    * Drop rule note: seniority is per-PAIR (exists any lower-id neighbor
+    * at ≥ tau), so a chain a~b~c with a≁c keeps only a — the same
+    * keep-the-minimum semantics as the text pipelines' rep-pick (d8),
+    * without needing a connected-components pass.
+    */
+  def semanticDedup(corpus: DataFrame, tau: Double, k: Int,
+      fitSampleCap: Int = 100000, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecd = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    // Deterministic bounded fit sample: hash-ordered prefix, then the
+    // keyed-repartition + in-partition-sort idiom that makes the other
+    // K-Means fits golden-stable (MlQueries.scala:35) — the fit must see
+    // a machine-independent row layout.
+    val cap = math.max(fitSampleCap, 4 * k)
+    val sample = vecd
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(cap)
+      .repartition(4, col("vec_id")).sortWithinPartitions("vec_id")
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(sample)
+    val assigned = withNorm(
+      model.transform(vecd)
+        .select(col("vec_id"), col("embedding"), col("cluster")),
+      "embedding", "nrm")
+    val senior = assigned.select(col("cluster"), col("vec_id").as("sid"),
+      col("embedding").as("sv"), col("nrm").as("sn"))
+    // dropped = rows with at least one senior near-dup in their cluster —
+    // a LEFT SEMI on the cluster key (bounded fan-out, never cross-cluster)
+    val dropped = assigned.join(senior,
+        assigned("cluster") === senior("cluster") &&
+          col("sid") < assigned("vec_id") &&
+          pairSim(col("sv"), assigned("embedding"), col("sn"), assigned("nrm")) >= tau,
+        "left_semi")
+      .select(col("vec_id"), lit(0).as("kept"))
+    assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(1)).cast("long"))
+  }
+
+  /** [[semanticDedup]] with k chosen from the corpus size so expected
+    * cluster population stays near `targetCluster` — the linear-in-n
+    * production contract (the K-Means analog of [[adaptivePlaneCount]]).
+    * Exact integer rule: k = max(2, ceil(n / targetCluster)).
+    */
+  def semanticDedupAdaptive(corpus: DataFrame, tau: Double,
+      targetCluster: Int = 128, fitSampleCap: Int = 100000,
+      seed: Long = 42L): DataFrame = {
+    val n = corpus.count()
+    val k = math.max(2L, (n + targetCluster - 1) / targetCluster).toInt
+    semanticDedup(corpus, tau, k, fitSampleCap, seed)
+  }
+
   /** Per-dimension (min, max) quantization parameters, as one row of two
     * index-ordered arrays — the int8 scalar-quantization codebook. One
     * aggregate over the corpus; the result is dim-sized and broadcasts.

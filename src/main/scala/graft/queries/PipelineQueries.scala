@@ -128,6 +128,20 @@ object PipelineQueries {
           dim = 64, targetBucket = 128, nTables = 3)
     }),
 
+    // D17: SemDeDup-style semantic dedup (Abbas et al. 2023) — a seeded
+    // K-Means partitions the embedding space (fit on a bounded
+    // hash-prefix sample), then each cluster drops members with a senior
+    // cosine-neighbor ≥ 0.35. k=8 keeps ~64 vectors/cluster at this
+    // scale; production callers use the adaptive k ~ n/targetCluster
+    // wrapper so the cluster self-join stays linear in n. The oracle is
+    // a golden parquet — K-Means is not expressible in DuckDB (same
+    // precedent as ml1–ml5); PipelineSpec carries the behavioral checks
+    // (planted near-dup dropped, seniors kept, flag/population invariants).
+    "d17_semdedup" -> ((s, dir) => {
+      SimilaritySearch.semanticDedup(Catalog.embeddings(s, dir), 0.35, k = 8)
+        .orderBy(col("vec_id"))
+    }),
+
     // V1: brute-force cosine top-10 for 5 query vectors (exact ANN baseline).
     "v1_knn_brute" -> ((s, dir) => {
       val emb = Catalog.embeddings(s, dir)
@@ -1895,6 +1909,11 @@ object PipelineQueries {
       "SELECT * FROM read_parquet('/root/repo/goldens/m3_image_ahash.parquet') ORDER BY media_id",
     "m4_image_neardup" ->
       "SELECT * FROM read_parquet('/root/repo/goldens/m4_image_neardup.parquet') ORDER BY id1, id2",
+
+    // golden parquet (K-Means cluster assignment is not expressible in
+    // DuckDB — ml1–ml5 precedent); regenerate with the same recipe as m3/m4
+    "d17_semdedup" ->
+      "SELECT * FROM read_parquet('/root/repo/goldens/d17_semdedup.parquet') ORDER BY vec_id",
 
     "m2_frame_sample" ->
       """WITH media AS (

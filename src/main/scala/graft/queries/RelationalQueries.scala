@@ -319,6 +319,66 @@ object RelationalQueries {
               |LIMIT 20""".stripMargin)
     }),
 
+    // Q17 (TPC-H Q17 shape): correlated SCALAR subquery — small-quantity
+    // revenue for one brand, where "small" is relative to the part's own
+    // average order quantity. This is the third decorrelation pattern in
+    // the family (q4 = EXISTS, q21 = EXISTS + NOT EXISTS, here = scalar
+    // agg): Catalyst rewrites each correlated scalar aggregate into a
+    // grouped aggregate over lineitem joined back on l_partkey — the fact
+    // table is scanned a bounded number of times, never per outer row
+    // (and MergeScalarSubqueries can fuse the COUNT and SUM subqueries,
+    // which share their correlation key and filters, into ONE aggregate).
+    // Arithmetic is exact by construction so the DuckDB hash matches:
+    // the textbook `l_quantity < 0.2 * avg(l_quantity)` compares floats
+    // whose last-ulp value depends on the engine's summation order, so
+    // the predicate is cross-multiplied into integer-valued doubles
+    // (quantities are whole numbers; 5*qty*cnt and sum(qty) are exact),
+    // and revenue totals are summed in integer cents.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      Catalog.part(s, dir).createOrReplaceTempView("graft_q17_part")
+      Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q17_lineitem")
+      // NOTE: a `700.0` literal is DECIMAL in Spark SQL (double in DuckDB),
+      // so the sum is cast to DOUBLE before dividing to keep result types
+      // aligned across engines.
+      s.sql("""SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+              |         / 700.0, 2) AS avg_yearly
+              |FROM graft_q17_lineitem l, graft_q17_part p
+              |WHERE p_partkey = l_partkey
+              |  AND p_brand = 'Brand#23'
+              |  AND 5.0 * l_quantity *
+              |      (SELECT COUNT(*) FROM graft_q17_lineitem l2
+              |       WHERE l2.l_partkey = p.p_partkey)
+              |    < (SELECT SUM(l2.l_quantity) FROM graft_q17_lineitem l2
+              |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+    }),
+
+    // Q22 (TPC-H Q22 shape): uncorrelated scalar subquery (the global
+    // average balance — broadcast as a one-row literal join) gating a
+    // correlated NOT EXISTS (left ANTI hash join against orders). The
+    // fixture gives every customer at least one order, so the anti-join
+    // side is qualified (`o_orderstatus = 'F'`): "above-average-balance
+    // customers with no finished order", grouped by market segment.
+    // Balance comparisons cross-multiply into integer cents (see q17's
+    // note on float boundary ties).
+    "q22_idle_balance" -> ((s, dir) => {
+      Catalog.customer(s, dir).createOrReplaceTempView("graft_q22_customer")
+      Catalog.orders(s, dir).createOrReplaceTempView("graft_q22_orders")
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS numcust,
+              |  ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+              |    / 100.0, 2) AS totacctbal
+              |FROM graft_q22_customer c
+              |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+              |      (SELECT COUNT(*) FROM graft_q22_customer
+              |       WHERE c_acctbal > 0.0)
+              |    > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+              |       FROM graft_q22_customer WHERE c_acctbal > 0.0)
+              |  AND NOT EXISTS (
+              |    SELECT * FROM graft_q22_orders o
+              |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+              |GROUP BY c_mktsegment
+              |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // Q3 (TPC-H Q5 shape): 5-table star join — revenue by supplier nation
     // where the customer is in the SAME nation (the local-supplier
     // condition forces the c_nationkey = s_nationkey equi-edge through
@@ -1023,6 +1083,32 @@ object RelationalQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 700.0, 2)
+        |         AS avg_yearly
+        |FROM lineitem l, part p
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#23'
+        |  AND 5.0 * l_quantity *
+        |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |    < (SELECT SUM(l2.l_quantity) FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+        |    > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+        |       FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT * FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -507,4 +507,31 @@ class PipelineSpec extends AnyFunSuite {
     val uncapped = graft.queries.AnalyticsQueries.copurchasePairs(li, maxBasket = 128)
     assert(uncapped.count() == 3 + 4950)
   }
+
+  test("semanticDedup: in-cluster near-dups drop, seniors and distant members survive") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // two well-separated directions; each holds a planted near-dup pair
+    // (cos ≈ 0.999) plus one member below the 0.9 threshold (cos ≈ 0.62)
+    val rows = Seq(
+      1L -> v(1, 0, 0, 0),
+      2L -> v(0.98, 0.05, 0, 0), // ≈ id 1 → dropped (senior 1 kept)
+      3L -> v(0.6, 0, 0.75, 0), // same cluster, cos(1,3)=0.62 → kept
+      10L -> v(0, 1, 0, 0),
+      11L -> v(0.03, 0.97, 0, 0), // ≈ id 10 → dropped
+      12L -> v(0, 0.6, 0, 0.75)) // kept
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimilaritySearch.semanticDedup(df, tau = 0.9, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == rows.map(_._1).toSet) // full population, one row per id
+    val kept = out.collect { case (id, (_, 1L)) => id }.toSet
+    assert(kept == Set(1L, 3L, 10L, 12L))
+    // each planted pair shares a cluster; the two directions don't
+    assert(out(1L)._1 == out(2L)._1 && out(10L)._1 == out(11L)._1)
+    assert(out(1L)._1 != out(10L)._1)
+    // adaptive k rule: exact integer ceil(n/target), floored at 2
+    assert(SimilaritySearch.adaptivePlaneCount(0, 128) == 4) // existing rule untouched
+    val adaptive = SimilaritySearch.semanticDedupAdaptive(df, tau = 0.9, targetCluster = 3)
+    assert(adaptive.select("vec_id").distinct().count() == rows.size)
+  }
 }

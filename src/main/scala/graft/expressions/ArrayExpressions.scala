@@ -175,3 +175,67 @@ object MinhashSig {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 }
+
+/** All ordered index pairs (i < j) of an array's elements, as
+  * `array<struct<doc_a,doc_b>>` — the bucket-expansion kernel of
+  * `Dedup.exactSubstringSpans` (d11). The composed HOF form
+  * `flatten(transform(ds, (x,i) => transform(slice(ds,i+2,n), y =>
+  * struct(x,y))))` evaluates its lambdas interpreted and allocates a
+  * slice COPY per outer position plus boxed elements throughout — at
+  * 10⁸ expanded pairs that is the dominant cost of the whole operator.
+  * This node emits the identical pair sequence from one compiled loop:
+  * a two-long row per pair and nothing else.
+  *
+  * Pair order matches the HOF form exactly: (a(0),a(1)), (a(0),a(2)),
+  * …, (a(n−2),a(n−1)). Null array → null; n < 2 → empty.
+  */
+case class PairCombinations(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_a", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_b", LongType, nullable = false))),
+      containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pair_combinations requires array<bigint> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PairCombinations.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.PairCombinations.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_pair_combinations"
+}
+
+object PairCombinations {
+  /** Shared by interpreted eval and generated code (one call per row). */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val m = n * (n - 1) / 2
+    val out = new Array[Any](m)
+    var w = 0
+    var i = 0
+    while (i < n - 1) {
+      val x = a.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](x, a.getLong(j)))
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -72,3 +72,116 @@ object StripAccents {
     true
   }
 }
+
+/** Distinct 64-bit hashes of every character k-gram of a string, in one
+  * compiled pass — the gram-key kernel behind `Dedup.exactSubstringSpans`
+  * (d11). The composed form
+  * `xxhash64(explode(array_distinct(transform(sequence…, substr…))))`
+  * allocates L−k+1 k-char substring copies per document and re-reads each
+  * character k times (O(L·k) work, ~24× the bytes at k=24, dominated by
+  * UTF8String slicing); this node slides a polynomial rolling hash over
+  * the code points — O(1) per position after the first window — and
+  * finalizes each window hash with a murmur-style avalanche mixer, so
+  * only equality semantics change (a different 64-bit gram key space);
+  * the operator's OUTPUT (shared-gram counts) is unchanged modulo 64-bit
+  * collisions, exactly like the xxhash64 form it replaces.
+  *
+  * Grams are CHARACTER windows (code points, matching `substr`
+  * semantics, surrogate pairs counted once); hashes are deduped per row
+  * with an open-addressing long set (no boxing) before the array is
+  * built. Strings shorter than k return an empty array; null → null.
+  */
+case class KGramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _: StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_kgram_hashes requires k >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_kgram_hashes requires a string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    KGramHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.KGramHashes.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_kgram_hashes"
+}
+
+object KGramHashes {
+  // polynomial base (odd, large) for the rolling window hash mod 2^64
+  private final val B = 0x100000001b3L
+
+  /** murmur3 fmix64 — full-avalanche finalizer so the weak low-order
+    * structure of a plain polynomial hash never reaches the shuffle
+    * partitioner or the bucket grouping.
+    */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** Shared by interpreted eval and generated code (one call per row). */
+  def compute(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // code-point extraction: one pass, int per character (matches the
+    // character semantics of substr on any text, not just ASCII)
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Int](n)
+    var ci = 0
+    var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      cps(ci) = cp; ci += 1
+      off += Character.charCount(cp)
+    }
+    // B^(k-1) for the slide-out term
+    var bk = 1L
+    var e = 0
+    while (e < k - 1) { bk *= B; e += 1 }
+    val m = n - k + 1
+    // open-addressing distinct set sized for the worst case (all unique)
+    var capBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(4L, m.toLong * 2 - 1))
+    val cap = 1 << capBits
+    val mask = cap - 1
+    val table = new Array[Long](cap) // 0 = empty (0-hash remapped below)
+    val out = new Array[Long](m)
+    var outN = 0
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + cps(i); i += 1 } // first window
+    var pos = 0
+    while (pos < m) {
+      var v = fmix64(h)
+      if (v == 0L) v = 1L // reserve 0 as the empty-slot marker
+      var slot = (v.toInt ^ (v >>> 32).toInt) & mask
+      var seen = false
+      while (!seen && table(slot) != 0L) {
+        if (table(slot) == v) seen = true else slot = (slot + 1) & mask
+      }
+      if (!seen) {
+        table(slot) = v
+        out(outN) = v; outN += 1
+      }
+      if (pos + 1 < m) { h = (h - cps(pos) * bk) * B + cps(pos + k) }
+      pos += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, outN))
+  }
+}

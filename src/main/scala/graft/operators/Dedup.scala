@@ -877,16 +877,29 @@ object Dedup {
   def exactSubstringSpans(df: DataFrame, k: Int = 24, minShared: Int = 10,
       maxBucket: Int = 1000, hashGrams: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // hashed path: one compiled rolling-hash pass per document
+    // ([[graft.expressions.KGramHashes]] — O(L) work, no substring
+    // allocation); literal path: the composed substr form (kept for the
+    // PipelineSpec parity assertion and gram-readability debugging).
+    // Both dedup grams per document before exploding.
     val gramsArr = transform(
       sequence(lit(1), length(col("text")) - lit(k - 1)),
       i => col("text").substr(i, lit(k)))
+    val gramCol =
+      if (hashGrams)
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.KGramHashes(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k)))
+      else explode(array_distinct(gramsArr))
     val keyed = df.filter(length(col("text")) >= k)
-      .select(col("doc_id"), explode(array_distinct(gramsArr)).as("gram"))
-      .select(col("doc_id"),
-        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("g"))
-    val pairsInBucket = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + 2, size(col("ds"))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
+      .select(col("doc_id"), gramCol.as("g"))
+    // compiled pair expansion ([[graft.expressions.PairCombinations]]) —
+    // the flatten(transform(slice…)) HOF form was the dominant cost at
+    // 10⁸ pairs (boxed elements, interpreted lambdas, a slice copy per
+    // outer position)
+    val pairsInBucket = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PairCombinations(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("ds"))))
     val w = Window.partitionBy(col("g"))
     keyed
       .withColumn("bsz", count(lit(1)).over(w))

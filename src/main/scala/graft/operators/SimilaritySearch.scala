@@ -482,14 +482,18 @@ object SimilaritySearch {
       model.transform(vecd)
         .select(col("vec_id"), col("embedding"), col("cluster")),
       "embedding", "nrm")
-    val senior = assigned.select(col("cluster"), col("vec_id").as("sid"),
+    // EVERY senior-side column is renamed — in a self-join a shared name
+    // resolves both sides to the same attribute and the equi-predicate
+    // folds to trivially-true (the join silently degenerates to
+    // all-pairs), so the rename is the load-bearing disambiguation
+    val senior = assigned.select(col("cluster").as("scl"), col("vec_id").as("sid"),
       col("embedding").as("sv"), col("nrm").as("sn"))
     // dropped = rows with at least one senior near-dup in their cluster —
     // a LEFT SEMI on the cluster key (bounded fan-out, never cross-cluster)
     val dropped = assigned.join(senior,
-        assigned("cluster") === senior("cluster") &&
-          col("sid") < assigned("vec_id") &&
-          pairSim(col("sv"), assigned("embedding"), col("sn"), assigned("nrm")) >= tau,
+        col("scl") === col("cluster") &&
+          col("sid") < col("vec_id") &&
+          pairSim(col("sv"), col("embedding"), col("sn"), col("nrm")) >= tau,
         "left_semi")
       .select(col("vec_id"), lit(0).as("kept"))
     assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))

@@ -893,6 +893,51 @@ object Dedup {
       else explode(array_distinct(gramsArr))
     val keyed = df.filter(length(col("text")) >= k)
       .select(col("doc_id"), gramCol.as("g"))
+    sharedGramPairs(keyed, maxBucket, minShared)
+  }
+
+  /** Winnowed production form of [[exactSubstringSpans]] (d11 → d18, the
+    * substring analog of the d6→d13 / d10→d15 parity→production series):
+    * instead of keying EVERY k-gram position, key only the winnowed
+    * fingerprints ([[graft.expressions.WinnowedGramHashes]] — Schleimer
+    * et al. SIGMOD'03, the MOSS selection rule). Expected selection
+    * density is ~2/(w+1), while any shared span of at least w+k−1
+    * characters still contains a full selection window and is GUARANTEED
+    * to surface. `minShared` scales with the density (default 2 ≈ d11's
+    * 10 shared grams × 2/(w+1)).
+    *
+    * What winnowing does and does NOT thin (measured on the 100× natural
+    * fixture): keyed gram rows drop by the density (139M → 23.6M, ÷5.9),
+    * which cuts the gram shuffle 17 GB → 6.9 GB and wall 110 s → 41 s.
+    * Candidate PAIRS drop only 430M → 229M: selection of a gram depends
+    * on its w-neighborhood, so grams whose surrounding CONTEXT is shared
+    * across documents are selected in every one of them — exactly the
+    * property the span guarantee requires — and content-duplicated
+    * grams therefore keep their full bucket frequency. The ((w+1)/2)²
+    * volume reduction applies to the coincidental long-tail collisions,
+    * not to genuine shared spans; on a template-heavy corpus the
+    * residual volume is content-bound (3.6M buckets of ~10 span-sharing
+    * docs here) — it IS the workload, and the per-pair cost is what the
+    * compiled expansion kernel minimizes.
+    */
+  def winnowedSubstringSpans(df: DataFrame, k: Int = 24, w: Int = 9,
+      minShared: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val keyed = df.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.WinnowedGramHashes(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k, w)))
+          .as("g"))
+    sharedGramPairs(keyed, maxBucket, minShared)
+  }
+
+  /** Shared tail of the substring-span operators: guard degenerate gram
+    * buckets, collapse identical doc-lists, expand weighted pairs with
+    * the compiled kernel, and sum per-pair shared-gram counts.
+    */
+  private def sharedGramPairs(keyed: DataFrame, maxBucket: Int,
+      minShared: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // compiled pair expansion ([[graft.expressions.PairCombinations]]) —
     // the flatten(transform(slice…)) HOF form was the dominant cost at
     // 10⁸ pairs (boxed elements, interpreted lambdas, a slice copy per

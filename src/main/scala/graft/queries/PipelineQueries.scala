@@ -522,6 +522,24 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // D18: the winnowed production contract for d11 (Schleimer et al.
+    // SIGMOD'03 fingerprint selection): only each 9-window's
+    // lexicographically smallest 24-gram is keyed — keyed rows ÷5.9,
+    // gram shuffle 17→6.9 GB, wall 110→41 s on the 100× fixture — while
+    // any shared span ≥ w+k−1 = 32 chars is still guaranteed to collide
+    // (context-shared grams stay selected everywhere, so genuine span
+    // candidates are preserved, not thinned; see the operator scaladoc).
+    // minShared=2 ≈ d11's 10-shared-gram floor × the 2/(w+1) selection
+    // density. The oracle replicates the selection with literal grams
+    // (list_min over sliding list_slice windows); the Spark side keys
+    // the same selections by rolling hash — identical pair counts modulo
+    // 64-bit collisions, the d11 hashGrams argument.
+    "d18_winnowed_spans" -> ((s, dir) => {
+      Dedup.winnowedSubstringSpans(Catalog.documents(s, dir),
+          k = 24, w = 9, minShared = 2, maxBucket = 1000)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // T14: corpus-wide top-K bigrams — the collocation/phrase-mining pass
     // (vocabulary pruning, boilerplate discovery). Shingling runs through
     // the codegen posexplode+lead path; the count is one map-side-combined
@@ -1082,6 +1100,29 @@ object PipelineQueries {
         |  count(*) AS shared_grams
         |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d18: literal-gram replica of the winnowed selection — list_min over
+    // sliding list_slice windows of the ordered gram list (window w=9,
+    // whole-list window for shorter docs), then the d11 counting tail
+    "d18_winnowed_spans" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE len(text) >= 24),
+        |gl AS (
+        |  SELECT doc_id,
+        |    [substr(text, CAST(i AS INT), 24) for i in range(1, len(text) - 24 + 2)] AS gs
+        |  FROM docs),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest([list_min(list_slice(gs, CAST(i AS INT), CAST(i AS INT) + least(9, len(gs)) - 1))
+        |              for i in range(1, len(gs) - least(9, len(gs)) + 2)]) AS g
+        |    FROM gl)),
+        |c AS (SELECT g, count(*) AS cnt FROM sel GROUP BY g),
+        |kept AS (SELECT sel.doc_id, sel.g FROM sel JOIN c USING (g)
+        |         WHERE cnt BETWEEN 2 AND 1000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_grams
+        |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "t10_decontaminate" ->

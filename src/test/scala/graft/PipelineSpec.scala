@@ -508,6 +508,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.count() == 3 + 4950)
   }
 
+  test("winnowedSubstringSpans: a w+k-1-char shared span surfaces; selection is a sparse subset of all grams") {
+    val span = "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345" // 32 chars = w+k-1 at k=24, w=9
+    val docs = docsDf(Seq(
+      1L -> (("left filler text one two three " * 3) + span + " trailing content here"),
+      2L -> ("completely other prefix words " + span + (" other suffix padding " * 3)),
+      3L -> ("unrelated document with nothing in common at all with the others " * 2)))
+    // the winnowing guarantee: ANY shared span of >= w+k-1 chars contains a
+    // full selection window, so the pair must surface at minShared=1
+    val out = Dedup.winnowedSubstringSpans(docs, k = 24, w = 9, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    // selected fingerprints are a sparse SUBSET of the full gram-hash set
+    // (same rolling-hash key space — the d11 compatibility contract)
+    def arrCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.graft.ColumnBridge.column(e)
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.expression(c)
+    val both = docs.select(
+        arrCol(graft.expressions.KGramHashes(expr(col("text")), 24)).as("all"),
+        arrCol(graft.expressions.WinnowedGramHashes(expr(col("text")), 24, 9)).as("sel"))
+      .collect()
+    both.foreach { r =>
+      val all = r.getSeq[Long](0).toSet
+      val sel = r.getSeq[Long](1).toSet
+      assert(sel.subsetOf(all))
+      assert(sel.nonEmpty && sel.size < all.size)
+      // density near 2/(w+1) = 0.2 (loose bound; text is non-adversarial)
+      assert(sel.size.toDouble / all.size < 0.5)
+    }
+  }
+
   test("semanticDedup: in-cluster near-dups drop, seniors and distant members survive") {
     import spark.implicits._
     def v(xs: Double*) = xs.map(_.toFloat).toArray

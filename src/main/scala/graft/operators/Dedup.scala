@@ -133,9 +133,12 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairsInBucket = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + 2, size(col("ds"))),
-        y => struct(x.as("doc1"), y.as("doc2")))))
+    // compiled pair expansion (PairCombinations — same kernel as the
+    // substring-span pipelines; the HOF flatten(transform(slice…)) form
+    // boxes elements and copies a slice per outer position)
+    val pairsInBucket = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PairCombinations(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("ds"))))
     // bucket sizes via a window over the SAME key the groupBy uses — the
     // exchange is shared, and oversized buckets are dropped BEFORE
     // collect_list ever buffers them (filtering after the collect would
@@ -147,7 +150,7 @@ object Dedup {
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(pairsInBucket).as("p"))
-      .select(col("p.doc1"), col("p.doc2"))
+      .select(col("p.doc_a").as("doc1"), col("p.doc_b").as("doc2"))
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("n_bands"))
   }
 

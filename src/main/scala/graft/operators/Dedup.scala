@@ -934,6 +934,46 @@ object Dedup {
     sharedGramPairs(keyed, maxBucket, minShared)
   }
 
+  /** Per-document duplicated-span fraction — the PAIR-FREE span-dup
+    * signal (the curation decision rule of the Gopher/RefinedWeb
+    * lineage: drop documents whose text is mostly duplicated elsewhere).
+    * For each document: the number of its winnowed span fingerprints
+    * ([[graft.expressions.WinnowedGramHashes]]) that appear in at least
+    * one OTHER document, and that count as a fraction of its selections.
+    *
+    * This closes the d11 → d18 → d19 cost ladder: d11/d18 enumerate
+    * every span-sharing PAIR, so their output (and therefore their
+    * cost) tracks the corpus's span-pair density — measured ~4× per
+    * corpus doubling on a template-heavy fixture, inherently
+    * output-bound. This form never expands pairs at all: one groupBy
+    * counts per-fingerprint document frequency (map-side combined), one
+    * join marks each doc's fingerprints shared/unique, one aggregate
+    * emits the per-doc fraction — every stage O(selected rows), linear
+    * in corpus size at ANY duplication density. At 100 TB this is the
+    * query you run corpus-wide; the pair contracts are what you run on
+    * the flagged survivors.
+    *
+    * Frequency counting is per distinct (doc, fingerprint) — the kernel
+    * already dedups per doc — and needs no degenerate-bucket guard: a
+    * boilerplate fingerprint in 10⁹ docs is one counter, not 10¹⁸
+    * pairs.
+    */
+  def dupSpanFraction(df: DataFrame, k: Int = 24, w: Int = 9): DataFrame = {
+    val keyed = df.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.WinnowedGramHashes(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k, w)))
+          .as("g"))
+    val freq = keyed.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    keyed.join(freq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_spans"), 6).as("dup_frac"))
+  }
+
   /** Shared tail of the substring-span operators: guard degenerate gram
     * buckets, collapse identical doc-lists, expand weighted pairs with
     * the compiled kernel, and sum per-pair shared-gram counts.

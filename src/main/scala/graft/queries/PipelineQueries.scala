@@ -540,6 +540,17 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // D19: pair-free per-document duplicated-span fraction — the
+    // linear-at-any-density end of the d11→d18→d19 ladder (the
+    // Gopher/RefinedWeb curation decision signal). One frequency count
+    // over winnowed fingerprints + one join back; no pair expansion, so
+    // cost is O(selected rows) regardless of how span-dense the corpus
+    // is (the property d18's pair contract cannot have).
+    "d19_dup_span_fraction" -> ((s, dir) => {
+      Dedup.dupSpanFraction(Catalog.documents(s, dir), k = 24, w = 9)
+        .orderBy(col("doc_id"))
+    }),
+
     // T14: corpus-wide top-K bigrams — the collocation/phrase-mining pass
     // (vocabulary pruning, boilerplate discovery). Shingling runs through
     // the codegen posexplode+lead path; the count is one map-side-combined
@@ -1124,6 +1135,29 @@ object PipelineQueries {
         |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d19: same literal winnowed selection, then per-doc shared-fraction
+    // (no pair join anywhere)
+    "d19_dup_span_fraction" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE len(text) >= 24),
+        |gl AS (
+        |  SELECT doc_id,
+        |    [substr(text, CAST(i AS INT), 24) for i in range(1, len(text) - 24 + 2)] AS gs
+        |  FROM docs),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest([list_min(list_slice(gs, CAST(i AS INT), CAST(i AS INT) + least(9, len(gs)) - 1))
+        |              for i in range(1, len(gs) - least(9, len(gs)) + 2)]) AS g
+        |    FROM gl)),
+        |freq AS (SELECT g, count(*) AS df FROM sel GROUP BY g)
+        |SELECT sel.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS dup_frac
+        |FROM sel JOIN freq USING (g)
+        |GROUP BY sel.doc_id
+        |ORDER BY sel.doc_id""".stripMargin,
 
     "t10_decontaminate" ->
       s"""WITH sh AS (

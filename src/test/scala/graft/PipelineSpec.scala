@@ -540,6 +540,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSpanFraction: span-sharing docs flagged, unique docs at 0, invariants hold") {
+    val span = "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345" // 32 chars >= w+k-1
+    val docs = docsDf(Seq(
+      1L -> (("left filler text one two three " * 3) + span + " trailing content here"),
+      2L -> ("completely other prefix words " + span + (" other suffix padding " * 3)),
+      3L -> ("unrelated document with nothing in common at all with the others " * 2)))
+    val out = Dedup.dupSpanFraction(docs, k = 24, w = 9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // the guaranteed-colliding span marks both docs, the unrelated one stays clean
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0.0)
+    // invariants: 0 <= n_shared <= n_spans, frac = n_shared/n_spans (6 dp)
+    out.values.foreach { case (n, s, f) =>
+      assert(s >= 0 && s <= n)
+      assert(math.abs(f - math.rint(s.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+    // consistency with the pair contract: every doc in a d18 pair has dup_frac > 0
+    val paired = Dedup.winnowedSubstringSpans(docs, k = 24, w = 9, minShared = 1)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    paired.foreach(id => assert(out(id)._3 > 0.0))
+  }
+
   test("semanticDedup: in-cluster near-dups drop, seniors and distant members survive") {
     import spark.implicits._
     def v(xs: Double*) = xs.map(_.toFloat).toArray

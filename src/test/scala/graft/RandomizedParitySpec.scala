@@ -393,4 +393,93 @@ class RandomizedParitySpec extends AnyFunSuite {
       assert(got == expect, s"case $i")
     }
   }
+
+  // ---- compiled text kernels vs naive references on random unicode ----
+
+  /** Random strings over a mixed alphabet that includes multi-byte code
+    * points and SUPPLEMENTARY characters (surrogate pairs in the JVM's
+    * UTF-16) — the cases where a code-unit loop would silently diverge
+    * from substr/code-point semantics.
+    */
+  private def randomText(rnd: Random, len: Int): String = {
+    val alphabet: IndexedSeq[String] =
+      ("abcxyz 012".map(_.toString) :+ "é" :+ "ß" :+ "中" :+
+        new String(Character.toChars(0x1F600)) :+ // 😀 (supplementary)
+        new String(Character.toChars(0x10400))).toIndexedSeq
+    (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+  }
+
+  private def naiveGrams(s: String, k: Int): Seq[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) Seq.empty
+    else (0 to cps.length - k).map(i => new String(cps, i, k))
+  }
+
+  test("KGramHashes: distinct-count and cross-doc equality match literal code-point grams") {
+    for (seed <- 1 to 4) {
+      val rnd = new Random(seed)
+      val texts = Seq.fill(12)(randomText(rnd, 3 + rnd.nextInt(40)))
+      val k = 4
+      texts.foreach { t =>
+        val hashes = graft.expressions.KGramHashes
+          .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), k)
+        val lits = naiveGrams(t, k).distinct
+        assert(hashes.numElements() == lits.size, s"seed $seed text ${t.take(20)}")
+      }
+      // cross-doc: shared literal gram => shared hash (same key space)
+      val pairsShared = for {
+        a <- texts; b <- texts if a != b
+        shared = (naiveGrams(a, k).toSet intersect naiveGrams(b, k).toSet).size
+      } yield {
+        def hs(t: String) = {
+          val arr = graft.expressions.KGramHashes
+            .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), k)
+          (0 until arr.numElements()).map(arr.getLong).toSet
+        }
+        ((hs(a) intersect hs(b)).size, shared)
+      }
+      pairsShared.foreach { case (h, l) => assert(h == l) }
+    }
+  }
+
+  test("WinnowedGramHashes: selection matches a naive winnow over literal grams") {
+    for (seed <- 1 to 4) {
+      val rnd = new Random(seed)
+      val k = 4; val w = 3
+      Seq.fill(12)(randomText(rnd, 3 + rnd.nextInt(40))).foreach { t =>
+        val grams = naiveGrams(t, k)
+        val expected: Set[String] =
+          if (grams.isEmpty) Set.empty
+          else {
+            val win = math.min(w, grams.size)
+            (0 to grams.size - win).map(i => grams.slice(i, i + win).min).toSet
+          }
+        val got = graft.expressions.WinnowedGramHashes
+          .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), k, w)
+        // same cardinality, and a subset of the full-gram hash space whose
+        // size matches the naive selected-value set
+        assert(got.numElements() == expected.size, s"seed $seed text ${t.take(20)}")
+        val all = graft.expressions.KGramHashes
+          .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), k)
+        val allSet = (0 until all.numElements()).map(all.getLong).toSet
+        (0 until got.numElements()).map(got.getLong).foreach(h => assert(allSet(h)))
+      }
+    }
+  }
+
+  test("PairCombinations emits exactly the HOF pair sequence") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    for (n <- Seq(0, 1, 2, 3, 7, 20)) {
+      val ds = Array.tabulate(n)(i => (i * 31 + 7).toLong)
+      val out = graft.expressions.PairCombinations.compute(new GenericArrayData(ds))
+      val expected = for {
+        i <- 0 until n; j <- i + 1 until n
+      } yield (ds(i), ds(j))
+      assert(out.numElements() == expected.size)
+      val got = (0 until out.numElements()).map { x =>
+        val r = out.getStruct(x, 2); (r.getLong(0), r.getLong(1))
+      }
+      assert(got == expected)
+    }
+  }
 }

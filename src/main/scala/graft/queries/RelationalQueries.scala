@@ -379,6 +379,31 @@ object RelationalQueries {
               |ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // Q19 (TPC-H Q19 shape): disjunctive OR-of-ANDs predicate spanning
+    // BOTH join sides — the pushdown-splitting stress case. Catalyst
+    // cannot push the whole disjunction to either scan, but it derives
+    // and pushes the per-side IMPLIED disjunctions (brand∈{...} OR … to
+    // part, quantity-range OR … to lineitem) while keeping the full
+    // predicate as the join residual — so both scans prune even though
+    // no single conjunct applies globally. Revenue in exact integer
+    // cents (q3's formulation) for the hash match.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      Catalog.part(s, dir).createOrReplaceTempView("graft_q19_part")
+      Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q19_lineitem")
+      s.sql("""SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              |  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
+              |    AS revenue,
+              |  COUNT(*) AS n_items
+              |FROM graft_q19_lineitem, graft_q19_part
+              |WHERE p_partkey = l_partkey AND (
+              |  (p_brand IN ('Brand#11','Brand#12','Brand#13')
+              |    AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15) OR
+              |  (p_brand IN ('Brand#22','Brand#23','Brand#24')
+              |    AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25) OR
+              |  (p_brand IN ('Brand#33','Brand#34','Brand#35')
+              |    AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))""".stripMargin)
+    }),
+
     // Q3 (TPC-H Q5 shape): 5-table star join — revenue by supplier nation
     // where the customer is in the SAME nation (the local-supplier
     // condition forces the c_nationkey = s_nationkey equi-edge through
@@ -1109,6 +1134,20 @@ object RelationalQueries {
         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |  (p_brand IN ('Brand#11','Brand#12','Brand#13')
+        |    AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15) OR
+        |  (p_brand IN ('Brand#22','Brand#23','Brand#24')
+        |    AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25) OR
+        |  (p_brand IN ('Brand#33','Brand#34','Brand#35')
+        |    AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

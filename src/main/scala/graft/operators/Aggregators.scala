@@ -77,4 +77,35 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
+
+  /** KMV (k-minimum-values) sketch accumulator: the k smallest DISTINCT
+    * hash values of a group, ascending — the mergeable building block of
+    * theta-style set sketches (Beyer et al., SIGMOD'07; the DataSketches
+    * theta family). Unlike HLL registers (a13/a28), two KMV sketches
+    * support set INTERSECTION estimation: with θ = min of the two kth
+    * values, |A∩B| ≈ |{h ∈ K_A ∩ K_B : h < θ}| · M/θ over hash domain
+    * M. Fully deterministic given the hash function — both the sketch
+    * contents and the estimate hash-match an oracle engine computing the
+    * same k-smallest set.
+    *
+    * Buffer is O(k) regardless of group cardinality (partial aggregation
+    * keeps k values per map task, merges keep k), so a 100 TB group
+    * costs k longs — the same boundedness contract as [[TopKAggregator]].
+    */
+  class MinKAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+    def zero: Seq[Long] = Seq.empty
+    def reduce(acc: Seq[Long], h: Long): Seq[Long] =
+      // cheap pre-checks keep the common case allocation-free: a value
+      // past the current kth can never enter a full sketch
+      if (acc.length == k && h >= acc.last) acc
+      else if (acc.contains(h)) acc
+      else trim(acc :+ h)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = trim(a ++ b)
+    def finish(acc: Seq[Long]): Seq[Long] = acc
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

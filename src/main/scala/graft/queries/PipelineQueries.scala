@@ -128,6 +128,49 @@ object PipelineQueries {
           dim = 64, targetBucket = 128, nTables = 3)
     }),
 
+    // T23: KMV/theta-sketch corpus-overlap estimation — the mergeable
+    // sketch HLL can't provide: set INTERSECTION. Each side (benchmark =
+    // every 50th doc, training = the rest, the t10 split) keeps only its
+    // k=256 smallest distinct shingle hashes (MinKAggregator — O(k)
+    // state per side at any corpus size); θ = min of the two kth values
+    // and |A∩B| ≈ |{h ∈ K_A∩K_B : h < θ}|·M/θ in exact BIGINT
+    // arithmetic, so the estimate (not just the sketch) hash-matches
+    // DuckDB. The output row carries the exact distinct intersection
+    // alongside for a self-documenting accuracy check. The crossJoins
+    // assemble ONE-ROW frames (a9_znorm precedent, PlanDiscipline
+    // allowlisted).
+    "t23_kmv_overlap" -> ((s, dir) => {
+      val k = 256
+      val sh = graft.functions.TextFunctions
+        .explodedShingles(Catalog.documents(s, dir), "doc_id", "text", 3)
+        .select(
+          when(col("doc_id") % 50 === 0, "bench").otherwise("train").as("side"),
+          Dedup.contentHash(col("shingle")).as("h"))
+        .distinct()
+      val minK = udaf(new graft.operators.Aggregators.MinKAggregator(k))
+      val kmv = sh.groupBy(col("side"))
+        .agg(minK(col("h")).as("kmv"), count(lit(1)).as("n_distinct"))
+      val a = kmv.filter(col("side") === "bench")
+        .select(col("kmv").as("ka"), col("n_distinct").as("bench_distinct"))
+      val b = kmv.filter(col("side") === "train")
+        .select(col("kmv").as("kb"), col("n_distinct").as("train_distinct"))
+      val exactI = sh.filter(col("side") === "bench").select("h")
+        .intersect(sh.filter(col("side") === "train").select("h"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      a.crossJoin(b).crossJoin(exactI)
+        .withColumn("theta",
+          least(element_at(col("ka"), k), element_at(col("kb"), k)))
+        .withColumn("inter_below",
+          size(filter(array_intersect(col("ka"), col("kb")),
+            x => x < col("theta"))).cast("long"))
+        .select(
+          lit(k.toLong).as("k"),
+          col("bench_distinct"), col("train_distinct"),
+          col("exact_intersection"), col("theta"),
+          expr(s"CAST(inter_below * ${Dedup.HashMod}L DIV theta AS BIGINT)")
+            .as("est_intersection"))
+    }),
+
     // D17: SemDeDup-style semantic dedup (Abbas et al. 2023) — a seeded
     // K-Means partitions the embedding space (fit on a bounded
     // hash-prefix sample), then each cluster drops members with a senior
@@ -1135,6 +1178,29 @@ object PipelineQueries {
         |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // t23: the same k-smallest-distinct-hash sketch per side, θ, and
+    // exact-integer estimate (DuckDB `//` = Spark DIV on positive BIGINTs)
+    "t23_kmv_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN doc_id % 50 = 0 THEN 'bench' ELSE 'train' END AS side,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.operators.Dedup.HashMod} AS h
+        |  FROM (SELECT doc_id, unnest(${shinglesSql("t")}) AS s FROM toks)),
+        |ka AS (SELECT h FROM sh WHERE side = 'bench' ORDER BY h LIMIT 256),
+        |kb AS (SELECT h FROM sh WHERE side = 'train' ORDER BY h LIMIT 256),
+        |stats AS (SELECT
+        |  (SELECT count(*) FROM sh WHERE side = 'bench') AS bench_distinct,
+        |  (SELECT count(*) FROM sh WHERE side = 'train') AS train_distinct,
+        |  (SELECT count(*) FROM (SELECT h FROM sh WHERE side = 'bench'
+        |                         INTERSECT SELECT h FROM sh WHERE side = 'train')) AS exact_intersection,
+        |  least((SELECT max(h) FROM ka), (SELECT max(h) FROM kb)) AS theta)
+        |SELECT CAST(256 AS BIGINT) AS k, bench_distinct, train_distinct,
+        |  exact_intersection, theta,
+        |  CAST((SELECT count(*) FROM ka JOIN kb USING (h) WHERE h < stats.theta)
+        |       * ${graft.operators.Dedup.HashMod} // stats.theta AS BIGINT) AS est_intersection
+        |FROM stats""".stripMargin,
 
     // d19: same literal winnowed selection, then per-doc shared-fraction
     // (no pair join anywhere)

@@ -61,4 +61,23 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(folded.size == 5)
     assert(agg.finish(folded) == Seq("a1000", "a999", "a998", "a997", "a996"))
   }
+
+  test("MinKAggregator: k smallest distinct values, bounded, merge-order independent") {
+    val agg = new Aggregators.MinKAggregator(4)
+    val vals = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 100L, 2L)
+    val folded = vals.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(folded) == Seq(1L, 2L, 3L, 5L)) // distinct, ascending, capped
+    // merge order independence + boundedness: split arbitrarily, same sketch
+    val (l, r) = vals.splitAt(3)
+    val m1 = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    val m2 = agg.merge(r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce))
+    assert(m1 == folded && m2 == folded)
+    assert((1L to 10000L).foldLeft(agg.zero)(agg.reduce).size == 4)
+    // distributed form agrees with the local fold
+    import spark.implicits._
+    val u = udaf(new Aggregators.MinKAggregator(4))
+    val got = vals.map(("g", _)).toDF("g", "h").repartition(4)
+      .groupBy("g").agg(u(col("h"))).head().getSeq[Long](1)
+    assert(got == Seq(1L, 2L, 3L, 5L))
+  }
 }

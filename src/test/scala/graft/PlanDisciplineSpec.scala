@@ -32,13 +32,15 @@ class PlanDisciplineSpec extends AnyFunSuite {
     *    the bounded query set against candidate cells;
     *  - v9_coarse_rerank: stage-1 coarse scan joins the bounded query
     *    set non-equi (vec_id ≠ query_id), same shape as v1.
+    *  - t23_kmv_overlap: crossJoins of ONE-ROW frames (two k=256 KMV
+    *    sketch rows and a one-row exact count) — the a9 shape.
     */
   private val allowedBnlj = Set(
     "a9_znorm", "h4_kl_divergence", "t12_bm25", "t13_lm_score",
     "t22_tfidf_terms", "c7_zorder_cells", "a26_ntile_bins",
     "j1_prefix_semijoin", "j8_longest_prefix",
     "v1_knn_brute", "v4_ivf_topk", "v10_ivf_persisted", "v5_int8_knn",
-    "v9_coarse_rerank")
+    "v9_coarse_rerank", "t23_kmv_overlap")
 
   test("no cartesian products; BNLJ only on the allowlisted tiny-broadcast queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

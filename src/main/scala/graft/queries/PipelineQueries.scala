@@ -128,6 +128,55 @@ object PipelineQueries {
           dim = 64, targetBucket = 128, nTables = 3)
     }),
 
+    // T24: DSIR importance weights (Xie et al. 2023, "Data selection
+    // for language models via importance resampling"): score every
+    // training document by how target-like its hashed-bigram profile is
+    // — log w(doc) = Σ_features [ln p_target(b) − ln p_raw(b)] over
+    // B=1024 hashed buckets with add-one smoothing, target = the bench
+    // split, raw = the rest. Shapes: two O(B) frequency tables (window
+    // totals over the 1024-row bucket frame, no crossJoin), broadcast-
+    // joined onto the exploded features, one per-doc sum — linear, no
+    // driver collect. Determinism: each bucket's log-ratio is rounded
+    // to FIXED-POINT 1e-6 first (BIGINT), so the per-doc sum is an
+    // exact integer in any summation order and hash-matches DuckDB
+    // (the raw double sum would be order-sensitive).
+    "t24_dsir_weights" -> ((s, dir) => {
+      val B = 1024
+      val bi = graft.functions.TextFunctions
+        .explodedShingles(Catalog.documents(s, dir), "doc_id", "text", 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 50 === 0, "bench").otherwise("train").as("side"),
+          pmod(Dedup.contentHash(col("shingle")), lit(B.toLong)).as("b"))
+      val tc = bi.filter(col("side") === "bench").groupBy("b")
+        .agg(count(lit(1)).as("ct"))
+      val sc = bi.filter(col("side") === "train").groupBy("b")
+        .agg(count(lit(1)).as("cs"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val ratios = tc.join(sc, Seq("b"), "full_outer")
+        .select(col("b"),
+          coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cs"), lit(0L)).as("cs"))
+        .withColumn("tot_t", sum(col("ct")).over(wAll))
+        .withColumn("tot_s", sum(col("cs")).over(wAll))
+        .select(col("b"),
+          round((log((col("ct") + 1).cast("double") / (col("tot_t") + B)) -
+                 log((col("cs") + 1).cast("double") / (col("tot_s") + B))) * 1e6, 0)
+            .cast("long").as("lr_e6"))
+      val scored = bi.filter(col("side") === "train")
+        .join(broadcast(ratios), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr_e6")).as("log_weight_e6"))
+      Catalog.documents(s, dir)
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("log_weight_e6"), lit(0L)).as("log_weight_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T23: KMV/theta-sketch corpus-overlap estimation — the mergeable
     // sketch HLL can't provide: set INTERSECTION. Each side (benchmark =
     // every 50th doc, training = the rest, the t10 split) keeps only its
@@ -1178,6 +1227,34 @@ object PipelineQueries {
         |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // t24: same hashed-bigram buckets, add-one-smoothed log-ratios
+    // rounded to fixed-point 1e-6 per bucket, exact integer per-doc sums
+    "t24_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN 'bench' ELSE 'train' END AS side,
+        |    (('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.operators.Dedup.HashMod}) % 1024 AS b
+        |  FROM (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+        |                               for i in range(1, len(t))]) AS s FROM toks)),
+        |tc AS (SELECT b, count(*) AS ct FROM bi WHERE side = 'bench' GROUP BY b),
+        |sc AS (SELECT b, count(*) AS cs FROM bi WHERE side = 'train' GROUP BY b),
+        |ratios AS (
+        |  SELECT COALESCE(tc.b, sc.b) AS b,
+        |    CAST(ROUND((ln((COALESCE(ct, 0) + 1) / ((SELECT sum(ct) FROM tc) + 1024.0))
+        |              - ln((COALESCE(cs, 0) + 1) / ((SELECT sum(cs) FROM sc) + 1024.0))) * 1e6)
+        |         AS BIGINT) AS lr_e6
+        |  FROM tc FULL OUTER JOIN sc ON tc.b = sc.b),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_feats, sum(lr_e6) AS log_weight_e6
+        |  FROM bi JOIN ratios USING (b) WHERE side = 'train' GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_feats, 0) AS n_feats,
+        |  CAST(COALESCE(s.log_weight_e6, 0) AS BIGINT) AS log_weight_e6
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     // t23: the same k-smallest-distinct-hash sketch per side, θ, and
     // exact-integer estimate (DuckDB `//` = Spark DIV on positive BIGINTs)

@@ -234,6 +234,18 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // D20: the adaptive-k production form of d17 (the d5→d14 precedent):
+    // k = max(2, ceil(n / targetCluster)) keeps expected cluster
+    // population ~128 as the corpus grows, so the within-cluster
+    // self-join stays O(n·cluster) instead of O(n²/k_fixed). At sf0.01
+    // (500 vectors) the rule picks k=4; golden oracle, same regeneration
+    // recipe as d17.
+    "d20_semdedup_scaled" -> ((s, dir) => {
+      SimilaritySearch.semanticDedupAdaptive(Catalog.embeddings(s, dir), 0.35,
+          targetCluster = 128)
+        .orderBy(col("vec_id"))
+    }),
+
     // V1: brute-force cosine top-10 for 5 query vectors (exact ANN baseline).
     "v1_knn_brute" -> ((s, dir) => {
       val emb = Catalog.embeddings(s, dir)
@@ -2132,6 +2144,8 @@ object PipelineQueries {
     // DuckDB — ml1–ml5 precedent); regenerate with the same recipe as m3/m4
     "d17_semdedup" ->
       "SELECT * FROM read_parquet('/root/repo/goldens/d17_semdedup.parquet') ORDER BY vec_id",
+    "d20_semdedup_scaled" ->
+      "SELECT * FROM read_parquet('/root/repo/goldens/d20_semdedup_scaled.parquet') ORDER BY vec_id",
 
     "m2_frame_sample" ->
       """WITH media AS (

@@ -404,6 +404,55 @@ object RelationalQueries {
               |    AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))""".stripMargin)
     }),
 
+    // Q13 (TPC-H Q13 shape): customer order-count DISTRIBUTION — the
+    // outer-join + double-aggregation pattern. The join condition carries
+    // a non-key predicate (priority filter) that must stay ON the join,
+    // not become a WHERE (a WHERE would drop the zero-order customers the
+    // query exists to count). One shuffled outer join on o_custkey, then
+    // a count-of-counts whose second aggregate is tiny (distinct order
+    // counts, not customers) — both scale-free shapes at 100 TB.
+    "q13_cust_order_dist" -> ((s, dir) => {
+      val cust = Catalog.customer(s, dir).select(col("c_custkey"))
+      val ord = Catalog.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+      cust.join(ord,
+          cust("c_custkey") === ord("o_custkey") &&
+            ord("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // counts NON-NULL only
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q18 (TPC-H Q18 shape): large-volume customers — an aggregate-HAVING
+    // subquery used as a semi-join filter on the fact table, then the
+    // surviving orders re-aggregated with their customer. Catalyst plans
+    // the IN as a LeftSemi hash join against the HAVING aggregate (the
+    // aggregate output is orders-sized at most, AQE broadcasts it when
+    // small); lineitem is scanned twice but shuffled on the same
+    // l_orderkey key both times. Quantities are whole numbers so the
+    // HAVING threshold and the output sum are engine-exact.
+    "q18_large_volume" -> ((s, dir) => {
+      Catalog.customer(s, dir).createOrReplaceTempView("graft_q18_customer")
+      Catalog.orders(s, dir).createOrReplaceTempView("graft_q18_orders")
+      Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q18_lineitem")
+      s.sql("""SELECT c_name, c_custkey, o_orderkey,
+              |  CAST(o_orderdate AS DATE) AS o_orderdate,
+              |  ROUND(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+              |    / 100.0, 2) AS o_totalprice,
+              |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+              |FROM graft_q18_customer, graft_q18_orders, graft_q18_lineitem
+              |WHERE o_orderkey IN (
+              |    SELECT l_orderkey FROM graft_q18_lineitem
+              |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 280)
+              |  AND c_custkey = o_custkey
+              |  AND o_orderkey = l_orderkey
+              |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+              |LIMIT 100""".stripMargin)
+    }),
+
     // Q3 (TPC-H Q5 shape): 5-table star join — revenue by supplier nation
     // where the customer is in the SAME nation (the local-supplier
     // condition forces the c_nationkey = s_nationkey equi-edge through
@@ -1134,6 +1183,31 @@ object RelationalQueries {
         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q13_cust_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_volume" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  ROUND(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0, 2) AS o_totalprice,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 280)
+        |  AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q19_disjunctive_revenue" ->
       """SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

@@ -221,4 +221,44 @@ object TextFunctions {
       round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6))
       .otherwise(lit(0.0))
   }
+
+  // --- URL parsing (domain-level filtering / stats, all row-local) ---
+  // Pure-regexp forms (not Spark's parse_url) so the DuckDB oracles run
+  // the SAME extraction; patterns stay in the RE2 ∩ Java dialect.
+
+  /** Hostname of a URL: the authority between `scheme://` and the first
+    * `/` (no userinfo/port handling — training-data URL hygiene operates
+    * on crawl URLs, which carry neither).
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+  /** Registered domain: the last two dot-labels of the host (the
+    * public-suffix-list refinement is a lookup-table join at real scale;
+    * two labels is the standard crawl-pipeline heuristic for gTLDs).
+    */
+  def urlRegisteredDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Top-level domain (last dot-label of the host). */
+  def urlTld(url: Column): Column =
+    regexp_extract(urlHost(url), "\\.([^.]+)$", 1)
+
+  /** Path depth: number of `/`-separated segments after the authority
+    * (`https://h/a/b` → 2; a bare host or trailing slash contributes 0).
+    */
+  def urlPathDepth(url: Column): Column = {
+    val path = regexp_replace(url, "^[a-z][a-z0-9+.-]*://[^/]*", "")
+    size(filter(split(path, "/"), s => length(s) > 0)).cast("long")
+  }
+
+  /** Hashed-feature token weight in [-2^31, 2^31): the first 8 md5 hex
+    * chars as an unsigned 32-bit int, re-centered to signed. The "learned"
+    * weight table of the hashed linear classifier ([[PipelineQueries]]
+    * t28) — deterministic, engine-portable, and exactly what a real
+    * fastText-style scorer does modulo where the weights come from (a
+    * trained table joins in by the same hash at production scale).
+    */
+  def hashedTokenWeight(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") - (1L << 31)
 }

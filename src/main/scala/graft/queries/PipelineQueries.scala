@@ -823,6 +823,69 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T25: URL hygiene — domain-level corpus statistics with a blocklist
+    // filter, the first pass every crawl-derived corpus runs (group by
+    // registered domain, score/filter domains, then filter docs by their
+    // domain's verdict). The fixture has no URL column, so a
+    // deterministic crawl URL is planted per doc (same convention as
+    // t11's planted PII); extraction is pure regexp shared with the
+    // oracle. Shape at 100 TB: the per-URL parse is row-local, the
+    // domain rollup is one map-side-combined shuffle on the registered
+    // domain (cardinality ≪ docs), and the blocklist is a literal predicate
+    // pushed to the scan (a broadcast anti-join once it's a real table).
+    "t25_url_domains" -> ((s, dir) => {
+      val sub = element_at(array(lit("www"), lit("cdn"), lit("m")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val tld = element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val url = concat(lit("https://"), sub, lit("."), col("source"), lit("-"),
+        (col("doc_id") % 7).cast("string"), lit("."), tld,
+        lit("/"), col("lang"), lit("/item/"), col("doc_id").cast("string"))
+      Catalog.documents(s, dir)
+        .withColumn("url", url)
+        .select(col("doc_id"), col("url"),
+          urlHost(col("url")).as("host"),
+          urlRegisteredDomain(col("url")).as("domain"),
+          urlTld(col("url")).as("tld"),
+          urlPathDepth(col("url")).as("path_depth"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(!col("domain").isin("src0-0.com", "src1-1.org", "src2-2.net"))
+        .groupBy(col("domain"), col("tld"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("n_tokens")).as("n_tokens"),
+          max(col("path_depth")).as("max_depth"))
+        .orderBy(col("domain"))
+    }),
+
+    // T28: model-based quality scoring — a hashed-feature linear
+    // classifier (the fastText-style filter pass that follows t20's rule
+    // gate in crawl pipelines: Brown et al. 2020 §A, CCNet). Features are
+    // hashed unigrams; the weight table is addressed BY the hash
+    // (deterministic md5-derived weights stand in for trained ones —
+    // swapping in a learned table is a broadcast join keyed the same
+    // way). score = mean token weight, squashed; the keep label compares
+    // the INTEGER weight sum to zero, so the decision boundary is exact
+    // across engines. Shape: explode → row-local weight → one map-side-
+    // combined sum per doc; no weight-table shuffle at any corpus size.
+    "t28_quality_classifier" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val scored = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .select(col("doc_id"), hashedTokenWeight(col("t")).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("w_sum"), count(lit(1)).as("n_tokens"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          round(lit(1.0) / (lit(1.0) + exp(-coalesce(col("w_sum"), lit(0L))
+            .cast("double") / (greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L))
+              * lit(2147483648.0)))), 6).as("score"),
+          (coalesce(col("w_sum"), lit(0L)) >= 0).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T4: document fingerprints — exact (normalized md5) and sketch
     // (md5 of the 4 smallest distinct shingle hashes, winnowing-style).
     "t4_fingerprint" -> ((s, dir) => {
@@ -1430,6 +1493,49 @@ object PipelineQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    "t25_url_domains" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || ['www','cdn','m'][CAST(doc_id % 3 AS INT) + 1] || '.' ||
+        |      source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+        |      ['com','org','net','io'][CAST(doc_id % 4 AS INT) + 1] ||
+        |      '/' || lang || '/item/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+        |    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1),
+        |      '([^.]+\\.[^.]+)$$', 1) AS domain,
+        |    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1),
+        |      '\\.([^.]+)$$', 1) AS tld,
+        |    CAST(len(list_filter(string_split(
+        |      regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', ''), '/'),
+        |      x -> len(x) > 0)) AS BIGINT) AS path_depth
+        |  FROM u)
+        |SELECT domain, tld, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT host) AS n_hosts,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, MAX(path_depth) AS max_depth
+        |FROM p
+        |WHERE domain NOT IN ('src0-0.com', 'src1-1.org', 'src2-2.net')
+        |GROUP BY domain, tld
+        |ORDER BY domain""".stripMargin,
+
+    "t28_quality_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |w AS (SELECT doc_id,
+        |        ('0x' || substr(md5(t), 1, 8))::BIGINT - 2147483648 AS w
+        |      FROM tok),
+        |agg AS (SELECT doc_id, SUM(w) AS w_sum, COUNT(*) AS n_tokens
+        |        FROM w GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(agg.n_tokens, 0) AS n_tokens,
+        |  ROUND(1.0 / (1.0 + exp(-CAST(COALESCE(agg.w_sum, 0) AS DOUBLE)
+        |    / (GREATEST(COALESCE(agg.n_tokens, 0), 1) * 2147483648.0))), 6) AS score,
+        |  CAST(COALESCE(agg.w_sum, 0) >= 0 AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "t6_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

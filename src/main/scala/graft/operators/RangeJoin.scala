@@ -61,4 +61,42 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__cell")
   }
+
+  private def cellExploded(df: DataFrame, startCol: String, endCol: String,
+      grid: Long, maxCellsPerInterval: Long): DataFrame = {
+    val cellStart = floorDiv(col(startCol), grid)
+    val cellEnd = floorDiv(col(endCol), grid)
+    df.withColumn("__ncells",
+        when(cellEnd - cellStart + 1 > maxCellsPerInterval,
+          raise_error(concat(lit(s"intervalOverlapJoin: interval spans more " +
+            s"than $maxCellsPerInterval grid cells (grid=$grid, start="),
+            col(startCol), lit(", end="), col(endCol),
+            lit("); raise `grid` or split the interval"))))
+          .otherwise(cellEnd - cellStart + 1))
+      .withColumn("__cell", explode(sequence(cellStart, cellEnd)))
+      .drop("__ncells")
+  }
+
+  /** Interval-OVERLAP join: every (left row ⨯ right row) whose closed
+    * intervals intersect (`lStart ≤ rEnd AND rStart ≤ lEnd`). The naive
+    * theta-join is a nested loop; here BOTH sides explode onto the grid
+    * and hash-join on the cell, and each true pair is kept EXACTLY ONCE
+    * without a distinct: the canonical cell of a pair is the cell of
+    * `greatest(lStart, rStart)` — the overlap region's first point, which
+    * by definition lies inside both intervals, so both sides emitted that
+    * cell — and the pair is emitted only from it. Shuffle is
+    * O(rows · cells-per-interval); the quadratic term is confined to
+    * co-resident cell populations, the same bound every bucketed join in
+    * this library carries. Column names must be disjoint across sides.
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      grid: Long, maxCellsPerInterval: Long = 1L << 20): DataFrame = {
+    val l = cellExploded(left, lStart, lEnd, grid, maxCellsPerInterval)
+    val r = cellExploded(right, rStart, rEnd, grid, maxCellsPerInterval)
+    l.join(r, Seq("__cell"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__cell") === floorDiv(greatest(col(lStart), col(rStart)), grid))
+      .drop("__cell")
+  }
 }

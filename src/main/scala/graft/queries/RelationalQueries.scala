@@ -232,6 +232,29 @@ object RelationalQueries {
         .orderBy(col("promo_id"))
     }),
 
+    // J12 (beyond-reference): interval-OVERLAP join — view and click
+    // intervals (event ts + value seconds) that intersect in time. Both
+    // sides explode onto a 512 s grid and hash-join on the cell; each
+    // true pair survives exactly once via the canonical-cell rule (no
+    // distinct), and the exact overlap predicate filters residuals. The
+    // naive formulation is an inequality BNLJ — O(|views|·|clicks|)
+    // comparisons — which PlanDisciplineSpec forbids outright.
+    "j12_interval_overlap" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir).select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("s0"),
+        (expr("unix_micros(ts) div 1000000")
+          + round(col("value")).cast("long")).as("e0"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("s0").as("vs"), col("e0").as("ve"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("s0").as("cs"), col("e0").as("ce"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          views, "vs", "ve", clicks, "cs", "ce", grid = 512L)
+        .select(col("v_id"), col("c_id"),
+          (least(col("ve"), col("ce")) - greatest(col("vs"), col("cs"))).as("overlap_s"))
+        .orderBy(col("v_id"), col("c_id"))
+    }),
+
     // A1 flagship: hash aggregation with partial (map-side) combine —
     // TPC-H Q1 shape over the flow-rollup monoid (HogSFlow.scala:877-882).
     // Q2 (TPC-H Q3 shape): 3-table selective join — segment-filtered
@@ -1069,6 +1092,20 @@ object RelationalQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM pts JOIN promos ON day BETWEEN start_day AND end_day
         |GROUP BY 1 ORDER BY promo_id""".stripMargin,
+
+    "j12_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) // 1000000 AS s0,
+        |    epoch_us(ts::TIMESTAMP) // 1000000 + CAST(ROUND(value) AS BIGINT) AS e0
+        |  FROM events),
+        |v AS (SELECT event_id AS v_id, s0 AS vs, e0 AS ve FROM e
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS c_id, s0 AS cs, e0 AS ce FROM e
+        |      WHERE event_type = 'click')
+        |SELECT v_id, c_id, LEAST(ve, ce) - GREATEST(vs, cs) AS overlap_s
+        |FROM v JOIN c ON vs <= ce AND cs <= ve
+        |ORDER BY v_id, c_id""".stripMargin,
 
     "j9_asof_join" ->
       """WITH l AS (

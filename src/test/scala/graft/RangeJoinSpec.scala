@@ -26,4 +26,28 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(run(128L) == expected)
     assert(run(1L) == expected)
   }
+
+  test("intervalOverlapJoin: overlap semantics, exactly-once pairs, grid independence") {
+    import spark.implicits._
+    // closed intervals; (1,2) touch at a point, (2,3) nest, (4) disjoint,
+    // (5,6) span many cells so a pair co-occurs in several grid cells —
+    // the canonical-cell rule must still emit it once
+    val left = Seq((1L, 10L, 20L), (3L, 32L, 35L), (4L, 200L, 210L), (5L, 0L, 100L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((2L, 20L, 30L), (30L, 30L, 40L), (6L, 50L, 60L))
+      .toDF("rid", "rs", "re")
+    def run(grid: Long) = RangeJoin.intervalOverlapJoin(
+        left, "ls", "le", right, "rs", "re", grid)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    val expected = Set(
+      (1L, 2L),               // touch at 20 (closed bounds)
+      (3L, 30L),              // nested
+      (5L, 2L), (5L, 30L), (5L, 6L)) // wide interval catches all three
+    for (grid <- Seq(1L, 7L, 64L, 1024L)) {
+      val got = run(grid)
+      assert(got.toSet == expected, s"grid=$grid")
+      assert(got.size == expected.size, s"grid=$grid must emit each pair once")
+    }
+  }
 }

@@ -313,6 +313,29 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // V11: ANN recall evaluation — recall@5 of the IVF index (nProbe=2)
+    // against the exact brute-force ground truth, per query. The harness
+    // every ANN deployment runs before trusting an index: ground truth
+    // and candidate sets are both distributed top-k computations, the
+    // comparison is one semi-join-shaped aggregate on (query, neighbor).
+    // At 100 TB the ground truth runs once over a fixed query SAMPLE
+    // (queries here are a bounded slice, so the brute side stays
+    // |sample|·|corpus|, map-side only — no all-pairs anywhere).
+    "v11_recall_eval" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, qs, 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = SimilaritySearch.ivfTopK(emb, qs, "label", k = 5, nProbe = 2)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // V5: int8 scalar-quantized top-k — the corpus scanned at 1/4 the
     // bytes (256-level per-dimension grid); ranking fidelity bounded by
     // grid error. Exactly models decode-from-int8-storage.
@@ -977,7 +1000,11 @@ object PipelineQueries {
   /** v4 and v10 share ONE oracle: the persisted-index path must be
     * output-identical to the fused in-session IVF probe search.
     */
-  private val IvfTopKOracleSql =
+  /** The IVF probe-and-score CTE chain (queries = vec_id < 10, nProbe=2),
+    * ending at `scored`; shared by v4/v10's top-k select and v11's recall
+    * evaluation.
+    */
+  private val IvfScoredCtes =
     """WITH centl AS (
       |  SELECT label AS part, i,
       |    ROUND(AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 6) AS c
@@ -1003,11 +1030,35 @@ object PipelineQueries {
       |scored AS (
       |  SELECT p.query_id, cn.part, cn.vec_id,
       |    ROUND(list_sum(list_transform(range(1, 65), i -> p.qv[i]*cn.v[i]))/(p.qnrm*cn.nrm), 6) AS sim
-      |  FROM probes p JOIN cn ON cn.part = p.part AND cn.vec_id <> p.query_id)
+      |  FROM probes p JOIN cn ON cn.part = p.part AND cn.vec_id <> p.query_id)""".stripMargin
+
+  private val IvfTopKOracleSql = IvfScoredCtes +
+    """
       |SELECT query_id, rank, CAST(part AS BIGINT) AS part, vec_id, sim FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
       |  FROM scored) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val RecallEvalOracleSql = IvfScoredCtes + ",".stripMargin +
+    """
+      |approx AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM scored) t WHERE rank <= 5),
+      |bscored AS (
+      |  SELECT qn.query_id, cn.vec_id,
+      |    ROUND(list_sum(list_transform(range(1, 65), i -> qn.qv[i]*cn.v[i]))/(qn.qnrm*cn.nrm), 6) AS sim
+      |  FROM qn JOIN cn ON cn.vec_id <> qn.query_id),
+      |exact AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM bscored) t WHERE rank <= 5)
+      |SELECT e.query_id, COUNT(*) AS n_exact,
+      |  COUNT(a.vec_id) AS n_hits,
+      |  ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+      |FROM exact e LEFT JOIN approx a
+      |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   /** Shared SQL fragments (DuckDB 1.0): tokens / shingles / bit-of-md5.
     * `private[queries]` so sibling oracle modules (StreamingQueries' st7)
@@ -1976,6 +2027,7 @@ object PipelineQueries {
     "v4_ivf_topk" -> IvfTopKOracleSql,
     // identical semantics, persisted-index execution path
     "v10_ivf_persisted" -> IvfTopKOracleSql,
+    "v11_recall_eval" -> RecallEvalOracleSql,
 
     "t14_top_ngrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

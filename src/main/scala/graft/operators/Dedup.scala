@@ -1009,4 +1009,57 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("w")).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)
   }
+
+  /** Content-defined chunking dedup (the LBFS/rsync/FastCDC boundary
+    * rule, token-granular): a chunk boundary falls after any token whose
+    * trailing `w`-token window hashes into the cut residue class (first
+    * md5 nibble '0' → P(cut) = 1/16, mean chunk ≈ 16 tokens). Because
+    * boundaries are decided by local CONTENT, inserting or deleting a
+    * token resynchronizes within one window — chunk fingerprints
+    * downstream of an edit still match, which is exactly what d9's
+    * fixed-stride chunking loses (one leading token shifts every chunk).
+    * The per-doc pass is two window functions over the doc's own tokens
+    * (partition = doc, no cross-doc shuffle); the corpus-level dedup is
+    * the same canonical-min groupBy on the chunk fingerprint as d9, so
+    * scale behavior is identical to the fixed-stride pipeline.
+    */
+  def cdcChunkDedup(df: DataFrame, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toksPos = df
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 until w).map(k => lead(col("tok"), k).over(byDoc))
+    // b0: the w-window STARTING here is a cut window; its boundary falls
+    // after the window's LAST token (pos + w − 1), realigned via lag below
+    val withBnd = toksPos
+      .withColumn("b0",
+        when(leads.last.isNotNull &&
+          substring(md5(concat_ws(" ", (col("tok") +: leads): _*)), 1, 1) === "0",
+          1L).otherwise(0L))
+      .withColumn("bnd_end", coalesce(lag(col("b0"), w - 1).over(byDoc), lit(0L)))
+    val cum = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    withBnd
+      .withColumn("chunk_idx", coalesce(sum(col("bnd_end")).over(cum), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("fp"))
+  }
+
+  /** Per-doc duplication stats over [[cdcChunkDedup]] chunks — the d9
+    * output contract (n_chunks / n_dup_chunks / dup_frac), but
+    * shift-robust.
+    */
+  def cdcChunkStats(df: DataFrame, w: Int = 4): DataFrame = {
+    val chunks = cdcChunkDedup(df, w)
+    val canonical = chunks.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .select(col("fp"), col("first.doc_id").as("cdoc"), col("first.chunk_idx").as("cc"))
+    chunks.join(canonical, Seq("fp"))
+      .withColumn("dup",
+        (col("doc_id") =!= col("cdoc") || col("chunk_idx") =!= col("cc")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("dup")).as("n_dup_chunks"),
+        round(sum(col("dup")).cast("double") / count(lit(1)), 6).as("dup_frac"))
+  }
 }

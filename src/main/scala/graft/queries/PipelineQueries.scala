@@ -621,6 +621,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D21: content-defined chunk dedup — d9's contract with LBFS/FastCDC
+    // boundaries (rolling window hash picks the cut points), so chunk
+    // fingerprints survive token insertions/deletions that shift every
+    // fixed-stride chunk. The shift-robust half of the chunk-dedup
+    // ladder; per-doc windows only, corpus dedup is one fp groupBy.
+    "d21_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunkStats(Catalog.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // C5: the FULL curation pipeline's attrition report — benchmark
     // holdout, quality gate, exact dedup, LSH near-dup resolution, and
     // benchmark decontamination in one DAG (graft.CurateApp), with every
@@ -1253,6 +1263,44 @@ object PipelineQueries {
         |SELECT ch.doc_id, COUNT(*) AS n_chunks,
         |  CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.c <> canon.cc THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         |  ROUND(CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.c <> canon.cc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        |FROM ch JOIN canon ON ch.fp = canon.fp
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "d21_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos0,
+        |    toks[CAST(i + 1 AS INT)] AS tok, len(toks) AS n, toks
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t)),
+        |b AS (
+        |  SELECT doc_id, pos0, tok,
+        |    CASE WHEN pos0 + 4 <= n AND substr(md5(array_to_string(
+        |        toks[CAST(pos0 + 1 AS INT) : CAST(pos0 + 4 AS INT)], ' ')), 1, 1) = '0'
+        |      THEN 1 ELSE 0 END AS b0
+        |  FROM tok),
+        |bnd AS (
+        |  SELECT doc_id, pos0, tok,
+        |    COALESCE(lag(b0, 3) OVER (PARTITION BY doc_id ORDER BY pos0), 0) AS bnd_end
+        |  FROM b),
+        |cidx AS (
+        |  SELECT doc_id, pos0, tok,
+        |    COALESCE(SUM(bnd_end) OVER (PARTITION BY doc_id ORDER BY pos0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM bnd),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    md5(string_agg(tok, ' ' ORDER BY pos0)) AS fp
+        |  FROM cidx GROUP BY 1, 2),
+        |canon AS (
+        |  SELECT fp, doc_id AS cdoc, chunk_idx AS cc FROM (
+        |    SELECT fp, doc_id, chunk_idx,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.chunk_idx <> canon.cc
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  ROUND(CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.chunk_idx <> canon.cc
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
         |FROM ch JOIN canon ON ch.fp = canon.fp
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
 

@@ -182,6 +182,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.length == 3 && expanded.size == 21)
   }
 
+  test("cdcChunkDedup: boundaries resynchronize after a leading insertion (d9 does not)") {
+    // a long synthetic doc (enough tokens for several CDC cuts), and the
+    // same doc with ONE token prepended — the edit that shifts every
+    // fixed-stride chunk but only the first content-defined chunk(s)
+    val words = (0 until 400).map(i => s"w${i % 57}tok$i")
+    val doc = words.mkString(" ")
+    val shifted = "inserted " + doc
+    val docs = docsDf(Seq(1L -> doc, 2L -> shifted))
+
+    val cdc = Dedup.cdcChunkDedup(docs)
+    val fps1 = cdc.filter(col("doc_id") === 1L).select("fp").collect().map(_.getString(0)).toSet
+    val fps2 = cdc.filter(col("doc_id") === 2L).select("fp").collect().map(_.getString(0)).toSet
+    assert(fps1.size > 5, s"expected several chunks, got ${fps1.size}")
+    val sharedCdc = (fps1 intersect fps2).size.toDouble / fps1.size
+    assert(sharedCdc > 0.8,
+      s"CDC chunks must survive a leading insertion (shared=$sharedCdc)")
+
+    // the fixed-stride pipeline (d9's chunking) loses essentially all of
+    // them on the same edit — this contrast is the operator's reason to exist
+    def strideFps(id: Long) = {
+      val toks = (if (id == 1L) doc else shifted).split(" ")
+      toks.grouped(10).map(_.mkString(" ")).toSet
+    }
+    val sharedStride =
+      (strideFps(1L) intersect strideFps(2L)).size.toDouble / strideFps(1L).size
+    assert(sharedStride < 0.1,
+      s"fixed-stride chunks should NOT survive the shift (shared=$sharedStride)")
+
+    // stats contract: doc 2's chunks downstream of the edit are dups of
+    // doc 1's canonical chunks
+    val stats = Dedup.cdcChunkStats(docs)
+      .filter(col("doc_id") === 2L).select("dup_frac").collect()(0).getDouble(0)
+    assert(stats > 0.8, s"expected most of doc 2 flagged dup, got $stats")
+  }
+
   test("ngramJaccardPairs confirms the planted pair above threshold") {
     val nearDup = base + " postscript"
     val docs = docsDf(Seq(1L -> base, 2L -> nearDup,

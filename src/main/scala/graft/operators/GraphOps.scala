@@ -169,4 +169,38 @@ object GraphOps {
     }
     state.select(col("node"), col("r"))
   }
+
+  /** Multi-source BFS: minimum hop count from any seed node, bounded at
+    * `maxHops`. Frontier-relational: each round is ONE equi-join of the
+    * current frontier to the directed edge list plus an anti-join against
+    * the visited set — the textbook distributed BFS (no vertex program,
+    * no driver adjacency). Rounds are a fixed count, and both the visited
+    * set and the frontier are lineage-truncated per round (same rationale
+    * as [[pageRankFixedPoint]]: without it round N's plan embeds rounds
+    * 1..N−1 and optimizer time goes superlinear). Frontier size is
+    * corpus-bounded and monotonically shrinking on finite graphs; at
+    * 100 TB the per-round shuffle is O(frontier ⋈ edges), never O(n²).
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    val durable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    val dir = truncate(edges.select(col("u").as("s"), col("v").as("d"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("d"))))
+    var visited = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("hop"))
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = truncate(dir
+        .join(frontier.withColumnRenamed("node", "s"), Seq("s"))
+        .select(col("d").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop")))
+      visited = truncate(visited.unionAll(next))
+      frontier = next.select(col("node"))
+    }
+    visited
+  }
 }

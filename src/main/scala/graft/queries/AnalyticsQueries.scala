@@ -127,6 +127,21 @@ object AnalyticsQueries {
         .orderBy(col("node"))
     }),
 
+    // GR5: multi-source BFS — minimum hop count (bounded at 4) from the
+    // seed suppliers (suppkey ≡ 0 mod 50) through the co-supplier graph.
+    // The reachability/blast-radius primitive (supply-chain contagion,
+    // contamination spread through near-dup links). Frontier-relational
+    // rounds with lineage truncation; the oracle is a DuckDB recursive
+    // CTE bounded by the same hop cap.
+    "gr5_bfs_hops" -> ((s, dir) => {
+      val edges = coSupplierEdges(s, dir)
+      val seeds = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node"))).distinct()
+        .filter(col("node") % 50 === 0)
+      GraphOps.bfsHops(edges, seeds, maxHops = 4)
+        .orderBy(col("node"))
+    }),
+
     // E3: SCD2 dimension build from the event log — validity intervals
     // per (user, event_type) change, no-op changes collapsed; epoch-micro
     // interval bounds for pure-integer oracle compare.
@@ -632,6 +647,23 @@ object AnalyticsQueries {
         |        GROUP BY 1)
         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "gr5_bfs_hops" ->
+      """WITH RECURSIVE
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |       WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+        |d AS (SELECT u AS s, dst FROM (SELECT u, v AS dst FROM e)
+        |      UNION ALL SELECT v AS s, u AS dst FROM e),
+        |seeds AS (SELECT DISTINCT s AS node FROM d WHERE s % 50 = 0),
+        |bfs(node, hop) AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds
+        |  UNION
+        |  SELECT d.dst, b.hop + 1 FROM bfs b JOIN d ON d.s = b.node
+        |  WHERE b.hop < 4)
+        |SELECT node, MIN(hop) AS hop FROM bfs
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "gr2_triangles" ->
       """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem

@@ -791,6 +791,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // T29: in-document repetition REMOVAL — the transform side of t6's
+    // signal (CCNet/RefinedWeb line-wise correction, at chunk grain since
+    // the fixture has no newlines): within each doc, keep only the FIRST
+    // occurrence of every 10-token chunk and fingerprint the cleaned
+    // text. All shuffles are keyed by doc_id (window + final agg);
+    // nothing crosses documents, so the pass is embarrassingly parallel
+    // at any corpus size.
+    "t29_dedup_transform" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(col("text"))
+      val chunks = Catalog.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("c", explode(sequence(lit(0),
+          ceil(size(col("toks")) / 10.0).cast("int") - 1)))
+        .select(col("doc_id"), col("c"),
+          concat_ws(" ", slice(col("toks"), col("c") * 10 + 1, lit(10))).as("chunk"))
+      val w = Window.partitionBy(col("doc_id"), col("chunk")).orderBy(col("c"))
+      chunks
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("kept_frac"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(when(col("rn") === 1,
+              struct(col("c"), col("chunk"))))),
+              x => x.getField("chunk")))).as("cleaned_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -1265,6 +1297,26 @@ object PipelineQueries {
         |  ROUND(CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.c <> canon.cc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
         |FROM ch JOIN canon ON ch.fp = canon.fp
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "t29_dedup_transform" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |cidx AS (
+        |  SELECT doc_id, toks, unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS c
+        |  FROM t WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, c,
+        |    array_to_string(toks[CAST(c*10+1 AS INT) : CAST(c*10+10 AS INT)], ' ') AS chunk
+        |  FROM cidx),
+        |k AS (
+        |  SELECT doc_id, c, chunk,
+        |    row_number() OVER (PARTITION BY doc_id, chunk ORDER BY c) AS rn
+        |  FROM ch)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |    AS kept_frac,
+        |  md5(string_agg(chunk, ' ' ORDER BY c) FILTER (rn = 1)) AS cleaned_fp
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d21_cdc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -239,3 +239,112 @@ object PairCombinations {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Content-defined chunk fingerprints ([[graft.operators.Dedup.cdcChunkDedup]]'s
+  * kernel): tokenized text in, md5 hex fingerprint per chunk out, where a
+  * chunk boundary falls after any token whose trailing `w`-token window's
+  * md5 starts with hex nibble 0 (the LBFS/FastCDC cut rule, P = 1/16).
+  *
+  * The exploded form (posexplode → three same-spec window passes →
+  * collect_list per chunk) shuffles every token twice and re-materializes
+  * the chunk text through an aggregate; this node does the whole pass
+  * row-locally — token bytes decoded once, one rolling MessageDigest for
+  * the gram windows and one for the running chunk — so the only shuffle
+  * left in d21 is the corpus-level fingerprint groupBy. Fingerprints are
+  * bit-identical to the window form and to the DuckDB oracle (md5 of the
+  * chunk's tokens joined by single spaces).
+  *
+  * Null input → null; empty token array → empty fingerprint array.
+  */
+case class CdcChunkFps(child: Expression, w: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_chunk_fps requires w >= 1, got $w")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_chunk_fps requires array<string> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunkFps.compute(input.asInstanceOf[ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.CdcChunkFps.compute($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_cdc_chunk_fps"
+}
+
+object CdcChunkFps {
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Shared by interpreted eval and generated code (one call per row). */
+  def compute(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = tlMd.get()
+    // token bytes decoded once (null elements can't come from tokens(),
+    // but degrade to empty rather than NPE)
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (toks.isNullAt(i)) Array.emptyByteArray
+              else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    // boundary after index e ⟺ the w-window starting at e−w+1 cuts
+    val bnd = new Array[Boolean](n)
+    var p = 0
+    while (p <= n - w) {
+      md.reset()
+      var t = 0
+      while (t < w) {
+        if (t > 0) md.update(' '.toByte)
+        md.update(tb(p + t))
+        t += 1
+      }
+      // first hex nibble '0' ⟺ high 4 bits of byte 0 are zero
+      if ((md.digest()(0) & 0xf0) == 0) bnd(p + w - 1) = true
+      p += 1
+    }
+    // assemble chunk fingerprints: md5 of tokens joined by single spaces
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    md.reset()
+    var inChunk = false
+    i = 0
+    while (i < n) {
+      if (inChunk) md.update(' '.toByte)
+      md.update(tb(i))
+      inChunk = true
+      if (bnd(i) || i == n - 1) {
+        out += hex(md.digest())
+        md.reset()
+        inChunk = false
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}

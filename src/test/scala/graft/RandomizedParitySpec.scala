@@ -482,4 +482,40 @@ class RandomizedParitySpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("CdcChunkFps kernel matches a naive per-doc Scala reference on random docs") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def naive(text: String, w: Int): Seq[String] = {
+      val toks = text.trim.split(" +").filter(_.nonEmpty)
+      if (toks.isEmpty) return Seq.empty
+      val bnd = Array.fill(toks.length)(false)
+      for (p <- 0 to toks.length - w)
+        if (md5hex(toks.slice(p, p + w).mkString(" ")).head == '0')
+          bnd(p + w - 1) = true
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var chunk = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (i <- toks.indices) {
+        chunk += toks(i)
+        if (bnd(i) || i == toks.length - 1) {
+          out += md5hex(chunk.mkString(" ")); chunk.clear()
+        }
+      }
+      out.toSeq
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "x1", "q", "zz", "longertoken9")
+      val docs = (0L until 40L).map(i =>
+        (i, Seq.fill(rnd.nextInt(120))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val got = Dedup.cdcChunkDedup(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._2).map(_._3).toSeq }
+      val expected = docs.map { case (d, t) => d -> naive(t, 4) }
+        .filter(_._2.nonEmpty).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
 }

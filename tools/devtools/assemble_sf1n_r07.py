@@ -67,7 +67,7 @@ except OSError:
 # optional end-to-end runs (CurateApp / GraftApp timed wall-clock at sf1n)
 # and the multi-round soak blob, merged verbatim if present
 for key, path in [("end_to_end", "/tmp/e2e_sf1n.json"),
-                  ("soak", "/tmp/SOAK_r06.json")]:
+                  ("soak", "/tmp/SOAK_r07.json")]:
     try:
         with open(path) as f:
             artifact[key] = json.load(f)

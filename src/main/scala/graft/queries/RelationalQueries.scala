@@ -255,6 +255,31 @@ object RelationalQueries {
         .orderBy(col("v_id"), col("c_id"))
     }),
 
+    // J13: the production contract for j12 — per-view OVERLAP STATISTICS
+    // instead of materialized pairs. The join's pair expansion feeds a
+    // partial (map-side combined) aggregate keyed by the view id, so the
+    // shuffle and the output stay LINEAR in views at any density; at the
+    // 100x fixture j12's pair set is ~156M rows while this is one row per
+    // overlapped view. Same contract-vs-production split as d6 → d12.
+    "j13_overlap_stats" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir).select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("s0"),
+        (expr("unix_micros(ts) div 1000000")
+          + round(col("value")).cast("long")).as("e0"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("s0").as("vs"), col("e0").as("ve"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("s0").as("cs"), col("e0").as("ce"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          views, "vs", "ve", clicks, "cs", "ce", grid = 512L)
+        .groupBy(col("v_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("ve"), col("ce")) - greatest(col("vs"), col("cs")))
+            .as("overlap_s_total"),
+          min(col("c_id")).as("first_click"))
+        .orderBy(col("v_id"))
+    }),
+
     // A1 flagship: hash aggregation with partial (map-side) combine —
     // TPC-H Q1 shape over the flow-rollup monoid (HogSFlow.scala:877-882).
     // Q2 (TPC-H Q3 shape): 3-table selective join — segment-filtered
@@ -425,6 +450,31 @@ object RelationalQueries {
               |    AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25) OR
               |  (p_brand IN ('Brand#33','Brand#34','Brand#35')
               |    AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))""".stripMargin)
+    }),
+
+    // Q16 (TPC-H Q16 shape): NOT IN subquery — the NULL-AWARE anti-join,
+    // the fourth decorrelation flavor in the family (q4 EXISTS, q21
+    // EXISTS+NOT EXISTS, q17 scalar, here NOT IN): `x NOT IN (subq)` is
+    // three-valued — if the subquery CAN contain a NULL the whole
+    // predicate is UNKNOWN for every row — so Catalyst plans a
+    // BroadcastHashJoin in NullAwareAntiJoin mode (single-column NAAJ),
+    // not a plain LeftAnti. The distinct supplier-per-(brand,size) count
+    // on top is the two-level distinct aggregate. (The fixture has no
+    // partsupp/s_comment; lineitem's (part,supp) pairs and a key-residue
+    // predicate stand in — the SHAPE is Q16's.)
+    "q16_supplier_cnt" -> ((s, dir) => {
+      Catalog.part(s, dir).createOrReplaceTempView("graft_q16_part")
+      Catalog.supplier(s, dir).createOrReplaceTempView("graft_q16_supplier")
+      Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q16_lineitem")
+      s.sql("""SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+              |FROM graft_q16_lineitem, graft_q16_part
+              |WHERE p_partkey = l_partkey
+              |  AND p_brand <> 'Brand#45'
+              |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+              |  AND l_suppkey NOT IN (
+              |    SELECT s_suppkey FROM graft_q16_supplier WHERE s_suppkey % 13 = 0)
+              |GROUP BY p_brand, p_size
+              |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
     }),
 
     // Q13 (TPC-H Q13 shape): customer order-count DISTRIBUTION — the
@@ -1107,6 +1157,22 @@ object RelationalQueries {
         |FROM v JOIN c ON vs <= ce AND cs <= ve
         |ORDER BY v_id, c_id""".stripMargin,
 
+    "j13_overlap_stats" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) // 1000000 AS s0,
+        |    epoch_us(ts::TIMESTAMP) // 1000000 + CAST(ROUND(value) AS BIGINT) AS e0
+        |  FROM events),
+        |v AS (SELECT event_id AS v_id, s0 AS vs, e0 AS ve FROM e
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS c_id, s0 AS cs, e0 AS ce FROM e
+        |      WHERE event_type = 'click')
+        |SELECT v_id, COUNT(*) AS n_overlaps,
+        |  CAST(SUM(LEAST(ve, ce) - GREATEST(vs, cs)) AS BIGINT) AS overlap_s_total,
+        |  MIN(c_id) AS first_click
+        |FROM v JOIN c ON vs <= ce AND cs <= ve
+        |GROUP BY v_id ORDER BY v_id""".stripMargin,
+
     "j9_asof_join" ->
       """WITH l AS (
         |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
@@ -1220,6 +1286,17 @@ object RelationalQueries {
         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
     "q13_cust_order_dist" ->
       """SELECT c_count, COUNT(*) AS custdist

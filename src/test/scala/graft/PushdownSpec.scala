@@ -67,4 +67,16 @@ class PushdownSpec extends AnyFunSuite {
     val widths = scansOf("m1_media_features").map(_.requiredSchema.fields.length)
     assert(widths.forall(_ <= 3), s"read widths: $widths")
   }
+
+  test("q16_supplier_cnt plans the NOT IN as a null-aware anti-join (NAAJ)") {
+    // `x NOT IN (subq)` is three-valued; a plain LeftAnti would return
+    // WRONG rows if the subquery ever produced a NULL. The physical form
+    // is BroadcastHashJoin(..., LeftAnti, ..., isNullAwareAntiJoin=true),
+    // printed as a trailing `true` flag.
+    val plan = SparkEntry.queries("q16_supplier_cnt")(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    val naaj = plan.split("\n").filter(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti") && l.contains("true"))
+    assert(naaj.nonEmpty, s"no null-aware anti-join in plan:\n$plan")
+  }
 }

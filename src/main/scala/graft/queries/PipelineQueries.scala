@@ -621,6 +621,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D22: cross-corpus (A-vs-B) incremental dedup — the ingest-screen
+    // contract: which NEW documents (content-hash bucket ≥ 80) are exact
+    // or near duplicates OF THE EXISTING corpus. Self-dedup (d1/d2)
+    // can't answer this; it is the batch form of CurateStreamApp's
+    // per-micro-batch screen, and this oracle is the screen's only
+    // hash-exact cross-engine check. Precedence matches the app:
+    // exact_dup > near_dup > fresh. Shape at 100 TB: both checks are
+    // semi-joins keyed by content hash / band signature — the small NEW
+    // side broadcasts, the corpus is scanned once and never shuffled.
+    "d22_incremental_dedup" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val isNew = sampleBucket(col("doc_id")) >= 80
+      val old = docs.filter(!isNew)
+      val neu = docs.filter(isNew)
+      val oldFps = old.select(exactFingerprint(col("text")).as("fp")).distinct()
+      val exactHit = neu
+        .select(col("doc_id"), exactFingerprint(col("text")).as("fp"))
+        .join(oldFps, Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("is_exact"))
+      val oldBands = Dedup.lshBands(old).select(col("band"), col("sig")).distinct()
+      val nearHit = Dedup.lshBands(neu)
+        .join(oldBands, Seq("band", "sig"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(1L).as("is_near"))
+      neu.select(col("doc_id"))
+        .join(exactHit, Seq("doc_id"), "left")
+        .join(nearHit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact") === 1L, "exact_dup")
+            .when(col("is_near") === 1L, "near_dup")
+            .otherwise("fresh").as("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D21: content-defined chunk dedup — d9's contract with LBFS/FastCDC
     // boundaries (rolling window hash picks the cut points), so chunk
     // fingerprints survive token insertions/deletions that shift every
@@ -1297,6 +1331,41 @@ object PipelineQueries {
         |  ROUND(CAST(SUM(CASE WHEN ch.doc_id <> canon.cdoc OR ch.c <> canon.cc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
         |FROM ch JOIN canon ON ch.fp = canon.fp
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "d22_incremental_dedup" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM documents),
+        |$bandsSql,
+        |split AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 80
+        |      AS is_new
+        |  FROM documents),
+        |fps AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |oldfp AS (
+        |  SELECT DISTINCT fp FROM fps JOIN split USING (doc_id) WHERE NOT is_new),
+        |exact_hit AS (
+        |  SELECT DISTINCT f.doc_id FROM fps f
+        |  JOIN split s USING (doc_id) JOIN oldfp o USING (fp)
+        |  WHERE s.is_new),
+        |oldbands AS (
+        |  SELECT DISTINCT b, sig FROM bands JOIN split USING (doc_id)
+        |  WHERE NOT is_new),
+        |near_hit AS (
+        |  SELECT DISTINCT bands.doc_id FROM bands
+        |  JOIN split USING (doc_id) JOIN oldbands USING (b, sig)
+        |  WHERE is_new)
+        |SELECT s.doc_id,
+        |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'fresh' END AS verdict
+        |FROM split s
+        |LEFT JOIN exact_hit e ON e.doc_id = s.doc_id
+        |LEFT JOIN near_hit n ON n.doc_id = s.doc_id
+        |WHERE s.is_new ORDER BY s.doc_id""".stripMargin,
 
     "t29_dedup_transform" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

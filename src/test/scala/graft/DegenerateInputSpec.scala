@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, Dedup, GraphOps, RangeJoin, SimilaritySearch}
+
+/** Degenerate-input hardening: every operator must return EMPTY (never
+  * throw) on empty inputs, and behave sanely on singletons. At 100 TB
+  * these are not edge cases — empty partitions, first-run state tables,
+  * and filters that match nothing hit every one of these paths daily;
+  * an operator that crashes on them (a reduce over no frames, a min of
+  * an empty aggregate, a window over zero rows) takes the whole batch
+  * down.
+  */
+class DegenerateInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def emptyDocs: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+  private def oneDoc: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "just one lonely document with enough tokens to shingle"))
+      .toDF("doc_id", "text")
+  }
+
+  test("dedup candidate generators: empty and singleton corpora yield no pairs") {
+    for (df <- Seq(emptyDocs, oneDoc)) {
+      assert(Dedup.lshCandidatePairs(df).count() == 0)
+      assert(Dedup.simhashCandidatePairs(df, bucketBits = 4, maxHamming = 10).count() == 0)
+      assert(Dedup.simhashSortedNeighborPairs(df, maxHamming = 10).count() == 0)
+      assert(Dedup.ngramJaccardPairs(df, 0.8).count() == 0)
+    }
+  }
+
+  test("chunk dedup: empty corpus and empty/whitespace texts yield no chunks") {
+    import spark.implicits._
+    assert(Dedup.cdcChunkDedup(emptyDocs).count() == 0)
+    assert(Dedup.cdcChunkStats(emptyDocs).count() == 0)
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.cdcChunkDedup(blank).count() == 0)
+    // one short doc (< window) → exactly one whole-doc chunk
+    val short = Seq((3L, "two tokens")).toDF("doc_id", "text")
+    assert(Dedup.cdcChunkDedup(short).count() == 1)
+  }
+
+  test("connected components and resolution: empty edge set") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    // resolution over no pairs keeps every doc as its own canonical
+    // (resolveDuplicates' seniority sort needs the fixture's n_chars)
+    val res = Dedup.resolveDuplicates(
+      oneDoc.withColumn("n_chars", length(col("text")).cast("long")),
+      noPairs, pairsDistinct = true)
+    assert(res.filter(col("keep")).count() == 1)
+  }
+
+  test("bfsHops: empty graph, empty seeds, isolated seeds") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    val noSeeds = Seq.empty[Long].toDF("node")
+    assert(GraphOps.bfsHops(noEdges, noSeeds, maxHops = 3).count() == 0)
+    // a seed with no edges is still reachable at hop 0
+    val seeds = Seq(42L).toDF("node")
+    val got = GraphOps.bfsHops(noEdges, seeds, maxHops = 3).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((42L, 0L)))
+  }
+
+  test("range and interval joins: an empty side yields an empty result") {
+    import spark.implicits._
+    val intervals = Seq((1L, 10L, 20L)).toDF("iid", "s", "e")
+    val noPoints = Seq.empty[(Long, Long)].toDF("pid", "v")
+    assert(RangeJoin.rangeJoin(noPoints, "v", intervals, "s", "e", grid = 8L).count() == 0)
+    val noIntervals = Seq.empty[(Long, Long, Long)].toDF("rid", "rs", "re")
+    assert(RangeJoin.intervalOverlapJoin(
+      intervals.toDF("lid", "ls", "le"), "ls", "le",
+      noIntervals, "rs", "re", grid = 8L).count() == 0)
+  }
+
+  test("ANN: empty query set and singleton corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq.fill(64)(0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val noQueries = corpus.filter(col("vec_id") < 0)
+    assert(SimilaritySearch.bruteForceTopK(corpus, noQueries, 5).count() == 0)
+    // singleton corpus, self excluded → its own query finds nothing
+    assert(SimilaritySearch.bruteForceTopK(corpus, corpus, 5).count() == 0)
+  }
+
+  test("asOfJoin: empty sides") {
+    import spark.implicits._
+    val ts0 = new java.sql.Timestamp(0L)
+    val left = Seq((1L, 10L, ts0)).toDF("event_id", "user_id", "ts")
+    val emptyRight = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("click_id", "user_id", "ts")
+    // no right rows → left row survives with a null match (as-of is a
+    // LEFT join by contract)
+    val out = AsOfJoin.asOfJoin(left, emptyRight, "user_id", "ts", Seq("click_id"))
+    assert(out.count() == 1)
+    assert(out.filter(col("matched.click_id").isNull).count() == 1)
+    val emptyLeft = left.filter(col("event_id") < 0)
+    assert(AsOfJoin.asOfJoin(emptyLeft,
+      left.toDF("click_id", "user_id", "ts"), "user_id", "ts", Seq("click_id")).count() == 0)
+  }
+}

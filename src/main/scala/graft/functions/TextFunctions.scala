@@ -252,6 +252,47 @@ object TextFunctions {
     size(filter(split(path, "/"), s => length(s) > 0)).cast("long")
   }
 
+  /** BPE merge list (rank-ordered, classic English digraphs plus two
+    * compound merges), shared verbatim with the DuckDB oracle so both
+    * engines apply the IDENTICAL sequence. A learned merge table drops in
+    * unchanged — apply-order semantics, not the table, are the operator.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "a" -> "t", "e" -> "n", "o" -> "r",
+    "s" -> "t", "a" -> "r", "a" -> "l", "o" -> "u", "l" -> "e",
+    "in" -> "g", "e" -> "s", "t" -> "o", "c" -> "o", "d" -> "e")
+
+  /** Apply a BPE merge table to one word — the ENCODE half of byte-pair
+    * encoding (Sennrich et al. 2016), exactly as tokenizers apply a
+    * learned vocabulary: symbols start as characters and each merge, in
+    * rank order, fuses its pair left-to-right non-overlapping.
+    *
+    * State encoding makes each merge ONE literal string replace: every
+    * symbol is wrapped as `/sym/`, so interior boundaries carry TWO
+    * slashes (`/t//h//e/`) and the pair pattern `/a//b/` → `/ab/`
+    * consumes exactly one slash from each side — neighbors keep their
+    * own, so consecutive occurrences of the same pair merge in one pass
+    * exactly like a real BPE scan (`aaaa` → `aa aa`, `aaa` → `aa a`).
+    * The whole encode is a fixed chain of codegen'd replaces — no loop,
+    * no UDF — and the DuckDB oracle runs the IDENTICAL chain with its
+    * own `replace` (both engines replace left-to-right non-overlapping).
+    * Returns the delimited symbol string (`/th//e/` for "the").
+    */
+  def bpeSymbols(word: Column, merges: Seq[(String, String)] = BpeMerges): Column = {
+    val chars = regexp_replace(word, "(.)", "/$1/")
+    merges.foldLeft(chars) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s"/$a//$b/"), lit(s"/$a$b/"))
+    }
+  }
+
+  /** Subword count of a [[bpeSymbols]] string: every symbol contributes
+    * exactly two slashes (its own wrapping), so count = slashes / 2.
+    */
+  def bpeSubwordCount(syms: Column): Column =
+    ((length(syms) - length(call_function("replace", syms, lit("/"), lit(""))))
+      / 2).cast("long")
+
   /** Hashed-feature token weight in [-2^31, 2^31): the first 8 md5 hex
     * chars as an unsigned 32-bit int, re-centered to signed. The "learned"
     * weight table of the hashed linear classifier ([[PipelineQueries]]

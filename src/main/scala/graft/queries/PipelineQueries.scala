@@ -857,6 +857,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T30: BPE tokenizer application — encode every word through a
+    // rank-ordered merge table (Sennrich et al. 2016's APPLY step, the
+    // real-tokenizer upgrade of t1's regex proxy; budget/packing math
+    // downstream of t8/t9 wants THESE counts). The merge chain compiles
+    // to a fixed sequence of literal string replaces over a
+    // slash-delimited symbol encoding (see TextFunctions.bpeSymbols) —
+    // entirely row-local codegen, one map-side-combined aggregate per
+    // doc, and the oracle runs the identical chain.
+    "t30_bpe_encode" -> ((s, dir) => {
+      Catalog.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), length(col("w")).cast("long").as("nc"),
+          bpeSubwordCount(bpeSymbols(col("w"))).as("ns"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nc")).as("n_chars"),
+          sum(col("ns")).as("n_subwords"),
+          round(sum(col("ns")).cast("double") / sum(col("nc")), 6).as("compression"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -1366,6 +1386,25 @@ object PipelineQueries {
         |LEFT JOIN exact_hit e ON e.doc_id = s.doc_id
         |LEFT JOIN near_hit n ON n.doc_id = s.doc_id
         |WHERE s.is_new ORDER BY s.doc_id""".stripMargin,
+
+    "t30_bpe_encode" -> {
+      // the SAME merge chain as TextFunctions.bpeSymbols, rendered as
+      // nested DuckDB replace() calls from the one shared merge list
+      val chain = graft.functions.TextFunctions.BpeMerges.foldLeft(
+        "regexp_replace(w, '(.)', '/\\1/', 'g')") { case (acc, (a, b)) =>
+        s"replace($acc, '/$a//$b/', '/$a$b/')"
+      }
+      s"""WITH w AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+        |e AS (
+        |  SELECT doc_id, len(w) AS nc,
+        |    (len($chain) - len(replace($chain, '/', ''))) // 2 AS ns
+        |  FROM w)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(ns) AS BIGINT) AS n_subwords,
+        |  ROUND(CAST(SUM(ns) AS DOUBLE) / SUM(nc), 6) AS compression
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "t29_dedup_transform" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -483,6 +483,42 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("bpeSymbols matches a reference BPE-apply on random words (incl. repeat chains)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{bpeSymbols, bpeSubwordCount, BpeMerges}
+    // reference: real BPE apply — for each merge in rank order, one
+    // left-to-right non-overlapping pass over the symbol list
+    def applyRef(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      for ((a, b) <- BpeMerges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val rnd = new Random(7)
+    val letters = "theranos" // dense in merge-pair letters, forces chains
+    val words = Seq("the", "then", "thth", "aaaa", "ing", "ingesting", "") ++
+      (0 until 300).map(_ => Seq.fill(1 + rnd.nextInt(12))(
+        letters(rnd.nextInt(letters.length))).mkString)
+    val got = words.toDF("w")
+      .select(col("w"), bpeSymbols(col("w")).as("syms"),
+        bpeSubwordCount(bpeSymbols(col("w"))).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.foreach { case (w, syms, n) =>
+      val ref = applyRef(w)
+      val expected = if (ref.isEmpty) "" else ref.mkString("/", "//", "/")
+      assert(syms == expected, s"word=$w")
+      assert(n == ref.length.toLong, s"word=$w count")
+    }
+  }
+
   test("CdcChunkFps kernel matches a naive per-doc Scala reference on random docs") {
     import spark.implicits._
     def md5hex(s: String): String =

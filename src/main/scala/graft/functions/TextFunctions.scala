@@ -278,9 +278,17 @@ object TextFunctions {
     * no UDF — and the DuckDB oracle runs the IDENTICAL chain with its
     * own `replace` (both engines replace left-to-right non-overlapping).
     * Returns the delimited symbol string (`/th//e/` for "the").
+    *
+    * Because '/' is the state delimiter, a literal '/' INSIDE a word
+    * ("and/or", URLs — whitespace tokenization permits both) would wrap
+    * to '///' and corrupt the slashes/2 symbol-count invariant. The word
+    * is therefore normalized by deleting '/' before wrapping — the same
+    * normalization appears verbatim in the oracle chain, so cross-engine
+    * parity covers it.
     */
   def bpeSymbols(word: Column, merges: Seq[(String, String)] = BpeMerges): Column = {
-    val chars = regexp_replace(word, "(.)", "/$1/")
+    val clean = call_function("replace", word, lit("/"), lit(""))
+    val chars = regexp_replace(clean, "(.)", "/$1/")
     merges.foldLeft(chars) { case (acc, (a, b)) =>
       call_function("replace", acc, lit(s"/$a//$b/"), lit(s"/$a$b/"))
     }

@@ -171,15 +171,19 @@ object GraphOps {
   }
 
   /** Multi-source BFS: minimum hop count from any seed node, bounded at
-    * `maxHops`. Frontier-relational: each round is ONE equi-join of the
-    * current frontier to the directed edge list plus an anti-join against
-    * the visited set — the textbook distributed BFS (no vertex program,
-    * no driver adjacency). Rounds are a fixed count, and both the visited
-    * set and the frontier are lineage-truncated per round (same rationale
-    * as [[pageRankFixedPoint]]: without it round N's plan embeds rounds
-    * 1..N−1 and optimizer time goes superlinear). Frontier size is
-    * corpus-bounded and monotonically shrinking on finite graphs; at
-    * 100 TB the per-round shuffle is O(frontier ⋈ edges), never O(n²).
+    * `maxHops`. The edge list is symmetrized into an undirected adjacency
+    * (same as [[pageRankFixedPoint]]), so hops measure undirected
+    * reachability. Frontier-relational: each round is ONE equi-join of
+    * the current frontier to the symmetrized edge list plus an anti-join
+    * against the visited set — the textbook distributed BFS (no vertex
+    * program, no driver adjacency). Rounds are a fixed count, and both
+    * the visited set and the frontier are lineage-truncated per round
+    * (same rationale as [[pageRankFixedPoint]]: without it round N's plan
+    * embeds rounds 1..N−1 and optimizer time goes superlinear). The
+    * frontier holds only NEWLY-visited nodes, so total frontier work over
+    * the whole run is bounded by |V| even though an individual round's
+    * frontier may grow or shrink; at 100 TB the per-round shuffle is
+    * O(frontier ⋈ edges), never O(n²).
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")

@@ -43,18 +43,9 @@ object RangeJoin {
   def rangeJoin(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       grid: Long, maxCellsPerInterval: Long = 1L << 20): DataFrame = {
-    val cellStart = floorDiv(col(startCol), grid)
-    val cellEnd = floorDiv(col(endCol), grid)
-    val cells = intervals
-      .withColumn("__ncells",
-        when(cellEnd - cellStart + 1 > maxCellsPerInterval,
-          raise_error(concat(lit(s"rangeJoin: interval spans more than " +
-            s"$maxCellsPerInterval grid cells (grid=$grid, start="),
-            col(startCol), lit(", end="), col(endCol),
-            lit("); raise `grid` or split the interval"))))
-          .otherwise(cellEnd - cellStart + 1))
-      .withColumn("__cell", explode(sequence(cellStart, cellEnd)))
-      .drop("__ncells")
+    val cells =
+      cellExploded(intervals, startCol, endCol, grid, maxCellsPerInterval,
+        "rangeJoin")
     points
       .withColumn("__cell", floorDiv(col(pointCol), grid))
       .join(cells, Seq("__cell"))
@@ -62,19 +53,25 @@ object RangeJoin {
       .drop("__cell")
   }
 
+  /** The blow-up guard lives INSIDE the exploded expression (the branch
+    * `when(too-wide, raise_error).otherwise(sequence…)`), not on a separate
+    * projected-then-dropped column: a guard column nothing consumes is
+    * removed by Catalyst column pruning on file-backed inputs, so it would
+    * only ever fire on LocalRelation test data — exactly where it matters
+    * least. Inside the consumed branch it survives any pruning.
+    */
   private def cellExploded(df: DataFrame, startCol: String, endCol: String,
-      grid: Long, maxCellsPerInterval: Long): DataFrame = {
+      grid: Long, maxCellsPerInterval: Long, opName: String): DataFrame = {
     val cellStart = floorDiv(col(startCol), grid)
     val cellEnd = floorDiv(col(endCol), grid)
-    df.withColumn("__ncells",
-        when(cellEnd - cellStart + 1 > maxCellsPerInterval,
-          raise_error(concat(lit(s"intervalOverlapJoin: interval spans more " +
-            s"than $maxCellsPerInterval grid cells (grid=$grid, start="),
-            col(startCol), lit(", end="), col(endCol),
-            lit("); raise `grid` or split the interval"))))
-          .otherwise(cellEnd - cellStart + 1))
-      .withColumn("__cell", explode(sequence(cellStart, cellEnd)))
-      .drop("__ncells")
+    df.withColumn("__cell", explode(
+      when(cellEnd - cellStart + 1 > maxCellsPerInterval,
+        raise_error(concat(lit(s"$opName: interval spans more than " +
+          s"$maxCellsPerInterval grid cells (grid=$grid, start="),
+          col(startCol), lit(", end="), col(endCol),
+          lit("); raise `grid` or split the interval")))
+          .cast("array<bigint>"))
+        .otherwise(sequence(cellStart, cellEnd))))
   }
 
   /** Interval-OVERLAP join: every (left row ⨯ right row) whose closed
@@ -92,8 +89,10 @@ object RangeJoin {
   def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
       grid: Long, maxCellsPerInterval: Long = 1L << 20): DataFrame = {
-    val l = cellExploded(left, lStart, lEnd, grid, maxCellsPerInterval)
-    val r = cellExploded(right, rStart, rEnd, grid, maxCellsPerInterval)
+    val l = cellExploded(left, lStart, lEnd, grid, maxCellsPerInterval,
+      "intervalOverlapJoin")
+    val r = cellExploded(right, rStart, rEnd, grid, maxCellsPerInterval,
+      "intervalOverlapJoin")
     l.join(r, Seq("__cell"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("__cell") === floorDiv(greatest(col(lStart), col(rStart)), grid))

@@ -218,7 +218,7 @@ object AnalyticsQueries {
     // cost amortized over every join keyed on the same column. Revenue
     // math follows the q2/q3 integer-cents discipline.
     "c8_bucketed_join" -> ((s, dir) => {
-      val tag = f"${math.abs(dir.hashCode)}%x"
+      val tag = f"${dir.hashCode & 0x7fffffff}%x"
       val li = Layout.ensureBucketed(s, s"lineitem_$tag", "l_orderkey", 16)(
         Catalog.lineitem(s, dir).select(col("l_orderkey"),
           (round(col("l_extendedprice") * 100).cast("long") *
@@ -241,7 +241,7 @@ object AnalyticsQueries {
     // lookup over the partition column only. Integer aggregates keep
     // the contract summation-order-proof across engines.
     "c9_partition_pruning" -> ((s, dir) => {
-      val tag = f"${math.abs(dir.hashCode)}%x"
+      val tag = f"${dir.hashCode & 0x7fffffff}%x"
       val ev = Layout.ensurePartitioned(s, s"events_$tag", "event_date")(
         Catalog.events(s, dir).select(col("user_id"), col("event_type"),
           col("ts"), to_date(col("ts")).as("event_date")))
@@ -264,7 +264,7 @@ object AnalyticsQueries {
     // pattern at 100 TB: dim predicates prune fact partitions without
     // any hand-written date literal.
     "c10_dynamic_pruning" -> ((s, dir) => {
-      val tag = f"${math.abs(dir.hashCode)}%x"
+      val tag = f"${dir.hashCode & 0x7fffffff}%x"
       val fact = Layout.ensurePartitioned(s, s"events_$tag", "event_date")(
         Catalog.events(s, dir).select(col("user_id"), col("event_type"),
           col("ts"), to_date(col("ts")).as("event_date")))

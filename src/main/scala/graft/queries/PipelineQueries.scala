@@ -1390,8 +1390,10 @@ object PipelineQueries {
     "t30_bpe_encode" -> {
       // the SAME merge chain as TextFunctions.bpeSymbols, rendered as
       // nested DuckDB replace() calls from the one shared merge list
+      // '/' is deleted from the word first — the delimiter-collision
+      // normalization TextFunctions.bpeSymbols applies (see its doc).
       val chain = graft.functions.TextFunctions.BpeMerges.foldLeft(
-        "regexp_replace(w, '(.)', '/\\1/', 'g')") { case (acc, (a, b)) =>
+        "regexp_replace(replace(w, '/', ''), '(.)', '/\\1/', 'g')") { case (acc, (a, b)) =>
         s"replace($acc, '/$a//$b/', '/$a$b/')"
       }
       s"""WITH w AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),

@@ -526,6 +526,64 @@ object RelationalQueries {
               |LIMIT 100""".stripMargin)
     }),
 
+    // Q15 (TPC-H Q15 shape): top supplier over an aggregated VIEW — the
+    // max-over-aggregate pattern. The revenue view (per-supplier sum over
+    // a ship-date window) is computed ONCE and consumed twice: once as
+    // the join input and once reduced to its global max by an
+    // uncorrelated scalar subquery (a one-row broadcast, not a re-scan
+    // per row). Revenue stays in exact integer e4 units until the final
+    // projection so the max-equality tie-break is engine-exact — a
+    // float-rounded max can admit or drop boundary suppliers differently
+    // per engine.
+    "q15_top_supplier" -> ((s, dir) => {
+      Catalog.supplier(s, dir).createOrReplaceTempView("graft_q15_supplier")
+      Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q15_lineitem")
+      s.sql("""WITH revenue AS (
+              |  SELECT l_suppkey AS supplier_no,
+              |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              |        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
+              |  FROM graft_q15_lineitem
+              |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name,
+              |  ROUND(CAST(rev_e4 AS DOUBLE) / 10000.0, 2) AS total_revenue
+              |FROM graft_q15_supplier JOIN revenue ON s_suppkey = supplier_no
+              |WHERE rev_e4 = (SELECT MAX(rev_e4) FROM revenue)
+              |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // Q20 (TPC-H Q20 shape): correlated IN with a scalar-agg threshold —
+    // the last nested-subquery flavor in the family (q4 EXISTS, q21
+    // EXISTS+NOT EXISTS, q17 correlated scalar vs constant, q16 NOT IN /
+    // NAAJ, q18 agg-HAVING semi-join; here IN-over-derived-table whose
+    // WHERE carries BOTH a nested IN and a correlated scalar aggregate).
+    // The fixture has no partsupp, so lineitem's per-(part,supplier)
+    // quantity sums stand in for ps_availqty — the decorrelation shape
+    // is Q20's: Catalyst rewrites the correlated SUM into an aggregate
+    // joined on l_partkey and the whole IN into a LeftSemi. Quantities
+    // are whole numbers; the 30% threshold is cross-multiplied into
+    // integer arithmetic (10·qty > 3·total) so the boundary is exact.
+    "q20_potential_promo" -> ((s, dir) => {
+      Catalog.supplier(s, dir).createOrReplaceTempView("graft_q20_supplier")
+      Catalog.part(s, dir).createOrReplaceTempView("graft_q20_part")
+      Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q20_lineitem")
+      s.sql("""SELECT s_suppkey, s_name
+              |FROM graft_q20_supplier
+              |WHERE s_suppkey IN (
+              |  SELECT ps_suppkey FROM (
+              |    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+              |      SUM(CAST(l_quantity AS BIGINT)) AS ps_qty
+              |    FROM graft_q20_lineitem GROUP BY 1, 2) ps
+              |  WHERE ps_partkey IN (
+              |      SELECT p_partkey FROM graft_q20_part WHERE p_name LIKE 'red%')
+              |    AND 10 * ps_qty > (
+              |      SELECT 3 * SUM(CAST(l2.l_quantity AS BIGINT))
+              |      FROM graft_q20_lineitem l2
+              |      WHERE l2.l_partkey = ps.ps_partkey))
+              |ORDER BY s_suppkey""".stripMargin)
+    }),
+
     // Q3 (TPC-H Q5 shape): 5-table star join — revenue by supplier nation
     // where the customer is in the SAME nation (the local-supplier
     // condition forces the c_nationkey = s_nationkey equi-edge through
@@ -1322,6 +1380,37 @@ object RelationalQueries {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  ROUND(CAST(rev_e4 AS DOUBLE) / 10000.0, 2) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE rev_e4 = (SELECT MAX(rev_e4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q20_potential_promo" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT ps_suppkey FROM (
+        |    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |      SUM(CAST(l_quantity AS BIGINT)) AS ps_qty
+        |    FROM lineitem GROUP BY 1, 2) ps
+        |  WHERE ps_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND 10 * ps_qty > (
+        |      SELECT 3 * SUM(CAST(l2.l_quantity AS BIGINT))
+        |      FROM lineitem l2
+        |      WHERE l2.l_partkey = ps.ps_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q19_disjunctive_revenue" ->
       """SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

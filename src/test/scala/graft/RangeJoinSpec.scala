@@ -50,4 +50,40 @@ class RangeJoinSpec extends AnyFunSuite {
       assert(got.size == expected.size, s"grid=$grid must emit each pair once")
     }
   }
+
+  test("cell-blowup guard fires on FILE-BACKED inputs (survives column pruning)") {
+    import spark.implicits._
+    // Regression: the guard used to live on a projected-then-dropped
+    // column, which Catalyst column pruning removed on parquet sources —
+    // it only ever fired on LocalRelation inputs. Parquet-backed inputs
+    // are therefore the load-bearing shape for this test.
+    val dir = java.nio.file.Files.createTempDirectory("rj-guard").toString
+    Seq((1L, 0L, 10L), (2L, 0L, 1000000L)).toDF("iid", "s", "e")
+      .write.mode("overwrite").parquet(s"$dir/intervals")
+    Seq((100L, 5L)).toDF("pid", "v")
+      .write.mode("overwrite").parquet(s"$dir/points")
+    val intervals = spark.read.parquet(s"$dir/intervals")
+    val points = spark.read.parquet(s"$dir/points")
+
+    val e1 = intercept[Exception] {
+      RangeJoin.rangeJoin(points, "v", intervals, "s", "e",
+        grid = 1L, maxCellsPerInterval = 100L).count()
+    }
+    assert(e1.getMessage.contains("rangeJoin: interval spans more than"),
+      s"got: ${e1.getMessage}")
+
+    val e2 = intercept[Exception] {
+      RangeJoin.intervalOverlapJoin(intervals, "s", "e",
+        points.select(col("v").as("rs"), col("v").as("re")), "rs", "re",
+        grid = 1L, maxCellsPerInterval = 100L).count()
+    }
+    assert(e2.getMessage.contains("intervalOverlapJoin: interval spans more than"),
+      s"got: ${e2.getMessage}")
+
+    // non-degenerate file-backed inputs still pass through untouched
+    val ok = RangeJoin.rangeJoin(points, "v",
+      intervals.filter(col("iid") === 1L), "s", "e",
+      grid = 1L, maxCellsPerInterval = 100L)
+    assert(ok.select("pid", "iid").as[(Long, Long)].collect().toSet == Set((100L, 1L)))
+  }
 }

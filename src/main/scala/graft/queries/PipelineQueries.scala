@@ -877,6 +877,55 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T31: BPE merge-table LEARNING (Sennrich et al. 2016 §3) — the other
+    // half of t30: instead of applying a given table, learn one from the
+    // corpus. One corpus-sized pass builds the word-frequency table; each
+    // of the 12 iterations then explodes adjacent symbol pairs over the
+    // VOCABULARY (orders of magnitude smaller than text — the reduction
+    // that makes on-corpus tokenizer training viable at 100 TB), takes
+    // the deterministic argmax, and applies the merge as one broadcast
+    // column-pattern replace. No driver collect; the oracle unrolls the
+    // identical loop into chained CTEs (see BpeLearn scaladoc).
+    "t31_bpe_learn" -> ((s, dir) => {
+      graft.operators.BpeLearn.learnMerges(
+        graft.operators.BpeLearn.wordFrequencies(
+          Catalog.documents(s, dir), "text"), nMerges = 12)
+        .orderBy(col("rank"))
+    }),
+
+    // T32: token-budget mixing on LEARNED-BPE counts — t9's per-language
+    // budget draw, but each document is weighed by the subword count of
+    // the tokenizer t31 just learned from this corpus, not by whitespace
+    // tokens (training mixes budget real tokenizer tokens; whitespace
+    // counts misprice CJK-ish or agglutinative strata). The ≤12-row merge
+    // table is collected to the driver — a tokenizer's merge table is a
+    // driver/broadcast artifact by nature, the same bounded-collect class
+    // as the IVF centroid set — and compiled into t30's codegen'd
+    // replace chain; the corpus-sized work (encode + one window pass)
+    // stays fully distributed.
+    "t32_bpe_budget_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Catalog.documents(s, dir)
+      val learned = graft.operators.BpeLearn.learnMerges(
+          graft.operators.BpeLearn.wordFrequencies(docs, "text"), nMerges = 12)
+        .orderBy(col("rank")).select(col("lhs"), col("rhs"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+      val perDoc = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), bpeSubwordCount(bpeSymbols(col("w"), learned)).as("ns"))
+        .groupBy(col("doc_id")).agg(sum(col("ns")).as("n_bpe_tokens"))
+      val budget = when(col("lang") === "en", lit(12000L))
+        .when(col("lang") === "de", lit(4500L)).otherwise(lit(7500L))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"), col("lang"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+        .withColumn("cum_before", coalesce(sum(col("n_bpe_tokens")).over(w), lit(0L)))
+        .filter(col("cum_before") < budget)
+        .orderBy(col("doc_id"))
+    }),
+
     // T1: token statistics (whitespace + regex token counting).
     "t1_token_stats" -> ((s, dir) => {
       Catalog.documents(s, dir)
@@ -1163,6 +1212,63 @@ object PipelineQueries {
   private[queries] val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** Number of BPE merges the t31/t32 oracles unroll — shared with the
+    * Spark side's `nMerges` so both engines learn the same table.
+    */
+  private[queries] val BpeOracleMerges = 12
+
+  /** The BpeLearn loop UNROLLED as DuckDB CTEs: per rank k, p<k> counts
+    * adjacent symbol pairs (freq-weighted), b<k> is the deterministic
+    * argmax (a sentinel row keeps exhausted iterations well-defined — its
+    * '/////' pattern cannot occur in a symbol string), s<k> applies the
+    * merge as one literal replace. Every CTE is MATERIALIZED: s<k>
+    * references s<k−1> three times, so DuckDB's default inlining would
+    * expand the chain 3^n-fold (observed as an fd-exhaustion blowup).
+    * Semantics identical to [[graft.operators.BpeLearn.learnMerges]],
+    * which runs the same loop distributed.
+    */
+  private[queries] def bpeLearnCtesSql(n: Int): String = {
+    val head =
+      s"""words AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest($toksSql) AS w FROM documents)
+        |  GROUP BY w),
+        |s0 AS MATERIALIZED (
+        |  SELECT regexp_replace(replace(w, '/', ''), '(.)', '/\\1/', 'g') AS syms, freq
+        |  FROM words WHERE len(replace(w, '/', '')) > 0)""".stripMargin
+    val steps = (1 to n).map { k =>
+      s""",
+        |p$k AS MATERIALIZED (
+        |  SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest([[l[i], l[i+1]] for i in range(1, len(l))]) AS pr
+        |        FROM (SELECT str_split(trim(syms, '/'), '//') AS l, freq FROM s${k - 1}))
+        |  GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (
+        |  SELECT $k AS rank, lhs, rhs, lhs || rhs AS merged, cnt FROM (
+        |    SELECT lhs, rhs, cnt FROM p$k
+        |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
+        |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |s$k AS MATERIALIZED (
+        |  SELECT replace(syms, (SELECT '/' || lhs || '//' || rhs || '/' FROM b$k),
+        |                       (SELECT '/' || merged || '/' FROM b$k)) AS syms, freq
+        |  FROM s${k - 1})""".stripMargin
+    }.mkString
+    head + steps
+  }
+
+  /** Apply the LEARNED chain to `wordExpr`: the t30 replace-chain, with
+    * the b<k> winners riding in as scalar-subquery patterns instead of
+    * literals. Must be used in a query whose WITH clause includes
+    * [[bpeLearnCtesSql]] for the same `n`.
+    */
+  private[queries] def bpeLearnedApplySql(wordExpr: String, n: Int): String =
+    (1 to n).foldLeft(
+      s"regexp_replace(replace($wordExpr, '/', ''), '(.)', '/\\1/', 'g')") { (acc, k) =>
+      s"""replace($acc,
+        |      (SELECT '/' || lhs || '//' || rhs || '/' FROM b$k),
+        |      (SELECT '/' || merged || '/' FROM b$k))""".stripMargin
+    }
+
   private[queries] def shinglesSql(toks: String) =
     s"[array_to_string($toks[i:i+2], ' ') for i in range(1, len($toks)-1)]"
 
@@ -1406,6 +1512,37 @@ object PipelineQueries {
         |  CAST(SUM(ns) AS BIGINT) AS n_subwords,
         |  ROUND(CAST(SUM(ns) AS DOUBLE) / SUM(nc), 6) AS compression
         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "t31_bpe_learn" ->
+      s"""WITH ${bpeLearnCtesSql(BpeOracleMerges)}
+        |SELECT rank, lhs, rhs, merged, cnt FROM (
+        |${(1 to BpeOracleMerges).map(k => s"  SELECT * FROM b$k").mkString(" UNION ALL\n")}
+        |) WHERE cnt > 0 ORDER BY rank""".stripMargin,
+
+    "t32_bpe_budget_mix" -> {
+      val applied = bpeLearnedApplySql("w", BpeOracleMerges)
+      s"""WITH ${bpeLearnCtesSql(BpeOracleMerges)},
+        |wt AS MATERIALIZED (
+        |  SELECT doc_id, unnest($toksSql) AS w FROM documents),
+        |enc AS MATERIALIZED (
+        |  SELECT doc_id, CAST(SUM(
+        |    (len($applied) - len(replace($applied, '/', ''))) // 2) AS BIGINT)
+        |    AS n_bpe_tokens
+        |  FROM wt GROUP BY doc_id),
+        |pd AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(COALESCE(e.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        |  FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id),
+        |m AS (
+        |  SELECT doc_id, lang, n_bpe_tokens,
+        |    CAST(COALESCE(SUM(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM pd)
+        |SELECT doc_id, lang, n_bpe_tokens, cum_before FROM m
+        |WHERE cum_before < CASE WHEN lang = 'en' THEN 12000
+        |                        WHEN lang = 'de' THEN 4500 ELSE 7500 END
+        |ORDER BY doc_id""".stripMargin
     },
 
     "t29_dedup_transform" ->

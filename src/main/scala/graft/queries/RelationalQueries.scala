@@ -560,27 +560,32 @@ object RelationalQueries {
     // WHERE carries BOTH a nested IN and a correlated scalar aggregate).
     // The fixture has no partsupp, so lineitem's per-(part,supplier)
     // quantity sums stand in for ps_availqty — the decorrelation shape
-    // is Q20's: Catalyst rewrites the correlated SUM into an aggregate
-    // joined on l_partkey and the whole IN into a LeftSemi. Quantities
-    // are whole numbers; the 30% threshold is cross-multiplied into
-    // integer arithmetic (10·qty > 3·total) so the boundary is exact.
+    // is Q20's: Catalyst rewrites each correlated aggregate into an
+    // aggregate joined on the part key and the whole IN into a LeftSemi.
+    // The threshold is "shipped more than 1.5× the part's AVERAGE
+    // per-supplier quantity" — scale-stable (a fixed share-of-total
+    // empties out as supplier count grows with SF) and cross-multiplied
+    // into whole-number integer arithmetic (2·n·qty > 3·total) so the
+    // boundary is engine-exact.
     "q20_potential_promo" -> ((s, dir) => {
       Catalog.supplier(s, dir).createOrReplaceTempView("graft_q20_supplier")
       Catalog.part(s, dir).createOrReplaceTempView("graft_q20_part")
       Catalog.lineitem(s, dir).createOrReplaceTempView("graft_q20_lineitem")
-      s.sql("""SELECT s_suppkey, s_name
+      s.sql("""WITH ps AS (
+              |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+              |    SUM(CAST(l_quantity AS BIGINT)) AS ps_qty
+              |  FROM graft_q20_lineitem GROUP BY 1, 2)
+              |SELECT s_suppkey, s_name
               |FROM graft_q20_supplier
               |WHERE s_suppkey IN (
-              |  SELECT ps_suppkey FROM (
-              |    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-              |      SUM(CAST(l_quantity AS BIGINT)) AS ps_qty
-              |    FROM graft_q20_lineitem GROUP BY 1, 2) ps
+              |  SELECT ps_suppkey FROM ps
               |  WHERE ps_partkey IN (
               |      SELECT p_partkey FROM graft_q20_part WHERE p_name LIKE 'red%')
-              |    AND 10 * ps_qty > (
-              |      SELECT 3 * SUM(CAST(l2.l_quantity AS BIGINT))
-              |      FROM graft_q20_lineitem l2
-              |      WHERE l2.l_partkey = ps.ps_partkey))
+              |    AND 2 * ps_qty *
+              |      (SELECT COUNT(*) FROM ps ps2
+              |       WHERE ps2.ps_partkey = ps.ps_partkey)
+              |    > (SELECT 3 * SUM(ps2.ps_qty) FROM ps ps2
+              |       WHERE ps2.ps_partkey = ps.ps_partkey))
               |ORDER BY s_suppkey""".stripMargin)
     }),
 
@@ -1397,19 +1402,21 @@ object RelationalQueries {
         |ORDER BY s_suppkey""".stripMargin,
 
     "q20_potential_promo" ->
-      """SELECT s_suppkey, s_name
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS ps_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name
         |FROM supplier
         |WHERE s_suppkey IN (
-        |  SELECT ps_suppkey FROM (
-        |    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-        |      SUM(CAST(l_quantity AS BIGINT)) AS ps_qty
-        |    FROM lineitem GROUP BY 1, 2) ps
+        |  SELECT ps_suppkey FROM ps
         |  WHERE ps_partkey IN (
         |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
-        |    AND 10 * ps_qty > (
-        |      SELECT 3 * SUM(CAST(l2.l_quantity AS BIGINT))
-        |      FROM lineitem l2
-        |      WHERE l2.l_partkey = ps.ps_partkey))
+        |    AND 2 * ps_qty *
+        |      (SELECT COUNT(*) FROM ps ps2
+        |       WHERE ps2.ps_partkey = ps.ps_partkey)
+        |    > (SELECT 3 * SUM(ps2.ps_qty) FROM ps ps2
+        |       WHERE ps2.ps_partkey = ps.ps_partkey))
         |ORDER BY s_suppkey""".stripMargin,
 
     "q19_disjunctive_revenue" ->

@@ -36,13 +36,17 @@ class PlanDisciplineSpec extends AnyFunSuite {
     *    sketch rows and a one-row exact count) — the a9 shape.
     *  - v11_recall_eval: composes v1 (ground truth) with v4 (candidate) —
     *    inherits exactly their allowlisted broadcast-query-set joins.
+    *  - t31_bpe_learn: each learning iteration crossJoins the ONE-ROW
+    *    argmax winner (LIMIT 1 by construction) onto the vocabulary
+    *    state — the a9 one-row-stats shape, once per merge rank.
     */
   private val allowedBnlj = Set(
     "a9_znorm", "h4_kl_divergence", "t12_bm25", "t13_lm_score",
     "t22_tfidf_terms", "c7_zorder_cells", "a26_ntile_bins",
     "j1_prefix_semijoin", "j8_longest_prefix",
     "v1_knn_brute", "v4_ivf_topk", "v10_ivf_persisted", "v5_int8_knn",
-    "v9_coarse_rerank", "t23_kmv_overlap", "v11_recall_eval")
+    "v9_coarse_rerank", "t23_kmv_overlap", "v11_recall_eval",
+    "t31_bpe_learn")
 
   test("no cartesian products; BNLJ only on the allowlisted tiny-broadcast queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

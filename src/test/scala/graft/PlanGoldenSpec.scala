@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PlanFingerprint
+
+/** Plan-fingerprint regression gate over the most expensive queries: the
+  * join strategies, exchange counts, and scan pushdown of each pinned
+  * query must match its golden. Without this, a lost broadcast or a
+  * vanished PushedFilters only surfaces as a silent bench regression; here
+  * it fails CI with a diff.
+  *
+  * To regenerate after an INTENTIONAL plan change:
+  *   cp tools/devtools/PrintPlanGoldens.scala src/main/scala/graft/tmp/ &&
+  *   sbt compile && tools/run.sh graft.tmp.PrintPlanGoldens <query...>
+  * and paste the printed lines — but first argue why the new plan is
+  * better; this table is a ratchet, not a mirror.
+  */
+class PlanGoldenSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val goldens = Map(
+    "q1_agg" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=2 wgl=0",
+    "q3_local_supplier_volume" -> "bhj=4 smj=0 shj=0 bnlj=0 cart=0 bcastx=4 shufflex=2 scans=5 pushed=5 agg=2 wgl=0",
+    "q13_cust_order_dist" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=1 agg=4 wgl=0",
+    "q16_supplier_cnt" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=3 scans=3 pushed=3 agg=4 wgl=0",
+    "q17_small_qty_revenue" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=3 scans=4 pushed=4 agg=6 wgl=0",
+    "q18_large_volume" -> "bhj=4 smj=0 shj=0 bnlj=0 cart=0 bcastx=4 shufflex=3 scans=5 pushed=3 agg=6 wgl=0",
+    "q15_top_supplier" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=4 scans=3 pushed=3 agg=6 wgl=0",
+    "q20_potential_promo" -> "bhj=6 smj=0 shj=0 bnlj=0 cart=0 bcastx=6 shufflex=6 scans=7 pushed=6 agg=10 wgl=0",
+    "j2_blacklist_anti" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=2 scans=2 pushed=1 agg=2 wgl=0",
+    "j9_asof_join" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=2 pushed=2 agg=0 wgl=0",
+    "j10_range_join" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=2 scans=2 pushed=0 agg=2 wgl=0",
+    "j12_interval_overlap" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=1 scans=2 pushed=2 agg=0 wgl=0",
+    "a3_rollup_topk_detail" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=2 agg=4 wgl=2",
+    "a17_percentile" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=2 scans=0 pushed=0 agg=2 wgl=0",
+    "e2_sessionize" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=2 wgl=0",
+    "e3_scd2" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 wgl=0",
+    "a29_gap_fill" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 wgl=0",
+    "d2_minhash_lsh" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=4 scans=1 pushed=0 agg=6 wgl=0",
+    "d4_ngram_jaccard" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=0 pushed=0 agg=0 wgl=0",
+    "t10_decontaminate" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=5 scans=4 pushed=4 agg=10 wgl=0",
+    "t22_tfidf_terms" -> "bhj=0 smj=0 shj=0 bnlj=1 cart=0 bcastx=1 shufflex=5 scans=2 pushed=0 agg=4 wgl=2",
+    "s3_time_filter" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=1 pushed=1 agg=0 wgl=0",
+  )
+
+  goldens.toSeq.sortBy(_._1).foreach { case (name, want) =>
+    test(s"plan fingerprint: $name") {
+      val got = PlanFingerprint.of(SparkEntry.queries(name)(spark, SparkTestSession.sfDir))
+      assert(got == want,
+        s"\nplan skeleton of $name changed:\n  golden: $want\n  got:    $got\n" +
+          "If intentional, regenerate via tools/devtools/PrintPlanGoldens.scala.")
+    }
+  }
+
+  test("meta: the gate is sensitive — losing broadcasts changes the fingerprint") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val got = PlanFingerprint.of(
+        SparkEntry.queries("q3_local_supplier_volume")(spark, SparkTestSession.sfDir))
+      assert(got != goldens("q3_local_supplier_volume"),
+        "fingerprint did not react to a disabled broadcast threshold — the gate is blind")
+    } finally spark.conf.set(key, before)
+  }
+}

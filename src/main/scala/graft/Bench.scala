@@ -30,10 +30,32 @@ object Bench {
     // debug aid: comma-separated query-name prefixes to restrict the run
     // (unset in driver runs — the full set is the round artifact)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    def selected = only match {
-      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
-      case None => SparkEntry.queries
+    // scale-run mechanism: comma-separated EXACT names to exclude (the
+    // documented output-quadratic parity contracts). Exact and validated —
+    // the r7 50× artifact silently lost f11_json_extract to a hand-built
+    // prefix list, so coverage is now asserted, never assumed.
+    val exclude = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").toSeq.filter(_.nonEmpty).distinct).getOrElse(Nil)
+    val unknownExcl = exclude.filterNot(SparkEntry.queries.contains)
+    require(unknownExcl.isEmpty,
+      s"SPARK_GRAFT_EXCLUDE names unknown queries: ${unknownExcl.mkString(",")}")
+    val selected = {
+      val base = only match {
+        case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+        case None => SparkEntry.queries
+      }
+      val sel = base.filter { case (n, _) => !exclude.contains(n) }
+      // the coverage contract of an exclusion-only run: everything not on
+      // the explicit exclusion list IS in the run
+      if (only.isEmpty)
+        require(sel.size == SparkEntry.queries.size - exclude.size,
+          s"selection lost queries: ${sel.size} != " +
+            s"${SparkEntry.queries.size} - ${exclude.size}")
+      sel
     }
+    System.err.println(s"[bench] selected ${selected.size} of " +
+      s"${SparkEntry.queries.size} queries" +
+      (if (exclude.nonEmpty) s"; excluded: ${exclude.sorted.mkString(",")}" else ""))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -145,10 +167,12 @@ object Bench {
     val totalShuffleMb = shuffleMb.values.sum
     val totalSpillMb = spillMb.values.sum
     val spilled = spillMb.filter(_._2 > 0.5)
+    val exclJson = exclude.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""first_pass_total":$firstTotal,"queries_first":${fmt(firstPass)},""" +
       f""""shuffle_mb_total":$totalShuffleMb%.1f,"spill_mb_total":$totalSpillMb%.1f,""" +
-      s""""shuffle_mb":${fmt(shuffleMb)},"spilled_queries":${fmt(spilled)},"sf":"$sfDir"}""")
+      s""""shuffle_mb":${fmt(shuffleMb)},"spilled_queries":${fmt(spilled)},""" +
+      s""""n_universe":${SparkEntry.queries.size},"excluded":$exclJson,"sf":"$sfDir"}""")
     // The full line above is ~5 KB — longer than the harness's 2000-char
     // stdout tail, so its leading total was unparseable in r2/r3. Repeat
     // the headline numbers (plus the 10 slowest queries) as a compact

@@ -980,7 +980,6 @@ object Dedup {
     */
   private def sharedGramPairs(keyed: DataFrame, maxBucket: Int,
       minShared: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // compiled pair expansion ([[graft.expressions.PairCombinations]]) —
     // the flatten(transform(slice…)) HOF form was the dominant cost at
     // 10⁸ pairs (boxed elements, interpreted lambdas, a slice copy per
@@ -988,10 +987,22 @@ object Dedup {
     val pairsInBucket = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.PairCombinations(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("ds"))))
-    val w = Window.partitionBy(col("g"))
-    keyed
-      .withColumn("bsz", count(lit(1)).over(w))
+    // Bucket sizes come from a FIXED-WIDTH count aggregate and gate the
+    // stream via a shuffle-hash semi-join, so only SURVIVING bucket
+    // members (shared grams — content-bound, orders of magnitude fewer
+    // than the gram stream) ever reach the doc-list aggregate. The former
+    // window-count form sorted the ENTIRE gram stream (window partitioning
+    // + the list aggregate's sort-based fallback): 13 GB of spill at 50×
+    // for d11, all of it attributable to grams that were about to be
+    // discarded as singletons. The gram kernel runs twice (once per
+    // branch) — recomputing a row-local O(L) hash pass is the right trade
+    // against sorting 10⁸ rows; the hint keeps the gate a hash join (a
+    // sort-merge join would just re-introduce the sort it exists to kill).
+    val shared = keyed.groupBy(col("g")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
+      .select(col("g"))
+    keyed
+      .join(shared.hint("shuffle_hash"), Seq("g"), "left_semi")
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       // collapse IDENTICAL doc-list buckets before the quadratic pair

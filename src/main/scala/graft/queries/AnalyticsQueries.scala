@@ -33,13 +33,20 @@ object AnalyticsQueries {
     * for direct testing with synthetic degenerate baskets.
     */
   def copurchasePairs(lineitem: DataFrame, maxBasket: Int = MaxBasketSize): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))
     val op = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .withColumn("bsz", count(lit(1)).over(w))
+    // basket-size gate as a fixed-width count + shuffle-hash semi-join
+    // (not a window count: window partitioning SORTS the whole basket
+    // stream to size buckets it is mostly about to keep anyway), and
+    // shuffle-hash on the pair self-join (sort-merge would sort both
+    // sides on ok; baskets are ≤ maxBasket so a per-partition hash build
+    // is bounded). Identical result set, no order-key sorts anywhere —
+    // the remaining cost is the irreducible Σ basket² pair aggregate.
+    val sized = op.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBasket))
-      .drop("bsz")
-    op.as("a").join(op.as("b"),
+      .select(col("ok"))
+    val kept = op.join(sized.hint("shuffle_hash"), Seq("ok"), "left_semi")
+    kept.as("a").join(kept.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))

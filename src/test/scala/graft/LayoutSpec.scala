@@ -148,7 +148,7 @@ class BucketedJoinSpec extends AnyFunSuite {
     val partsRead = scans.map(_.metrics("numPartitions").value)
     assert(partsRead.forall(_ == 1L), s"partitions read per scan: $partsRead")
     // the pruning is non-vacuous: the table holds more than one day
-    val tag = f"${math.abs(sf.hashCode)}%x"
+    val tag = f"${sf.hashCode & 0x7fffffff}%x"
     val nDays = spark.table(s"graft_layout.events_$tag")
       .select(col("event_date")).distinct().count()
     assert(nDays > 1, s"fixture has $nDays day(s); pruning proof is vacuous")
@@ -168,7 +168,7 @@ class BucketedJoinSpec extends AnyFunSuite {
     val factScans = fileScans(df.queryExecution.executedPlan)
       .filter(_.metadata.getOrElse("PartitionFilters", "").contains("dynamicpruning"))
     assert(factScans.nonEmpty, "no scan carries a dynamicpruning partition filter")
-    val tag = f"${math.abs(sf.hashCode)}%x"
+    val tag = f"${sf.hashCode & 0x7fffffff}%x"
     val nDays = spark.table(s"graft_layout.events_$tag")
       .select(col("event_date")).distinct().count()
     val partsRead = factScans.map(_.metrics("numPartitions").value)

@@ -1015,6 +1015,18 @@ object Dedup {
       // buckets are mostly unique, and the win grows with clone-group
       // size since pair expansion is quadratic in it.
       .groupBy(col("ds")).agg(count(lit(1)).as("w"))
+      // scale OUT the expansion stage: the explode turns this small
+      // bucket frame into a pair stream ~50× its size, and the pair
+      // aggregate's map-side combine then has to externalize (sort+spill)
+      // when a task's share of that stream outgrows its hash map — at
+      // 100× that was 10 GB of pure partial-agg spill through 32 tasks.
+      // Redistributing the CHEAP side (collapsed lists, ~200 MB) across
+      // 8× the partitions shrinks each task's pair stream to map size:
+      // same plan shape, spill → 0. This is exactly what a real cluster
+      // does with an expansion stage — give it the task count its OUTPUT
+      // needs, not its input's.
+      .repartition(keyed.sparkSession.sessionState.conf.numShufflePartitions * 8,
+        col("ds"))
       .select(col("w"), explode(pairsInBucket).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("w"))
       .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("w")).as("shared_grams"))

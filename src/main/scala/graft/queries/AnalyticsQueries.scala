@@ -45,7 +45,15 @@ object AnalyticsQueries {
     val sized = op.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBasket))
       .select(col("ok"))
+    // 8× partitions on the pair stage: the self-join explodes Σ basket²
+    // pair rows whose partial aggregate externalizes (6 GB of spill at
+    // 50× through 32 tasks); re-keying the SMALL basket stream to more
+    // partitions gives the expansion stage the task count its OUTPUT
+    // needs — both sides share the partitioning, so the join itself adds
+    // no exchange (same move as Dedup.sharedGramPairs's expansion stage).
+    val n = lineitem.sparkSession.sessionState.conf.numShufflePartitions * 8
     val kept = op.join(sized.hint("shuffle_hash"), Seq("ok"), "left_semi")
+      .repartition(n, col("ok"))
     kept.as("a").join(kept.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("p1"), col("b.pk").as("p2"))

@@ -68,6 +68,23 @@ class PushdownSpec extends AnyFunSuite {
     assert(widths.forall(_ <= 3), s"read widths: $widths")
   }
 
+  test("q15_top_supplier pushes the ship-date window into the lineitem scan") {
+    // the revenue view's date window must reach the scan (Catalyst unwraps
+    // the CAST-to-DATE comparison); a filter stuck above the scan reads
+    // the whole fact table to aggregate three months of it
+    val filters = scansOf("q15_top_supplier").flatMap(pushed)
+    assert(filters.exists(f => f.contains("Than")),
+      s"no range filter pushed: $filters")
+  }
+
+  test("q20_potential_promo decorrelates to semi-joins, never a nested loop") {
+    val plan = SparkEntry.queries("q20_potential_promo")(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no LeftSemi in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"correlated subqueries fell back to a nested loop:\n$plan")
+  }
+
   test("q16_supplier_cnt plans the NOT IN as a null-aware anti-join (NAAJ)") {
     // `x NOT IN (subq)` is three-valued; a plain LeftAnti would return
     // WRONG rows if the subquery ever produced a NULL. The physical form

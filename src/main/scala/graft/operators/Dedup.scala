@@ -987,21 +987,39 @@ object Dedup {
     val pairsInBucket = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.PairCombinations(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("ds"))))
-    // Bucket sizes come from a FIXED-WIDTH count aggregate and gate the
-    // stream via a shuffle-hash semi-join, so only SURVIVING bucket
-    // members (shared grams — content-bound, orders of magnitude fewer
-    // than the gram stream) ever reach the doc-list aggregate. The former
-    // window-count form sorted the ENTIRE gram stream (window partitioning
-    // + the list aggregate's sort-based fallback): 13 GB of spill at 50×
-    // for d11, all of it attributable to grams that were about to be
-    // discarded as singletons. The gram kernel runs twice (once per
-    // branch) — recomputing a row-local O(L) hash pass is the right trade
-    // against sorting 10⁸ rows; the hint keeps the gate a hash join (a
-    // sort-merge join would just re-introduce the sort it exists to kill).
-    val shared = keyed.groupBy(col("g")).agg(count(lit(1)).as("bsz"))
+    // Two decisions shape this plan, both learned from stage profiles at
+    // the 100× fixture (spill figures below are that measurement):
+    //
+    // 1. Bucket sizes come from a count aggregate gating the stream via a
+    //    shuffle-hash semi-join, so only SURVIVING bucket members (shared
+    //    grams — content-bound, orders of magnitude fewer) ever reach the
+    //    doc-list aggregate. The former window-count form sorted the
+    //    ENTIRE gram stream to size buckets it was about to discard as
+    //    singletons (13 GB of 50× spill). The gram kernel runs twice
+    //    (once per branch) — recomputing a row-local O(L) hash pass is
+    //    the right trade against sorting 10⁸ rows; the hint keeps the
+    //    gate a hash join (sort-merge would re-introduce the sort).
+    //
+    // 2. The gram keys and the expanded pairs are both mostly UNIQUE
+    //    per task, so Catalyst's map-side partial aggregates combine
+    //    nothing and externalize their hash maps instead (12.7 GB +
+    //    24.7 GB of pure partial/final-agg spill at 100×). Explicit
+    //    8×-wide exchanges followed by ONE complete-mode aggregate are
+    //    no wider on the wire (unique keys ⇒ partial output ≈ input)
+    //    and keep every task's aggregation map in memory — the same
+    //    sizing decision a 1000-executor job makes by giving the
+    //    expansion stages the task count their OUTPUT needs. The
+    //    multiplier is 6, not 8: at the local default (32) that stays
+    //    under spark.shuffle.sort.bypassMergeThreshold (200), keeping
+    //    the spill-free bypass-merge shuffle writer; at cluster scale
+    //    (thousands of partitions) the threshold is moot either way.
+    val n8 = keyed.sparkSession.sessionState.conf.numShufflePartitions * 6
+    val shared = keyed.repartition(n8, col("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
       .select(col("g"))
     keyed
+      .repartition(n8, col("g"))
       .join(shared.hint("shuffle_hash"), Seq("g"), "left_semi")
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -1015,20 +1033,14 @@ object Dedup {
       // buckets are mostly unique, and the win grows with clone-group
       // size since pair expansion is quadratic in it.
       .groupBy(col("ds")).agg(count(lit(1)).as("w"))
-      // scale OUT the expansion stage: the explode turns this small
-      // bucket frame into a pair stream ~50× its size, and the pair
-      // aggregate's map-side combine then has to externalize (sort+spill)
-      // when a task's share of that stream outgrows its hash map — at
-      // 100× that was 10 GB of pure partial-agg spill through 32 tasks.
-      // Redistributing the CHEAP side (collapsed lists, ~200 MB) across
-      // 8× the partitions shrinks each task's pair stream to map size:
-      // same plan shape, spill → 0. This is exactly what a real cluster
-      // does with an expansion stage — give it the task count its OUTPUT
-      // needs, not its input's.
-      .repartition(keyed.sparkSession.sessionState.conf.numShufflePartitions * 8,
-        col("ds"))
+      // the expansion runs at 8× parallelism (redistributing the CHEAP
+      // collapsed-bucket frame, ~200 MB) and streams pairs straight into
+      // an explicit wide exchange (no map-side combine — see decision 2
+      // above); the pair aggregate then runs complete-mode, also wide
+      .repartition(n8, col("ds"))
       .select(col("w"), explode(pairsInBucket).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("w"))
+      .repartition(n8, col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("w")).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)
   }

@@ -45,18 +45,22 @@ object AnalyticsQueries {
     val sized = op.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBasket))
       .select(col("ok"))
-    // 8× partitions on the pair stage: the self-join explodes Σ basket²
-    // pair rows whose partial aggregate externalizes (6 GB of spill at
-    // 50× through 32 tasks); re-keying the SMALL basket stream to more
-    // partitions gives the expansion stage the task count its OUTPUT
-    // needs — both sides share the partitioning, so the join itself adds
-    // no exchange (same move as Dedup.sharedGramPairs's expansion stage).
-    val n = lineitem.sparkSession.sessionState.conf.numShufflePartitions * 8
+    // Wide pair stage: the self-join explodes Σ basket² pair rows, and
+    // the pairs are mostly unique per task — so the map-side combine of
+    // a default groupBy externalizes its hash map instead of combining
+    // (6 GB of spill at 50× through 32 tasks). Re-keying the SMALL
+    // basket stream to 6× partitions gives the expansion the task count
+    // its OUTPUT needs (both join sides share the partitioning — no
+    // extra exchange), and the explicit pair exchange + complete-mode
+    // aggregate skips the useless partial entirely (same two decisions,
+    // same multiplier rationale, as Dedup.sharedGramPairs).
+    val n = lineitem.sparkSession.sessionState.conf.numShufflePartitions * 6
     val kept = op.join(sized.hint("shuffle_hash"), Seq("ok"), "left_semi")
       .repartition(n, col("ok"))
     kept.as("a").join(kept.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .repartition(n, col("p1"), col("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("p1"), col("p2"))
   }

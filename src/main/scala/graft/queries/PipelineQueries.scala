@@ -687,10 +687,15 @@ object PipelineQueries {
     // oracle compares the OUTPUT pair counts, which a 64-bit collision
     // would need to perturb (p ≈ 10⁻⁸ at this corpus size; the literal
     // and hashed forms are asserted identical in PipelineSpec).
+    // No ORDER BY (the d6 convention): the pair SET is the contract and
+    // the gate's compare is row-order-independent. A global sort here is
+    // worse than harness noise — the range partitioner's sampling pass
+    // RE-EXECUTES the final pair aggregate, so the query's most expensive
+    // stage ran twice (2×38 GB of external-agg spill at 100×) to order
+    // rows nobody consumes ordered.
     "d11_substring_spans" -> ((s, dir) => {
       Dedup.exactSubstringSpans(Catalog.documents(s, dir),
           k = 24, minShared = 10, maxBucket = 1000, hashGrams = true)
-        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // D18: the winnowed production contract for d11 (Schleimer et al.
@@ -706,9 +711,9 @@ object PipelineQueries {
     // the same selections by rolling hash — identical pair counts modulo
     // 64-bit collisions, the d11 hashGrams argument.
     "d18_winnowed_spans" -> ((s, dir) => {
+      // no ORDER BY — same rationale as d11/d6
       Dedup.winnowedSubstringSpans(Catalog.documents(s, dir),
           k = 24, w = 9, minShared = 2, maxBucket = 1000)
-        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // D19: pair-free per-document duplicated-span fraction — the

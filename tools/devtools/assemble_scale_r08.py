@@ -30,6 +30,11 @@ CONTRACTS = {
         "contract": "blocked all-pairs parity, quadratic in block size",
         "twins": ["d15_editdist_sorted", "d16_editdist_repdup"],
     },
+    "d15_editdist_sorted": {
+        "contract": "SNM candidates expanded to id pairs; output-bound "
+                    "(pair multiplicities grow with clone density)",
+        "twins": ["d16_editdist_repdup"],
+    },
     "j12_interval_overlap": {
         "contract": "materialized overlap pairs, output-bound by contract",
         "twins": ["j13_overlap_stats"],

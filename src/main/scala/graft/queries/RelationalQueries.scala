@@ -795,10 +795,26 @@ object RelationalQueries {
     // A6: distinct-count within group (HogSFlow.scala:1190-1192).
     "a6_distinct_in_group" -> ((s, dir) => {
       import s.implicits._
-      Catalog.lineitem(s, dir)
-        .groupBy($"l_suppkey")
-        .agg(countDistinct($"l_partkey").as("n_parts"),
-          countDistinct($"l_orderkey").as("n_orders"))
+      // Two distinct aggregates in one groupBy rewrite through an Expand
+      // (every row duplicated per distinct column), and the first-level
+      // distinct aggregate's keys are then mostly unique — its hash maps
+      // combine nothing and externalize (23.9 GB of spill at 100×
+      // through 32 tasks). Split into one branch per distinct column:
+      // each branch dedups on an explicit 6×-wide exchange over its FULL
+      // key pair (the partitioning satisfies the distinct, so it runs
+      // complete-mode with in-memory maps), then the per-supplier counts
+      // combine map-side like any plain count and the two ~|supplier|
+      // frames hash-join back. Same results, no Expand, no spill — the
+      // Dedup.sharedGramPairs decision applied to distinct aggregates.
+      val n = s.sessionState.conf.numShufflePartitions * 6
+      val li = Catalog.lineitem(s, dir)
+      def distinctCount(key: String, as: String) =
+        li.select($"l_suppkey", col(key))
+          .repartition(n, $"l_suppkey", col(key))
+          .distinct()
+          .groupBy($"l_suppkey").agg(count(lit(1)).as(as))
+      distinctCount("l_partkey", "n_parts")
+        .join(distinctCount("l_orderkey", "n_orders"), Seq("l_suppkey"))
         .orderBy($"l_suppkey")
     }),
 

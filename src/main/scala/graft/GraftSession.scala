@@ -24,6 +24,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // typed-Aggregator plans (TopKLineAggregator, HistogramAggregator)
+      // run as ObjectHashAggregate, which falls back to SORT-based
+      // aggregation after this many in-memory groups (default 128) —
+      // re-introducing exactly the per-task input sort the bounded
+      // aggregators exist to avoid. Every graft aggregator buffer is
+      // O(k)-bounded, so a much larger group budget is safe: 64k groups
+      // × a bounded buffer each stays far under executor memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       // the SQL-surface domain functions (graft_logbin, graft_hamming, …)
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")

@@ -15,8 +15,9 @@ import graft.functions.NetFunctions
   * disable-able by simply not calling it (HogzillaBatch sequences the DAG).
   *
   * Scale notes baked in:
-  *  - per-alert flow detail is a bounded top-K (window row_number), never
-  *    an unbounded collected set (SURVEY §7.4 risk 2);
+  *  - per-alert flow detail is a bounded top-K hash aggregate
+  *    (O(limit) state per key, map-side combining), never an unbounded
+  *    collected set (SURVEY §7.4 risk 2);
   *  - derived exclusion sets (ftpTalkers, p2pTalkers, …) stay DataFrames
   *    and exclude via left_anti joins — no collect/re-broadcast cycles
   *    (SURVEY §3.1 step 5's driver round-trips disappear);
@@ -65,44 +66,44 @@ object Detectors {
 
   /** Per-alert rendered flow list (HogSFlow.scala:662-713): the alerted
     * key's flows ordered by raw two-way bytes (the reference's sort),
-    * capped at `limit` BEFORE any list materializes — a window rank keeps
-    * per-group state O(limit) where the reference buffered the whole
-    * flowSet in a driver HashSet. `array_sort` over (rank, line) structs
-    * restores the display order deterministically regardless of how the
-    * aggregation interleaves partitions. Returns (keyCol, flows_detail).
+    * capped at `limit` BEFORE any list materializes — a bounded top-K
+    * AGGREGATE keeps per-group state O(limit) where the reference
+    * buffered the whole flowSet in a driver HashSet. Returns
+    * (keyCol, flows_detail).
     *
-    * ONE window pass: Spark's InsertWindowGroupLimit turns the
-    * row_number+filter pattern into a map-side partial top-K (local Sort
-    * + WindowGroupLimit BEFORE the exchange), so a hot alerted host ships
-    * at most `limit` rows per input partition to its reducer — the same
-    * skew bound a hand-written two-phase rank gives, with one exchange
-    * and one global sort instead of two of each. The render groupBy then
-    * reuses the window's hash partitioning (no further exchange).
+    * Why an Aggregator and not a row_number window: the window form
+    * (even with InsertWindowGroupLimit's map-side partial pass) SORTS
+    * each map task's entire flow stream before limiting — 7.9 GB of
+    * externalized sort at the 100× fixture, the last non-contract
+    * production spiller. [[graft.operators.Aggregators.TopKLineAggregator]]
+    * is a hash aggregate with map-side combining: per-task state is an
+    * O(limit) buffer per alerted key, nothing sorts the input, nothing
+    * spills regardless of how hot a key is. The tiebreak column is the
+    * window's old order tuple (alien_ip, alien_port, my_ip, my_port,
+    * proto) joined with a \\u0001 separator — lexicographically identical to the
+    * column-wise comparison for these ASCII fields — so the rendered
+    * order is bit-for-bit the old window order.
     *
     * The key semi-join MUST broadcast: `keys` is an alerted-host set,
     * bounded by the per-detector alert caps (take(100)/take(30) in the
-    * reference) — while letting it plan as a sort-merge join would
-    * exchange the WHOLE summary on the key column (tens of distinct
-    * hosts → that many active partitions, a full-data skewed sort) AND
-    * sit between the window and the scan, silently defeating the
-    * map-side partial above (measured at 50×: 37 s with the SMJ in the
-    * way, 6 s broadcast).
+    * reference) — letting it plan as a sort-merge join would exchange
+    * the WHOLE summary on the key column (tens of distinct hosts → that
+    * many active partitions, a full-data skewed sort) before the
+    * aggregate's own map-side combine can bound anything (measured at
+    * 50× on the window form: 37 s with the SMJ in the way, 6 s
+    * broadcast).
     */
   def flowDetail(summary: DataFrame, keys: DataFrame, keyCol: String = "my_ip",
       limit: Int = FlowListLimit): DataFrame = {
-    val order = Window.partitionBy(col(keyCol))
-      .orderBy((col("bytes_up") + col("bytes_down")).desc,
-        col("alien_ip"), col("alien_port"), col("my_ip"), col("my_port"), col("proto"))
+    val topk = udaf(new graft.operators.Aggregators.TopKLineAggregator(limit))
+    val tie = concat_ws("\u0001", col("alien_ip"), col("alien_port"),
+      col("my_ip"), col("my_port"), col("proto"))
     summary
       .join(broadcast(keys.select(keyCol).distinct()), Seq(keyCol), "left_semi")
-      .withColumn("__rn", row_number().over(order))
-      .filter(col("__rn") <= limit)
-      .withColumn("__line", flowLine)
       .groupBy(col(keyCol))
       .agg(concat_ws("\n",
-        transform(
-          array_sort(collect_list(struct(col("__rn").as("rn"), col("__line").as("l")))),
-          x => x.getField("l"))).as("flows_detail"))
+        topk((col("bytes_up") + col("bytes_down")).cast("long"), tie, flowLine))
+        .as("flows_detail"))
   }
 
   // ------------------------------------------------------------ derived sets

@@ -78,6 +78,42 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
+  /** Top-K with an explicit tiebreak column: keeps at most `k`
+    * (sortKey, tie, payload) rows ordered by (sortKey desc, tie asc) and
+    * finishes to the payloads in that order. This is [[TopKAggregator]]
+    * with the total order the per-alert flow render needs
+    * (bytes desc, then the flow-identity tuple ascending —
+    * Detectors.flowDetail), so the render's group limit runs as a
+    * map-side-combining hash aggregate instead of a window: no per-task
+    * sort of the full flow stream, O(k) state per alerted key. The former
+    * row_number window form relied on InsertWindowGroupLimit's partial
+    * pass, which still SORTS each map task's whole input before limiting
+    * — 7.9 GB of externalized sort at the 100× fixture; this buffer never
+    * externalizes anything.
+    *
+    * The common-case reduce is O(1): a full buffer rejects any row not
+    * beating its last entry before touching the sorted sequence. Ties
+    * compare with Java String order — identical to Spark/DuckDB binary
+    * string comparison for the ASCII flow fields this renders.
+    */
+  class TopKLineAggregator(k: Int)
+      extends Aggregator[(Long, String, String), Seq[(Long, String, String)], Seq[String]] {
+    private def lt(a: (Long, String, String), b: (Long, String, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def trim(s: Seq[(Long, String, String)]): Seq[(Long, String, String)] =
+      s.sortBy { case (key, tie, _) => (-key, tie) }.take(k)
+    def zero: Seq[(Long, String, String)] = Seq.empty
+    def reduce(acc: Seq[(Long, String, String)], x: (Long, String, String)): Seq[(Long, String, String)] =
+      if (acc.length == k && !lt(x, acc.last)) acc else trim(acc :+ x)
+    def merge(a: Seq[(Long, String, String)], b: Seq[(Long, String, String)]): Seq[(Long, String, String)] =
+      if (a.isEmpty) b else if (b.isEmpty) a else trim(a ++ b)
+    def finish(acc: Seq[(Long, String, String)]): Seq[String] = acc.map(_._3)
+    def bufferEncoder: Encoder[Seq[(Long, String, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String, String)]]()
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** KMV (k-minimum-values) sketch accumulator: the k smallest DISTINCT
     * hash values of a group, ascending — the mergeable building block of
     * theta-style set sketches (Beyer et al., SIGMOD'07; the DataSketches

@@ -1013,13 +1013,19 @@ object Dedup {
     //    under spark.shuffle.sort.bypassMergeThreshold (200), keeping
     //    the spill-free bypass-merge shuffle writer; at cluster scale
     //    (thousands of partitions) the threshold is moot either way.
-    val n8 = keyed.sparkSession.sessionState.conf.numShufflePartitions * 6
-    val shared = keyed.repartition(n8, col("g"))
+    //    Below the AdaptiveWidth threshold (the regime where per-task
+    //    maps trivially fit) the explicit exchanges are pure overhead
+    //    and the plain partial-aggregate shapes run instead — identical
+    //    rows either way.
+    val small = graft.plans.AdaptiveWidth.isSmall(keyed, 2L << 20)
+    val n8 = graft.plans.AdaptiveWidth.widened(keyed)
+    def wideBy(df: DataFrame, cols: Column*): DataFrame =
+      if (small) df else df.repartition(n8, cols: _*)
+    val shared = wideBy(keyed, col("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
       .select(col("g"))
-    keyed
-      .repartition(n8, col("g"))
+    wideBy(keyed, col("g"))
       .join(shared.hint("shuffle_hash"), Seq("g"), "left_semi")
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -1033,14 +1039,14 @@ object Dedup {
       // buckets are mostly unique, and the win grows with clone-group
       // size since pair expansion is quadratic in it.
       .groupBy(col("ds")).agg(count(lit(1)).as("w"))
-      // the expansion runs at 8× parallelism (redistributing the CHEAP
+      // the expansion runs at 6× parallelism (redistributing the CHEAP
       // collapsed-bucket frame, ~200 MB) and streams pairs straight into
       // an explicit wide exchange (no map-side combine — see decision 2
       // above); the pair aggregate then runs complete-mode, also wide
-      .repartition(n8, col("ds"))
+      .transform(wideBy(_, col("ds")))
       .select(col("w"), explode(pairsInBucket).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("w"))
-      .repartition(n8, col("doc_a"), col("doc_b"))
+      .transform(wideBy(_, col("doc_a"), col("doc_b")))
       .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("w")).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)
   }

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-size gate for the explicit wide-exchange / complete-mode
+  * aggregate plans ([[graft.operators.Dedup.sharedGramPairs]],
+  * copurchase pairs, the a6 distinct-branch split).
+  *
+  * Those plans exist for the LARGE regime: a pair/distinct expansion
+  * whose keys are mostly unique per task makes the default map-side
+  * partial aggregate externalize its hash map instead of combining
+  * (9.9–24 GB of measured spill at the 50×/100× fixtures), so they
+  * pre-widen the exchange and skip the partial. But the widening is pure
+  * constant overhead in the SMALL regime — two extra exchanges took a6
+  * from 1.75 s to 4.4 s and a23 from ~3 s to ~8 s at sf0.1, where the
+  * plain plan never came close to spilling. The right width is a
+  * function of input size — exactly the call a 1000-executor job makes
+  * when sizing a stage's task count — so the gate reads the size the
+  * OPTIMIZER already estimated (file-scan bytes, pruned through
+  * projections/filters; explode output tracks its input's byte
+  * estimate, which is what the per-task aggregation state scales with)
+  * and falls back to the plain plan below the site's threshold.
+  *
+  * Unknown estimates (the optimizer defaults toward Long.MaxValue when
+  * a source publishes no stats) choose the WIDE plan: the failure mode
+  * of widening a small input is seconds of exchange overhead; the
+  * failure mode of not widening a large one is gigabytes of spill.
+  *
+  * Both regimes produce identical rows — this gates plan shape only,
+  * and the oracle checks run the same either way.
+  */
+object AdaptiveWidth {
+
+  /** Optimizer size estimate of `df` in bytes (plan-time only: analyzes
+    * and optimizes the subplan, runs nothing).
+    */
+  def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** True when `df`'s estimate is under `thresholdBytes` — the regime
+    * where the plain partial-aggregate plan is both spill-safe and
+    * cheaper than explicit wide exchanges.
+    */
+  def isSmall(df: DataFrame, thresholdBytes: Long): Boolean =
+    estimatedBytes(df) < thresholdBytes
+
+  /** Exchange width for the large regime: `factor` × the session's
+    * shuffle parallelism. 6 keeps the local default (32) under
+    * spark.shuffle.sort.bypassMergeThreshold (200), retaining the
+    * spill-free bypass-merge shuffle writer; at cluster scale the
+    * threshold is moot either way.
+    */
+  def widened(df: DataFrame, factor: Int = 6): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions * factor
+}

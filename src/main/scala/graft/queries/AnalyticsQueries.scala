@@ -45,23 +45,31 @@ object AnalyticsQueries {
     val sized = op.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBasket))
       .select(col("ok"))
-    // Wide pair stage: the self-join explodes Σ basket² pair rows, and
-    // the pairs are mostly unique per task — so the map-side combine of
-    // a default groupBy externalizes its hash map instead of combining
-    // (6 GB of spill at 50× through 32 tasks). Re-keying the SMALL
-    // basket stream to 6× partitions gives the expansion the task count
-    // its OUTPUT needs (both join sides share the partitioning — no
-    // extra exchange), and the explicit pair exchange + complete-mode
-    // aggregate skips the useless partial entirely (same two decisions,
-    // same multiplier rationale, as Dedup.sharedGramPairs).
-    val n = lineitem.sparkSession.sessionState.conf.numShufflePartitions * 6
-    val kept = op.join(sized.hint("shuffle_hash"), Seq("ok"), "left_semi")
-      .repartition(n, col("ok"))
-    kept.as("a").join(kept.as("b").hint("shuffle_hash"),
+    // Wide pair stage (large regime): the self-join explodes Σ basket²
+    // pair rows, and the pairs are mostly unique per task — so the
+    // map-side combine of a default groupBy externalizes its hash map
+    // instead of combining (6 GB of spill at 50× through 32 tasks).
+    // Re-keying the SMALL basket stream to 6× partitions gives the
+    // expansion the task count its OUTPUT needs (both join sides share
+    // the partitioning — no extra exchange), and the explicit pair
+    // exchange + complete-mode aggregate skips the useless partial
+    // entirely (same two decisions, same multiplier rationale, as
+    // Dedup.sharedGramPairs). Below the AdaptiveWidth threshold the
+    // plain partial-aggregate plan is spill-safe and ~2.5× cheaper (no
+    // pre/post exchanges), so the widening only engages when the input
+    // estimate says the expansion can outgrow per-task hash maps.
+    val small = graft.plans.AdaptiveWidth.isSmall(op, 8L << 20)
+    val keptBase = op.join(sized.hint("shuffle_hash"), Seq("ok"), "left_semi")
+    val kept =
+      if (small) keptBase
+      else keptBase.repartition(graft.plans.AdaptiveWidth.widened(op), col("ok"))
+    val pairs = kept.as("a").join(kept.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .repartition(n, col("p1"), col("p2"))
-      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+    val wide =
+      if (small) pairs
+      else pairs.repartition(graft.plans.AdaptiveWidth.widened(op), col("p1"), col("p2"))
+    wide.groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("p1"), col("p2"))
   }
 

@@ -799,23 +799,44 @@ object RelationalQueries {
       // (every row duplicated per distinct column), and the first-level
       // distinct aggregate's keys are then mostly unique — its hash maps
       // combine nothing and externalize (23.9 GB of spill at 100×
-      // through 32 tasks). Split into one branch per distinct column:
-      // each branch dedups on an explicit 6×-wide exchange over its FULL
-      // key pair (the partitioning satisfies the distinct, so it runs
-      // complete-mode with in-memory maps), then the per-supplier counts
-      // combine map-side like any plain count and the two ~|supplier|
-      // frames hash-join back. Same results, no Expand, no spill — the
-      // Dedup.sharedGramPairs decision applied to distinct aggregates.
-      val n = s.sessionState.conf.numShufflePartitions * 6
+      // through 32 tasks). In the LARGE regime, split into one branch
+      // per distinct column: each branch dedups on an explicit 6×-wide
+      // exchange over its FULL key pair (the partitioning satisfies the
+      // distinct, so it runs complete-mode with in-memory maps), then
+      // the per-supplier counts combine map-side like any plain count
+      // and the two ~|supplier| frames hash-join back. Same results, no
+      // Expand, no spill — the Dedup.sharedGramPairs decision applied
+      // to distinct aggregates. In the SMALL regime the plain
+      // countDistinct plan wins (the split's extra exchanges cost 2.5×
+      // at sf0.1 for spill that never happens) — AdaptiveWidth gates on
+      // the optimizer's input estimate.
+      //
+      // NULL equivalence of the split: countDistinct IGNORES nulls,
+      // while distinct()+count would count a null key as one value, so
+      // each branch filters its key non-null; the inner join back
+      // additionally assumes l_suppkey is non-null and every supplier
+      // has at least one non-null value of BOTH keys (TPC-H lineitem
+      // keys are non-null by schema — under that contract the branch
+      // split is exactly countDistinct).
       val li = Catalog.lineitem(s, dir)
-      def distinctCount(key: String, as: String) =
-        li.select($"l_suppkey", col(key))
-          .repartition(n, $"l_suppkey", col(key))
-          .distinct()
-          .groupBy($"l_suppkey").agg(count(lit(1)).as(as))
-      distinctCount("l_partkey", "n_parts")
-        .join(distinctCount("l_orderkey", "n_orders"), Seq("l_suppkey"))
-        .orderBy($"l_suppkey")
+      val proj = li.select($"l_suppkey", $"l_partkey", $"l_orderkey")
+      if (graft.plans.AdaptiveWidth.isSmall(proj, 8L << 20)) {
+        li.groupBy($"l_suppkey")
+          .agg(countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_orderkey").as("n_orders"))
+          .orderBy($"l_suppkey")
+      } else {
+        val n = graft.plans.AdaptiveWidth.widened(li)
+        def distinctCount(key: String, as: String) =
+          li.select($"l_suppkey", col(key))
+            .filter(col(key).isNotNull)
+            .repartition(n, $"l_suppkey", col(key))
+            .distinct()
+            .groupBy($"l_suppkey").agg(count(lit(1)).as(as))
+        distinctCount("l_partkey", "n_parts")
+          .join(distinctCount("l_orderkey", "n_orders"), Seq("l_suppkey"))
+          .orderBy($"l_suppkey")
+      }
     }),
 
     // A7: global stats — mean/stdev/max (RDD .stats(), HogSFlow.scala:1776-1780;

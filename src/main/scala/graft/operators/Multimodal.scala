@@ -213,16 +213,25 @@ object Multimodal {
     */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
       maxBucket: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val banded = hashes.select(col("media_id"), col("ahash"),
+    val bandedRaw = hashes.select(col("media_id"), col("ahash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("sig"))): _*)).as("bs"))
       .select(col("media_id"), col("ahash"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("bsz") <= maxBucket)
+    // bucket-size gate as a count aggregate + shuffle-hash semi-join,
+    // NOT a window count: the window form SORTS the entire banded stream
+    // just to size buckets (the exact shape the sharedGramPairs spill
+    // postmortem replaced) — the aggregate combines map-side, the
+    // semi-join stays a hash build over the (band,sig) survivors, and
+    // between banding and pairing nothing sorts. The gate keeps buckets
+    // of 2..maxBucket members: singletons can't pair, so dropping them
+    // here also keeps them out of the self-join's build side.
+    val kept = bandedRaw.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select(col("band"), col("sig"))
+    val banded = bandedRaw.join(kept.hint("shuffle_hash"), Seq("band", "sig"), "left_semi")
     val a = banded.select(col("band"), col("sig"),
       col("media_id").as("id1"), col("ahash").as("h1"))
     val b = banded.select(col("band"), col("sig"),

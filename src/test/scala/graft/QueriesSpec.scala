@@ -41,6 +41,19 @@ class QueriesSpec extends AnyFunSuite {
     */
   val mayBeEmpty: Set[String] = Set()
 
+  test("q21 single-pass rewrite equals Catalyst-decorrelated EXISTS form") {
+    // q21 executes as one per-order aggregate pass; the textbook
+    // correlated EXISTS/NOT-EXISTS form (which Catalyst decorrelates
+    // into semi/anti joins — three fact-table exchanges) is pinned here
+    // as the equivalence witness. Both are fully ordered (numwait desc,
+    // s_name) so row-sequence equality is deterministic.
+    val fast = queries.RelationalQueries
+      .soleFaultSuppliers(spark, SparkTestSession.sfDir).collect().toSeq
+    val textbook = queries.RelationalQueries
+      .soleFaultSuppliersExistsSql(spark, SparkTestSession.sfDir).collect().toSeq
+    assert(fast.nonEmpty && fast == textbook)
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001") {
       val df = fn(spark, SparkTestSession.sfDir)

@@ -24,6 +24,25 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Learned BPE merge tables per fixture dir (t32): the learn loop is a
+    * bounded (≤12-row) driver collect, but it EXECUTES 12 Spark jobs —
+    * at DataFrame-construction time, since t30's codegen replace chain
+    * needs the merges to build the plan. Plan-enumeration suites
+    * (PlanDisciplineSpec instantiates every query just to inspect its
+    * plan) would otherwise re-run the whole learn per enumeration; the
+    * corpus is immutable per dir, so the table is memoized on the dir.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def learnedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeLearn.learnMerges(
+          graft.operators.BpeLearn.wordFrequencies(Catalog.documents(s, dir), "text"),
+          nMerges = 12)
+        .orderBy(col("rank")).select(col("lhs"), col("rhs"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1))))
+
   val queries: Map[String, Q] = Map(
     // D1: exact dedup — canonical doc per normalized-text fingerprint.
     "d1_exact_dedup" -> ((s, dir) => {
@@ -911,10 +930,7 @@ object PipelineQueries {
     "t32_bpe_budget_mix" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Catalog.documents(s, dir)
-      val learned = graft.operators.BpeLearn.learnMerges(
-          graft.operators.BpeLearn.wordFrequencies(docs, "text"), nMerges = 12)
-        .orderBy(col("rank")).select(col("lhs"), col("rhs"))
-        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+      val learned = learnedMerges(s, dir)
       val perDoc = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .select(col("doc_id"), bpeSubwordCount(bpeSymbols(col("w"), learned)).as("ns"))

@@ -20,28 +20,38 @@ class PlanGoldenSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   private val goldens = Map(
-    "q1_agg" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=2 wgl=0",
-    "q3_local_supplier_volume" -> "bhj=4 smj=0 shj=0 bnlj=0 cart=0 bcastx=4 shufflex=2 scans=5 pushed=5 agg=2 wgl=0",
-    "q13_cust_order_dist" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=1 agg=4 wgl=0",
-    "q16_supplier_cnt" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=3 scans=3 pushed=3 agg=4 wgl=0",
-    "q17_small_qty_revenue" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=3 scans=4 pushed=4 agg=6 wgl=0",
-    "q18_large_volume" -> "bhj=4 smj=0 shj=0 bnlj=0 cart=0 bcastx=4 shufflex=3 scans=5 pushed=3 agg=6 wgl=0",
-    "q15_top_supplier" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=4 scans=3 pushed=3 agg=6 wgl=0",
-    "q20_potential_promo" -> "bhj=6 smj=0 shj=0 bnlj=0 cart=0 bcastx=6 shufflex=6 scans=7 pushed=6 agg=10 wgl=0",
-    "j2_blacklist_anti" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=2 scans=2 pushed=1 agg=2 wgl=0",
-    "j9_asof_join" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=2 pushed=2 agg=0 wgl=0",
-    "j10_range_join" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=2 scans=2 pushed=0 agg=2 wgl=0",
-    "j12_interval_overlap" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=1 scans=2 pushed=2 agg=0 wgl=0",
-    "a3_rollup_topk_detail" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=2 agg=4 wgl=2",
-    "a17_percentile" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=2 scans=0 pushed=0 agg=2 wgl=0",
-    "e2_sessionize" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=2 wgl=0",
-    "e3_scd2" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 wgl=0",
-    "a29_gap_fill" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 wgl=0",
-    "d2_minhash_lsh" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=4 scans=1 pushed=0 agg=6 wgl=0",
-    "d4_ngram_jaccard" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=0 pushed=0 agg=0 wgl=0",
-    "t10_decontaminate" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=5 scans=4 pushed=4 agg=10 wgl=0",
-    "t22_tfidf_terms" -> "bhj=0 smj=0 shj=0 bnlj=1 cart=0 bcastx=1 shufflex=5 scans=2 pushed=0 agg=4 wgl=2",
-    "s3_time_filter" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=1 pushed=1 agg=0 wgl=0",
+    "q1_agg" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
+    "q3_local_supplier_volume" -> "bhj=4 smj=0 shj=0 bnlj=0 cart=0 bcastx=4 shufflex=2 scans=5 pushed=5 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
+    "q13_cust_order_dist" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=1 agg=4 objagg=0 sortagg=0 window=0 wgl=0",
+    "q16_supplier_cnt" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=3 scans=3 pushed=3 agg=4 objagg=0 sortagg=0 window=0 wgl=0",
+    "q17_small_qty_revenue" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=3 scans=4 pushed=4 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
+    "q18_large_volume" -> "bhj=4 smj=0 shj=0 bnlj=0 cart=0 bcastx=4 shufflex=3 scans=5 pushed=3 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
+    "q15_top_supplier" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=4 scans=3 pushed=3 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
+    "q20_potential_promo" -> "bhj=6 smj=0 shj=0 bnlj=0 cart=0 bcastx=6 shufflex=6 scans=7 pushed=6 agg=10 objagg=0 sortagg=0 window=0 wgl=0",
+    // q21 is the single-pass per-order aggregate rewrite: two hash
+    // exchanges over the fact/pre-agg, zero self-joins, zero windows
+    "q21_sole_fault" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=3 pushed=3 agg=8 objagg=0 sortagg=0 window=0 wgl=0",
+    "j2_blacklist_anti" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=2 scans=2 pushed=1 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
+    "j9_asof_join" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=2 pushed=2 agg=0 objagg=0 sortagg=0 window=1 wgl=0",
+    "j10_range_join" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=2 scans=2 pushed=0 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
+    "j12_interval_overlap" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=1 scans=2 pushed=2 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
+    "a3_rollup_topk_detail" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=2 agg=2 objagg=2 sortagg=0 window=1 wgl=2",
+    "a17_percentile" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=2 scans=0 pushed=0 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
+    "e2_sessionize" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=2 objagg=0 sortagg=0 window=2 wgl=0",
+    "e3_scd2" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 objagg=0 sortagg=0 window=2 wgl=0",
+    "a29_gap_fill" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 objagg=0 sortagg=0 window=1 wgl=0",
+    "d2_minhash_lsh" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=4 scans=1 pushed=0 agg=4 objagg=2 sortagg=0 window=2 wgl=0",
+    "d4_ngram_jaccard" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=0 pushed=0 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
+    "t10_decontaminate" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=5 scans=4 pushed=4 agg=10 objagg=0 sortagg=0 window=3 wgl=0",
+    "t22_tfidf_terms" -> "bhj=0 smj=0 shj=0 bnlj=1 cart=0 bcastx=1 shufflex=5 scans=2 pushed=0 agg=4 objagg=0 sortagg=0 window=2 wgl=2",
+    "s3_time_filter" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=1 pushed=1 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
+    // det4's render is the bounded TopKLineAggregator (objagg=2 partial+
+    // final), with NO window and NO sort in the plan — the fingerprint
+    // pins exactly the property the 7.9 GB spill fix bought
+    "det4_alert_flow_detail" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=0 agg=2 objagg=2 sortagg=0 window=0 wgl=0",
+    // m4's bucket gate is a count-aggregate + shuffle-hash semi-join:
+    // window=0 pins the absence of the full-stream window sort
+    "m4_image_neardup" -> "bhj=1 smj=0 shj=2 bnlj=0 cart=0 bcastx=1 shufflex=6 scans=4 pushed=4 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
   )
 
   goldens.toSeq.sortBy(_._1).foreach { case (name, want) =>

@@ -40,6 +40,28 @@ object Dedup {
     (1103515245L, 386910293L), (48271L, 0L), (16807L, 552265445L),
     (1313057L, 777777777L), (100000037L, 999999999L), (630360016L, 123456789L))
 
+  /** First `n` permutation pairs: the fixed 12 above (so every existing
+    * signature is a prefix-stable special case), extended past 12 by a
+    * deterministic formula — odd multipliers and offsets in [0, 2^31),
+    * the same overflow-safe envelope as the fixed set, reproducible in
+    * any engine from the index alone (the oracle SQL inlines the SAME
+    * computed constants). Production MinHash runs want ~128
+    * permutations (RefinedWeb/Gopher-class dedup uses 9000-bit
+    * signatures banded to a Jaccard threshold); `n` is the recall dial.
+    */
+  def permsFor(n: Int): Seq[(Long, Long)] = {
+    require(n >= 1 && n <= 1024, s"numPerms=$n out of range")
+    if (n <= Perms.length) Perms.take(n)
+    else Perms ++ (Perms.length until n).map { i =>
+      // Weyl-style extension: i scaled by large odd constants, reduced
+      // into the multiplier envelope; `| 1` keeps a odd (invertible-ish
+      // spread over the modulus), all terms < 2^62 pre-reduction
+      val a = ((2654435761L * (i + 1L)) % HashMod) | 1L
+      val b = (1779033703L * (i + 7L) + 2600822924L * i * i) % HashMod
+      (a, b)
+    }
+  }
+
   /** Portable 60-bit content hash, reduced mod HashMod: the first 15 hex
     * chars of md5, parsed as an integer (Spark `conv`, DuckDB
     * `('0x'||…)::BIGINT`). ONE md5 per shingle — the 12 permutation
@@ -62,8 +84,12 @@ object Dedup {
     *    codegen'd, with map-side partial aggregation.
     * Docs shorter than the shingle size drop out naturally (lead null).
     */
-  def lshBands(df: DataFrame): DataFrame = {
+  def lshBands(df: DataFrame, numPerms: Int = NumPerms,
+      numBands: Int = NumBands): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(numBands >= 1 && numPerms % numBands == 0,
+      s"numPerms=$numPerms must divide into numBands=$numBands")
+    val rows = numPerms / numBands
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tails = (1 until ShingleSize).map(j => lead(col("t"), j).over(w).as(s"t$j"))
     val exploded = df
@@ -72,13 +98,13 @@ object Dedup {
       .filter(col(s"t${ShingleSize - 1}").isNotNull)
       .withColumn("s", concat_ws(" ", col("t") +: (1 until ShingleSize).map(j => col(s"t$j")): _*))
       .withColumn("h", contentHash(col("s")))
-    val minAggs = Perms.zipWithIndex.map { case ((a, b), i) =>
+    val minAggs = permsFor(numPerms).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % HashMod).as(s"mh$i")
     }
     val mh = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bands = (0 until NumBands).map { b =>
+    val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
+        concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*).as("sig"))
     }
     mh.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -92,8 +118,13 @@ object Dedup {
     * its codegen min-aggregates beat interpreted array lambdas at corpus
     * scale, but need shuffles a stream projection can't have.
     */
-  def lshBandsLocal(df: DataFrame): DataFrame = {
-    // the whole shingle-assembly → md5 → 60-bit hash → 12-permutation-
+  def lshBandsLocal(df: DataFrame, numPerms: Int = NumPerms,
+      numBands: Int = NumBands): DataFrame = {
+    require(numBands >= 1 && numPerms % numBands == 0,
+      s"numPerms=$numPerms must divide into numBands=$numBands")
+    val rows = numPerms / numBands
+    val perms = permsFor(numPerms)
+    // the whole shingle-assembly → md5 → 60-bit hash → per-permutation-
     // minimum fold runs in ONE codegen expression
     // ([[graft.expressions.MinhashSig]]) over the token array: the HOF
     // pipeline (shingles transform + per-permutation array_min(transform))
@@ -103,10 +134,10 @@ object Dedup {
     val sigArr = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.MinhashSig(
         org.apache.spark.sql.graft.ColumnBridge.expression(tokens(col("text"))),
-        ShingleSize, Perms.map(_._1).toArray, Perms.map(_._2).toArray, HashMod))
-    val bands = (0 until NumBands).map { b =>
+        ShingleSize, perms.map(_._1).toArray, perms.map(_._2).toArray, HashMod))
+    val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("|", (0 until 4).map(r => col("mhs")(b * 4 + r).cast("string")): _*).as("sig"))
+        concat_ws("|", (0 until rows).map(r => col("mhs")(b * rows + r).cast("string")): _*).as("sig"))
     }
     df.select(col("doc_id"), col("text"))
       // <ShingleSize tokens ⇒ no shingles ⇒ no signature (lshBands parity);
@@ -131,7 +162,8 @@ object Dedup {
     * anyway) — the standard recall trade for a hard task-size bound.
     * Returns (doc1, doc2, n_bands) with doc1 < doc2.
     */
-  def lshCandidatePairs(df: DataFrame, maxBucket: Int = 10000): DataFrame = {
+  def lshCandidatePairs(df: DataFrame, maxBucket: Int = 10000,
+      numPerms: Int = NumPerms, numBands: Int = NumBands): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // compiled pair expansion (PairCombinations — same kernel as the
     // substring-span pipelines; the HOF flatten(transform(slice…)) form
@@ -144,7 +176,7 @@ object Dedup {
     // collect_list ever buffers them (filtering after the collect would
     // still materialize the megabucket in one aggregation buffer)
     val w = Window.partitionBy(col("band"), col("sig"))
-    lshBands(df)
+    lshBands(df, numPerms, numBands)
       .withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz").between(2, maxBucket))
       .groupBy(col("band"), col("sig"))
@@ -256,25 +288,37 @@ object Dedup {
     pmod(floor(digit.cast("double") / pow(lit(2.0), (b % 4).cast("double"))).cast("int"), lit(2))
   }
 
-  /** DataFrame-level SimHash: tokens explode to rows, the 8 hex digits of
-    * each token's md5 resolve via ascii arithmetic, and the 32 bit-votes
-    * are plain conditional-sum aggregates — everything codegen'd, ~20×
-    * faster than the row-local HOF form ([[simhash]]) at corpus scale.
-    * Returns (idCol, sh).
+  /** DataFrame-level SimHash: tokens explode to rows, the first `bits/4`
+    * hex digits of each token's md5 resolve via ascii arithmetic, and the
+    * bit-votes are plain conditional-sum aggregates — everything
+    * codegen'd, ~20× faster than the row-local HOF form ([[simhash]]) at
+    * corpus scale. Returns (idCol, sh).
+    *
+    * `bits` is the signature-width dial (default the fixture-friendly
+    * 32; production near-dup runs use the Manku/WWW'07 64-bit width).
+    * At 64 bits the signature occupies the FULL signed long: bit 63 is
+    * the sign bit (1L << 63 == Long.MinValue — exact two's-complement
+    * arithmetic, identical in any engine with signed 64-bit ints; the
+    * oracle SQL builds the same value as (1 << 62) · −2 because DuckDB
+    * raises on a literal 1 << 63). Downstream bucketing on a possibly-
+    * negative signature must use sign-safe ops — bitwiseAND masks or
+    * pmod, never `%`.
     */
-  def simhashOf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashOf(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = SimHashBits): DataFrame = {
+    require(bits % 4 == 0 && bits >= 4 && bits <= 64, s"bits=$bits")
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .withColumn("hx", md5(col("t")))
-    val withDigits = (0 until 8).foldLeft(tok) { (d, j) =>
+    val withDigits = (0 until bits / 4).foldLeft(tok) { (d, j) =>
       val a = ascii(substring(col("hx"), j + 1, 1))
       d.withColumn(s"d$j", when(a <= 57, a - 48).otherwise(a - 87))
     }
-    val votes = (0 until SimHashBits).map { b =>
+    val votes = (0 until bits).map { b =>
       val bit = shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1))
       sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val agg = withDigits.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sh = (0 until SimHashBits).map { b =>
+    val sh = (0 until bits).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col(idCol), sh.as("sh"))

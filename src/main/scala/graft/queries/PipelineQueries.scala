@@ -68,6 +68,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D2V: d2 at the PRODUCTION signature width — 128 permutations in
+    // 32 bands of 4 rows (P(candidate) = 1−(1−j⁴)³², the ~0.58-Jaccard
+    // knee real curation runs band for, vs the fixture-friendly 12/3).
+    // Same operator, same plan shape — the widths are arguments now
+    // (Dedup.permsFor extends the permutation table deterministically),
+    // so recall/precision is a caller dial, not an engine edit. The
+    // oracle inlines the identical 128 computed (a,b) constants.
+    "d2v_minhash128" -> ((s, dir) => {
+      Dedup.lshCandidatePairs(Catalog.documents(s, dir), numPerms = 128, numBands = 32)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // D3V: d3 at the production 64-bit width (Manku WWW'07). Bit 63 is
+    // the long's sign bit — exact two's-complement parity with the
+    // oracle — so the bucket uses a sign-safe AND mask, never `%`.
+    "d3v_simhash64" -> ((s, dir) => {
+      Dedup.simhashOf(Catalog.documents(s, dir), "doc_id", "text", bits = 64)
+        .select(col("doc_id"), col("sh").as("simhash64"),
+          col("sh").bitwiseAND(lit(255L)).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D6: SimHash-banded near-dup candidates — docs sharing the low 4
     // simhash bits pair up, exact Hamming ≤ 10 filters (the SimHash
     // counterpart of the MinHash pipeline in d2/d4).
@@ -1318,9 +1340,12 @@ object PipelineQueries {
        |    CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
-  private val minhashListSql: String = {
+  /** MinHash list SQL at `n` permutations — the SAME computed (a,b)
+    * constants as `Dedup.permsFor(n)`, inlined.
+    */
+  private def minhashListSqlFor(n: Int): String = {
     val m = graft.operators.Dedup.HashMod
-    graft.operators.Dedup.Perms
+    graft.operators.Dedup.permsFor(n)
       .map { case (a, b) => s"list_min([($a * h + $b) % $m for h in hs])" }
       .mkString("[", ", ", "]")
   }
@@ -1328,16 +1353,24 @@ object PipelineQueries {
   private val contentHashSql: String =
     s"[('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.operators.Dedup.HashMod} for s in sh]"
 
-  /** bands CTE shared by d2/d4/st7 (expects a CTE `sh(doc_id, sh)`). */
-  private[queries] val bandsSql: String =
+  /** bands CTE at an arbitrary (numPerms, numBands) banding (expects a
+    * CTE `sh(doc_id, sh)`); mirrors `Dedup.lshBands`.
+    */
+  private def bandsSqlFor(numPerms: Int, numBands: Int): String = {
+    val rows = numPerms / numBands
+    val sig = (1 to rows).map(j => s"CAST(mhs[b*$rows+$j] AS VARCHAR)")
+      .mkString(" || '|' || ")
     s"""mh AS (
-       |  SELECT doc_id, $minhashListSql AS mhs
+       |  SELECT doc_id, ${minhashListSqlFor(numPerms)} AS mhs
        |  FROM (SELECT doc_id, $contentHashSql AS hs FROM sh WHERE len(sh) >= 1)),
        |bands AS (
-       |  SELECT doc_id, b,
-       |    CAST(mhs[b*4+1] AS VARCHAR) || '|' || CAST(mhs[b*4+2] AS VARCHAR) || '|' ||
-       |    CAST(mhs[b*4+3] AS VARCHAR) || '|' || CAST(mhs[b*4+4] AS VARCHAR) AS sig
-       |  FROM mh CROSS JOIN range(0, 3) r(b))""".stripMargin
+       |  SELECT doc_id, b, $sig AS sig
+       |  FROM mh CROSS JOIN range(0, $numBands) r(b))""".stripMargin
+  }
+
+  /** bands CTE shared by d2/d4/st7 (expects a CTE `sh(doc_id, sh)`). */
+  private[queries] val bandsSql: String =
+    bandsSqlFor(graft.operators.Dedup.NumPerms, graft.operators.Dedup.NumBands)
 
   /** CTE chain shared by d7/d8: LSH bands → candidate pairs → symmetric
     * edge list → recursive min-label closure → per-node component. The
@@ -2006,6 +2039,40 @@ object PipelineQueries {
         |JOIN split s2 ON s2.doc_id = c.doc2
         |WHERE s1.is_eval <> s2.is_eval
         |ORDER BY train_doc, eval_doc""".stripMargin,
+
+    "d2v_minhash128" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
+        |  FROM documents),
+        |${bandsSqlFor(128, 32)}
+        |SELECT x.doc_id AS doc1, y.doc_id AS doc2, COUNT(*) AS n_bands
+        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+
+    // 64-bit simhash: bit 63 is the BIGINT sign bit; DuckDB raises on a
+    // literal 1 << 63, so the value is built as (1 << 62) * -2 — exact
+    // two's complement, bit-identical to Spark's 1L << 63. The bucket
+    // masks with & (sign-safe in both engines), never %.
+    "d3v_simhash64" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) >> (b % 4)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM (SELECT doc_id, h, b, ascii(substr(h, CAST(b // 4 AS INT) + 1, 1)) AS a
+        |        FROM h CROSS JOIN range(0, 64) r(b))
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN
+        |      (CASE WHEN b = 63 THEN (1::BIGINT << 62) * (-2)
+        |            ELSE (1::BIGINT << b) END)
+        |      ELSE 0 END) AS BIGINT) AS simhash64
+        |  FROM votes GROUP BY doc_id)
+        |SELECT doc_id, simhash64, simhash64 & 255 AS bucket
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH tok AS (

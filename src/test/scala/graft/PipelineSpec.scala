@@ -35,6 +35,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("permsFor: prefix-stable, deterministic, and inside the overflow envelope") {
+    assert(Dedup.permsFor(12) == Dedup.Perms)
+    assert(Dedup.permsFor(5) == Dedup.Perms.take(5))
+    val p128 = Dedup.permsFor(128)
+    assert(p128.length == 128 && p128.take(12) == Dedup.Perms)
+    assert(p128 == Dedup.permsFor(128)) // same constants every call
+    // the envelope the fixed 12 rely on: a·h + b < 2^62 for h < HashMod
+    p128.drop(12).foreach { case (a, b) =>
+      assert(a % 2 == 1 && a > 0 && a < Dedup.HashMod, s"a=$a")
+      assert(b >= 0 && b < Dedup.HashMod, s"b=$b")
+    }
+    assert(p128.distinct.size == 128, "duplicate permutation pair")
+  }
+
+  test("simhashOf(64): low 32 bits equal the 32-bit signature; sign bit is exact") {
+    val docs = docsDf(Seq(1L -> base, 2L -> (base + " postscript"),
+      3L -> "completely different content about spark catalyst optimizer rules"))
+    val sh32 = Dedup.simhashOf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh64 = Dedup.simhashOf(docs, "doc_id", "text", bits = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh32.foreach { case (id, s32) =>
+      assert((sh64(id) & 0xffffffffL) == s32,
+        s"doc $id: 64-bit signature's low half != 32-bit signature")
+    }
+    // bits are md5-uniform votes: across a few docs the top bit should
+    // not be structurally impossible — this asserts only that negatives
+    // (bit 63 set) survive the arithmetic unchanged when they occur
+    sh64.values.filter(_ < 0).foreach { v =>
+      assert(((v >>> 63) & 1L) == 1L)
+    }
+  }
+
+  test("lshBands(128, 32): 32 bands per doc, 4-row signatures, prefix-consistent") {
+    val docs = docsDf(Seq(1L -> base, 2L -> (base + " postscript")))
+    val bands = Dedup.lshBands(docs, numPerms = 128, numBands = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(bands.groupBy(_._1).forall(_._2.length == 32))
+    assert(bands.forall(_._3.split('|').length == 4))
+    // band 0 of the 128/32 run uses permutations 0-3 = the default run's
+    // first band → identical signature strings
+    val def0 = Dedup.lshBands(docs).collect()
+      .collect { case r if r.getInt(1) == 0 => (r.getLong(0), r.getString(2)) }.toMap
+    bands.filter(_._2 == 0).foreach { case (id, _, sig) =>
+      assert(def0(id) == sig, s"doc $id: band-0 signature drifted")
+    }
+  }
+
   test("lshCandidatePairs drops degenerate buckets past maxBucket") {
     // 12 identical docs → every band-bucket holds all 12
     val clones = docsDf((1L to 12L).map(i => i -> base))

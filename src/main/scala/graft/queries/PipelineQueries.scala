@@ -1097,6 +1097,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T33: MODEL-based language ID — the hashed-feature linear head with
+    // per-language weight vectors (fastText-style), trained on the
+    // corpus's own labels and applied corpus-wide; t2's function-word
+    // argmax stays as the cheap pre-pass. The weight table is bounded by
+    // the hash dimensionality (broadcast at any corpus size) and the
+    // label decision is cross-multiplied integer arithmetic — engine
+    // -exact, no float in the decision path (see ml.LangClassifier).
+    "t33_lang_classifier" -> ((s, dir) => {
+      graft.ml.LangClassifier.trainPredict(Catalog.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // T4: document fingerprints — exact (normalized md5) and sketch
     // (md5 of the 4 smallest distinct shingle hashes, winnowing-style).
     "t4_fingerprint" -> ((s, dir) => {
@@ -1254,6 +1266,54 @@ object PipelineQueries {
     */
   private[queries] val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** t33 oracle: the hashed-NB-mean classifier with the argmax fold
+    * UNROLLED into chained CTEs — generated from the same sorted class
+    * list as ml.LangClassifier so the fold order (and therefore the
+    * tiebreak) is structurally identical. HUGEINT carries the cross
+    * products (the Spark side uses decimal(38,0) for the same values).
+    */
+  private val langClassifierSql: String = {
+    val classes = Seq("de", "en", "es", "fr", "zh")
+    val dims = 262144
+    val nCols = classes.map(c =>
+      s"SUM(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS n_$c").mkString(", ")
+    val tCols = classes.map(c => s"SUM(n_$c) AS t_$c").mkString(", ")
+    val sumCols = classes.map(c => s"SUM(w.n_$c) AS sum_$c").mkString(", ")
+    val numDen = classes.map(c =>
+      s"sum_$c + n_toks AS num_$c, t_$c + v AS den_$c").mkString(", ")
+    val fold = classes.tail.zipWithIndex.map { case (c, i) =>
+      val (pc, pn, pd) =
+        if (i == 0) (s"'${classes.head}'", s"num_${classes.head}", s"den_${classes.head}")
+        else (s"c$i", s"num$i", s"den$i")
+      val j = i + 1
+      val win = s"num_$c::HUGEINT * $pd > $pn::HUGEINT * den_$c"
+      s"""b$j AS (
+         |  SELECT *,
+         |    CASE WHEN $win THEN '$c' ELSE $pc END AS c$j,
+         |    CASE WHEN $win THEN num_$c ELSE $pn END AS num$j,
+         |    CASE WHEN $win THEN den_$c ELSE $pd END AS den$j
+         |  FROM b${if (j == 1) "0" else i.toString})""".stripMargin
+    }.mkString(",\n")
+    val last = s"c${classes.length - 1}"
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest($toksSql) AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $dims AS h
+       |  FROM tok),
+       |w AS (SELECT h, $nCols FROM f GROUP BY h),
+       |tot AS (SELECT $tCols, COUNT(*) AS v FROM w),
+       |pd AS (
+       |  SELECT f.doc_id, $sumCols, COUNT(*) AS n_toks
+       |  FROM f JOIN w USING (h) GROUP BY f.doc_id),
+       |b0 AS (SELECT pd.doc_id, $numDen FROM pd CROSS JOIN tot),
+       |$fold
+       |SELECT d.doc_id, d.lang, COALESCE(b.$last, 'und') AS pred_lang,
+       |  CASE WHEN d.lang = COALESCE(b.$last, 'und') THEN 1 ELSE 0 END AS correct
+       |FROM documents d LEFT JOIN b${classes.length - 1} b ON b.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Number of BPE merges the t31/t32 oracles unroll — shared with the
     * Spark side's `nMerges` so both engines learn the same table.
@@ -1973,6 +2033,8 @@ object PipelineQueries {
         |WHERE domain NOT IN ('src0-0.com', 'src1-1.org', 'src2-2.net')
         |GROUP BY domain, tld
         |ORDER BY domain""".stripMargin,
+
+    "t33_lang_classifier" -> langClassifierSql,
 
     "t28_quality_classifier" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),

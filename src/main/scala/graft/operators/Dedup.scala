@@ -504,7 +504,7 @@ object Dedup {
     * SimHash-LSH compromise.
     */
   def simhashCandidatePairs(df: DataFrame, bucketBits: Int, maxHamming: Int,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, bits: Int = SimHashBits): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the repartition is load-bearing: without an exchange barrier,
     // CollapseProject inlines the (expensive) simhash expression into the
@@ -517,7 +517,9 @@ object Dedup {
     // work is one scalar XOR+popcount, so this operator is bound by its
     // OUTPUT pair volume — which a collapse cannot shrink — and measured
     // collapse overhead exceeded its savings at both 1× and 10× clones.)
-    val sh = simhashOf(df, "doc_id", "text")
+    // pmod (not %) keys the bucket: at bits=64 the signature can be
+    // negative and % would emit negative buckets
+    val sh = simhashOf(df, "doc_id", "text", bits)
       .withColumn("bucket", pmod(col("sh"), lit(1L << bucketBits)))
       .repartition(col("bucket"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
@@ -664,29 +666,38 @@ object Dedup {
     * hamming-0 chains always surface without a dedicated exact pass.
     */
   def simhashSortedNeighborPairs(df: DataFrame, maxHamming: Int,
-      window: Int = 6, blockBits: Int = 6): DataFrame = {
+      window: Int = 6, blockBits: Int = 6, bits: Int = SimHashBits): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(blockBits >= 1 && blockBits <= 16, s"blockBits=$blockBits")
+    require(bits % 4 == 0 && bits >= 8 && bits <= 64, s"bits=$bits")
+    val nibbles = bits / 4
     // materialize the signature table ONCE: every rotation branch
     // re-shuffles it on a different key, so without the checkpoint the
-    // tokenize+md5+vote aggregation would run 8x (the d4 pattern —
-    // executor-local blocks, freed by the ContextCleaner when the
-    // result frame is dropped). O(n) rows of (doc_id, sh).
-    val sh = simhashOf(df, "doc_id", "text").localCheckpoint(true)
-    val rotated = (0 until 8).map { t =>
-      // nibble-gather permutation of the 32-bit signature: output nibble
-      // j takes input nibble (j + t) mod 8; non-negative by
-      // construction. Nibble (not byte) granularity: a pair differing in
-      // k bits dirties ≤ k nibbles, and some rotation pushes them low,
-      // keeping the pair's key distance — and hence the number of
-      // interposing docs in the sort — small.
-      val key = (0 until 8).map { j =>
+    // tokenize+md5+vote aggregation would run once per rotation (the d4
+    // pattern — executor-local blocks, freed by the ContextCleaner when
+    // the result frame is dropped). O(n) rows of (doc_id, sh).
+    val sh = simhashOf(df, "doc_id", "text", bits).localCheckpoint(true)
+    val rotated = (0 until nibbles).map { t =>
+      // nibble-gather permutation of the `bits`-wide signature: output
+      // nibble j takes input nibble (j + t) mod nibbles. Shifts are
+      // LOGICAL (shiftrightunsigned) so a 64-bit signature's sign bit
+      // gathers like any other nibble; at widths < 64 the signature is
+      // non-negative and unsigned == arithmetic, so the 32-bit path is
+      // bit-identical to its pinned oracle. Nibble (not byte)
+      // granularity: a pair differing in k bits dirties ≤ k nibbles,
+      // and some rotation pushes them low, keeping the pair's key
+      // distance — and hence the number of interposing docs in the
+      // sort — small. (At bits=64 the rotated key itself can be
+      // negative; the sort and the block split below are then over the
+      // SIGNED order — one extra block boundary at the sign flip, the
+      // same bounded recall effect as any other block edge.)
+      val key = (0 until nibbles).map { j =>
         shiftleft(
-          shiftright(col("sh"), 4 * ((j + t) % 8)).bitwiseAND(lit(15L)),
+          shiftrightunsigned(col("sh"), 4 * ((j + t) % nibbles)).bitwiseAND(lit(15L)),
           4 * j)
       }.reduce(_ bitwiseOR _)
       val keyed = sh.select(col("doc_id"), col("sh"), key.as("k"))
-        .withColumn("blk", shiftright(col("k"), 32 - blockBits))
+        .withColumn("blk", shiftright(col("k"), bits - blockBits))
       val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
       // all `window` leads ride ONE window pass, unpivoted by a single
       // explode in a follow-up projection (per-lead union branches would

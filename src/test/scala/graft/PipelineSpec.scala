@@ -83,6 +83,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashSortedNeighborPairs at 64 bits: planted near-dups surface; 32-bit path unchanged") {
+    val nearDup = base + " postscript"
+    val docs = docsDf(Seq(
+      1L -> base, 2L -> nearDup, 3L -> base, // 3 is a byte-identical clone of 1
+      4L -> "completely different content about spark catalyst optimizer rules and physical plans here today",
+      5L -> "yet another unrelated document mentioning shuffle partitions broadcast joins and codegen stages now"))
+    // 64-bit signatures double the vote width; the same planted pair and
+    // the hamming-0 clone chain must surface through the rotated sorts
+    val pairs64 = Dedup.simhashSortedNeighborPairs(docs, maxHamming = 14, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs64.contains((1L, 3L)), "identical clones must pair at any width")
+    assert(pairs64.contains((1L, 2L)) && pairs64.contains((2L, 3L)),
+      "planted near-dup must survive the 64-bit rotations")
+    // the default-width call must equal an explicit bits=32 call row for
+    // row (the pinned d13 oracle depends on this path not drifting)
+    val def32 = Dedup.simhashSortedNeighborPairs(docs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp32 = Dedup.simhashSortedNeighborPairs(docs, maxHamming = 10, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(def32 == exp32)
+  }
+
+  test("simhashCandidatePairs at 64 bits: non-negative buckets, clone pair found") {
+    val docs = docsDf(Seq(
+      1L -> base, 2L -> base,
+      3L -> "completely different content about spark catalyst optimizer rules and physical plans here today"))
+    val sh64 = Dedup.simhashOf(docs, "doc_id", "text", bits = 64)
+      .withColumn("bucket", pmod(col("sh"), lit(16L)))
+      .collect().map(_.getAs[Long]("bucket"))
+    assert(sh64.forall(b => b >= 0 && b < 16), "pmod must keep 64-bit buckets non-negative")
+    val pairs = Dedup.simhashCandidatePairs(docs, bucketBits = 4, maxHamming = 0, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("lshCandidatePairs drops degenerate buckets past maxBucket") {
     // 12 identical docs → every band-bucket holds all 12
     val clones = docsDf((1L to 12L).map(i => i -> base))

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AdaptiveWidth
+import graft.sources.Catalog
+
+/** The input-size gate behind the complete-mode wide-aggregate plans:
+  * estimates must come from the optimizer (pruned through projections),
+  * the small regime must hold on the test fixtures (where the plain
+  * plans are the ones oracle-pinned), and unknown-estimate inputs must
+  * choose the wide plan (fail toward no-spill).
+  */
+class AdaptiveWidthSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("estimates are positive, projection-pruned, and monotone in scale") {
+    val li = Catalog.lineitem(spark, SparkTestSession.sfDir)
+    val full = AdaptiveWidth.estimatedBytes(li)
+    val proj = AdaptiveWidth.estimatedBytes(li.select("l_suppkey", "l_partkey"))
+    assert(full > 0 && proj > 0)
+    assert(proj < full, "column pruning must shrink the estimate")
+    val li01 = Catalog.lineitem(spark, "/root/testdata/sf0.01")
+    assert(AdaptiveWidth.estimatedBytes(li01) > full,
+      "a 10x fixture must estimate larger")
+  }
+
+  test("sf0.001/sf0.01 sit in the small regime for the gated call sites") {
+    // the thresholds the call sites use: 8 MB (lineitem pair/distinct
+    // plans), 2 MB (gram pipelines) — both fixtures the tests and the
+    // driver's correctness gate run on must take the plain plan, since
+    // that is the plan whose results the oracles pinned fastest
+    for (dir <- Seq(SparkTestSession.sfDir, "/root/testdata/sf0.01")) {
+      val li = Catalog.lineitem(spark, dir)
+      assert(AdaptiveWidth.isSmall(li.select("l_suppkey", "l_partkey"), 8L << 20), dir)
+      val docs = Catalog.documents(spark, dir)
+      assert(AdaptiveWidth.isSmall(docs.select("doc_id", "text"), 2L << 20), dir)
+    }
+  }
+
+  test("widened = factor x session shuffle parallelism") {
+    val li = Catalog.lineitem(spark, SparkTestSession.sfDir)
+    val base = spark.sessionState.conf.numShufflePartitions
+    assert(AdaptiveWidth.widened(li) == base * 6)
+    assert(AdaptiveWidth.widened(li, factor = 8) == base * 8)
+  }
+
+  test("an unknown (huge) estimate chooses the wide plan") {
+    import spark.implicits._
+    // a local relation with a one-row range joined to itself via a UDF-
+    // opaque filter still carries SOME estimate; instead pin the
+    // documented contract directly on the threshold boundary
+    val df = Seq.fill(1000)(("x" * 1000)).toDF("s")
+    val est = AdaptiveWidth.estimatedBytes(df)
+    assert(!AdaptiveWidth.isSmall(df, (est - 1).toLong max 1L),
+      "estimate at/over threshold must choose wide")
+    assert(AdaptiveWidth.isSmall(df, est.toLong + 1))
+  }
+}

@@ -26,6 +26,31 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out("k2")._2("c") == 1.0)
   }
 
+  test("TopKLineAggregator: rank order, tiebreaks, boundedness, merge associativity") {
+    val agg = new Aggregators.TopKLineAggregator(3)
+    val rows = Seq(
+      (5L, "b", "5b"), (5L, "a", "5a"), (9L, "z", "9z"),
+      (1L, "a", "1a"), (9L, "a", "9a"), (5L, "a", "5a2"))
+    // direct fold: order is (key desc, tie asc); duplicates of the same
+    // (key, tie) both occupy slots (the window's row_number did too)
+    val folded = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(folded) == Seq("9a", "9z", "5a"))
+    // merge of arbitrary splits equals the whole fold (partial-agg safety)
+    for (cut <- 1 until rows.length) {
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == agg.finish(folded), s"cut=$cut")
+    }
+    // buffer never exceeds k regardless of input size
+    val big = (1L to 10000L).map(i => (i, s"t$i", s"p$i"))
+    assert(big.foldLeft(agg.zero)(agg.reduce).length == 3)
+    // duplicate (key, tie) entries: both kept while room remains
+    val dup = Seq((5L, "a", "x"), (5L, "a", "x")).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(dup) == Seq("x", "x"))
+    assert(agg.finish(agg.zero) == Seq.empty)
+  }
+
   test("MergeMaxAggregator matches pure mergeMax over any grouping") {
     import spark.implicits._
     val maps = Seq(

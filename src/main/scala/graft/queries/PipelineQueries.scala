@@ -122,6 +122,20 @@ object PipelineQueries {
         .orderBy(col("doc1"), col("doc2"), col("hamming"))
     }),
 
+    // D13V: d13 at the PRODUCTION 64-bit signature width (Manku's own
+    // setting) — 16 nibble-rotated sort orders over the full signed-64
+    // signature. The nibble gather masks to 4 bits immediately, so
+    // arithmetic vs logical shift is indistinguishable and the oracle's
+    // signed `>>` reproduces Spark's shiftrightunsigned gather exactly;
+    // block split and sort order are signed in BOTH engines (one extra
+    // block boundary at the sign flip). maxHamming scales with the
+    // width (10/32 → 20/64 keeps the same fractional radius).
+    "d13v_simhash64_sorted" -> ((s, dir) => {
+      Dedup.simhashSortedNeighborPairs(Catalog.documents(s, dir),
+          maxHamming = 20, bits = 64)
+        .orderBy(col("doc1"), col("doc2"), col("hamming"))
+    }),
+
     // C6: split-leakage audit — near-dup candidate pairs that CROSS a
     // deterministic train/eval split (content-hash bucket ≥ 80 = eval).
     // THE training-data integrity check: eval contamination via
@@ -2237,6 +2251,63 @@ object PipelineQueries {
          |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cands
          |WHERE bit_count(xor(sa, sb)) <= 10
+         |ORDER BY doc1, doc2""".stripMargin
+    },
+
+    // d13 at 64 bits: same generator shape as the literal d13 oracle
+    // above, widened — 16 rotations, 16 nibbles, block shift 64-6, and
+    // the 64-bit simhash CTE (bit 63 as (1<<62)*-2; see d3v).
+    "d13v_simhash64_sorted" -> {
+      val nib = 16
+      val shCte64 =
+        s"""tok AS (
+           |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+           |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+           |votes AS (
+           |  SELECT doc_id, b,
+           |    SUM(CASE WHEN ((CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) >> (b % 4)) & 1 = 1
+           |        THEN 1 ELSE -1 END) AS vote
+           |  FROM (SELECT doc_id, h, b, ascii(substr(h, CAST(b // 4 AS INT) + 1, 1)) AS a
+           |        FROM h CROSS JOIN range(0, 64) r(b))
+           |  GROUP BY doc_id, b),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN vote > 0 THEN
+           |      (CASE WHEN b = 63 THEN (1::BIGINT << 62) * (-2)
+           |            ELSE (1::BIGINT << b) END)
+           |      ELSE 0 END) AS BIGINT) AS sh
+           |  FROM votes GROUP BY doc_id)""".stripMargin
+      // top output nibble (j = 15, shift 60): a nibble value >= 8 would
+      // set bit 63, which DuckDB's checked << refuses — split the
+      // nibble's top bit off and OR it in as the (1 << 62) * -2 sign-bit
+      // value (bitwise |, no overflow check); low 3 bits shift normally
+      def keyExpr(t: Int): String = (0 until nib).map { j =>
+        val v = s"((sh >> ${4 * ((j + t) % nib)}) & 15)"
+        if (j == nib - 1)
+          s"((($v & 7) << ${4 * j}) | (CASE WHEN $v >= 8 THEN (1::BIGINT << 62) * (-2) ELSE 0 END))"
+        else s"($v << ${4 * j})"
+      }.mkString("(", " | ", ")")
+      val kCtes = (0 until nib).map(t =>
+        s"k$t AS (SELECT doc_id, sh, ${keyExpr(t)} AS k FROM sh)")
+      val lCtes = (0 until nib).map { t =>
+        val leads = (1 to 6).flatMap(i => Seq(
+          s"lead(doc_id, $i) OVER w AS d$i", s"lead(sh, $i) OVER w AS s$i"))
+          .mkString(", ")
+        s"l$t AS (SELECT doc_id, sh, $leads FROM " +
+          s"(SELECT *, (k >> ${64 - 6}) AS blk FROM k$t) kb$t " +
+          "WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id))"
+      }
+      val cands = (for { t <- 0 until nib; i <- 1 to 6 } yield
+        s"SELECT doc_id AS da, sh AS sa, d$i AS db, s$i AS sb FROM l$t WHERE d$i IS NOT NULL")
+        .mkString("\n UNION ALL ")
+      s"""WITH $shCte64,
+         |${kCtes.mkString(",\n")},
+         |${lCtes.mkString(",\n")},
+         |cands AS ($cands)
+         |SELECT DISTINCT least(da, db) AS doc1, greatest(da, db) AS doc2,
+         |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cands
+         |WHERE bit_count(xor(sa, sb)) <= 20
          |ORDER BY doc1, doc2""".stripMargin
     },
 

@@ -36,6 +36,43 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
   }
 
+  test("width-parameterized generators: empty/singleton corpora at 64 bits and 128 perms") {
+    for (df <- Seq(emptyDocs, oneDoc)) {
+      assert(Dedup.lshCandidatePairs(df, numPerms = 128, numBands = 32).count() == 0)
+      assert(Dedup.simhashCandidatePairs(df, bucketBits = 4, maxHamming = 10, bits = 64).count() == 0)
+      assert(Dedup.simhashSortedNeighborPairs(df, maxHamming = 10, bits = 64).count() == 0)
+    }
+  }
+
+  test("flowDetail: empty summary, empty key set, both") {
+    import spark.implicits._
+    def summaryDf(rows: Seq[(String, String, String, String, String, Long, Long, Long, Int, Long, Long, Double, Long)]) =
+      rows.toDF("my_ip", "my_port", "alien_ip", "alien_port", "proto",
+        "bytes_up", "bytes_down", "n_pkts", "direction", "t_min", "t_max",
+        "sample_rate", "status")
+    val full = summaryDf(Seq(
+      ("h1", "80", "a1", "5000", "tcp", 10L, 20L, 3L, 1, 0L, 5L, 2.0, 0L)))
+    val empty = summaryDf(Seq.empty)
+    assert(graft.detectors.Detectors.flowDetail(empty, full).count() == 0)
+    assert(graft.detectors.Detectors.flowDetail(full, empty).count() == 0)
+    assert(graft.detectors.Detectors.flowDetail(empty, empty).count() == 0)
+    // and the happy path renders exactly one line for its one key
+    val out = graft.detectors.Detectors.flowDetail(full, full).collect()
+    assert(out.length == 1 && out.head.getString(1).nonEmpty
+      && !out.head.getString(1).contains("\n"))
+  }
+
+  test("lang classifier: empty corpus and single-class corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(graft.ml.LangClassifier.trainPredict(empty).count() == 0)
+    val mono = Seq((1L, "en", "the cat sat"), (2L, "en", "a dog ran"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ml.LangClassifier.trainPredict(mono, classes = Seq("en"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getInt(3)))
+    assert(out.forall { case (lang, pred, c) => lang == "en" && pred == "en" && c == 1 })
+  }
+
   test("chunk dedup: empty corpus and empty/whitespace texts yield no chunks") {
     import spark.implicits._
     assert(Dedup.cdcChunkDedup(emptyDocs).count() == 0)

@@ -24,7 +24,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      // typed-Aggregator plans (TopKLineAggregator, HistogramAggregator)
+      // typed-Aggregator plans (TopKPayloadAggregator, HistogramAggregator)
       // run as ObjectHashAggregate, which falls back to SORT-based
       // aggregation after this many in-memory groups (default 128) —
       // re-introducing exactly the per-task input sort the bounded

@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
 import graft.functions.HistogramFunctions
 import graft.functions.NetFunctions
 
+/** Raw render inputs buffered by [[Detectors.flowDetail]]'s top-K
+  * aggregate — the payload type of its
+  * [[graft.operators.Aggregators.TopKPayloadAggregator]]. Numeric fields
+  * are Options so a null source column survives the encoder round-trip
+  * and nullifies only the rendered line (exactly what the old
+  * whole-line-concat did), never the aggregate.
+  */
+case class FlowLineFields(myIp: String, myPort: String, alienIp: String,
+    alienPort: String, proto: String, direction: Option[Long],
+    status: Option[Long], upB: Option[Double], downB: Option[Double],
+    pkts: Option[Long], durS: Option[Long], rate: Option[Long])
+
 /** The reference's standing detectors (SURVEY §2.4 A3/A4, §2.3 J2-J4,
   * §2.6 O1/O2, §2.8 F9) as pure `DataFrame → DataFrame` functions over
   * the [[FlowSummary]] output. Thresholds mirror the reference's config
@@ -43,25 +55,51 @@ object Detectors {
   private val scaledBytes: Column =
     (col("bytes_up") + col("bytes_down")) * col("sample_rate")
 
-  /** One rendered flow line (setFlows2String, HogSFlow.scala:662-686):
-    * orientation arrow from the summed direction vote, status marker,
-    * humanBytes with the Up/Down labels swapped for reversed flows.
+  /** The narrow raw-field struct [[flowDetail]] buffers per top-K
+    * candidate: just the columns the line render needs, with the scalar
+    * arithmetic (effective bytes, duration, rate truncation) pre-folded.
+    * Building this struct per input row is a handful of column copies;
+    * the EXPENSIVE part of the render — humanBytes formatting and the
+    * ~10-element concat — runs only over the ≤limit winners in
+    * [[renderLine]].
     */
-  private def flowLine: Column = {
-    val up = NetFunctions.humanBytes(col("bytes_up") * col("sample_rate"))
-    val down = NetFunctions.humanBytes(col("bytes_down") * col("sample_rate"))
-    val arrow = when(col("direction") > 0, lit(" => "))
-      .when(col("direction") < 0, lit(" <= ")).otherwise(lit(" <?> "))
-    val body = when(col("direction") > 0, concat(lit("Up: "), up, lit(", Down: "), down))
-      .when(col("direction") < 0, concat(lit("Down: "), up, lit(", Up: "), down))
+  private def flowFields: Column = struct(
+    col("my_ip").cast("string").as("myIp"),
+    col("my_port").cast("string").as("myPort"),
+    col("alien_ip").cast("string").as("alienIp"),
+    col("alien_port").cast("string").as("alienPort"),
+    col("proto").cast("string").as("proto"),
+    col("direction").cast("long").as("direction"),
+    col("status").cast("long").as("status"),
+    (col("bytes_up") * col("sample_rate")).cast("double").as("upB"),
+    (col("bytes_down") * col("sample_rate")).cast("double").as("downB"),
+    col("n_pkts").cast("long").as("pkts"),
+    (col("t_max") - col("t_min")).cast("long").as("durS"),
+    col("sample_rate").cast("long").as("rate"))
+
+  /** One rendered flow line (setFlows2String, HogSFlow.scala:662-686)
+    * from a [[flowFields]] struct element: orientation arrow from the
+    * summed direction vote, status marker, humanBytes with the Up/Down
+    * labels swapped for reversed flows. Runs inside a `transform` lambda
+    * over the top-K winners — after selection, never over the full
+    * summary stream.
+    */
+  private def renderLine(f: Column): Column = {
+    val up = NetFunctions.humanBytes(f.getField("upB"))
+    val down = NetFunctions.humanBytes(f.getField("downB"))
+    val d = f.getField("direction")
+    val arrow = when(d > 0, lit(" => "))
+      .when(d < 0, lit(" <= ")).otherwise(lit(" <?> "))
+    val body = when(d > 0, concat(lit("Up: "), up, lit(", Down: "), down))
+      .when(d < 0, concat(lit("Down: "), up, lit(", Up: "), down))
       .otherwise(concat(lit("L-to-R: "), up, lit(", R-to-L: "), down))
-    concat(col("my_ip"), lit(":"), col("my_port"), arrow,
-      col("alien_ip"), lit(":"), col("alien_port"),
-      when(col("status") > 0, lit(" [!]")).otherwise(lit("")),
-      lit(" ("), col("proto"), lit(", "), body,
-      lit(", "), col("n_pkts"), lit(" pkts, duration: "),
-      (col("t_max") - col("t_min")).cast("long"),
-      lit("s, sampling: 1/"), col("sample_rate").cast("long"), lit(")"))
+    concat(f.getField("myIp"), lit(":"), f.getField("myPort"), arrow,
+      f.getField("alienIp"), lit(":"), f.getField("alienPort"),
+      when(f.getField("status") > 0, lit(" [!]")).otherwise(lit("")),
+      lit(" ("), f.getField("proto"), lit(", "), body,
+      lit(", "), f.getField("pkts"), lit(" pkts, duration: "),
+      f.getField("durS"),
+      lit("s, sampling: 1/"), f.getField("rate"), lit(")"))
   }
 
   /** Per-alert rendered flow list (HogSFlow.scala:662-713): the alerted
@@ -75,7 +113,7 @@ object Detectors {
     * (even with InsertWindowGroupLimit's map-side partial pass) SORTS
     * each map task's entire flow stream before limiting — 7.9 GB of
     * externalized sort at the 100× fixture, the last non-contract
-    * production spiller. [[graft.operators.Aggregators.TopKLineAggregator]]
+    * production spiller. [[graft.operators.Aggregators.TopKPayloadAggregator]]
     * is a hash aggregate with map-side combining: per-task state is an
     * O(limit) buffer per alerted key, nothing sorts the input, nothing
     * spills regardless of how hot a key is. The tiebreak column is the
@@ -83,6 +121,13 @@ object Detectors {
     * proto) joined with a \\u0001 separator — lexicographically identical to the
     * column-wise comparison for these ASCII fields — so the rendered
     * order is bit-for-bit the old window order.
+    *
+    * The aggregate buffers the NARROW raw-field struct
+    * ([[FlowLineFields]]), not the rendered line: humanBytes formatting
+    * and the ~10-element concat run in a `transform` lambda over the
+    * ≤limit winners after selection. Rendering inside the aggregate
+    * formatted the whole summary stream and cost GraftApp a measured
+    * +14% end-to-end at the 100× fixture.
     *
     * The key semi-join MUST broadcast: `keys` is an alerted-host set,
     * bounded by the per-detector alert caps (take(100)/take(30) in the
@@ -95,15 +140,24 @@ object Detectors {
     */
   def flowDetail(summary: DataFrame, keys: DataFrame, keyCol: String = "my_ip",
       limit: Int = FlowListLimit): DataFrame = {
-    val topk = udaf(new graft.operators.Aggregators.TopKLineAggregator(limit))
-    val tie = concat_ws("\u0001", col("alien_ip"), col("alien_port"),
-      col("my_ip"), col("my_port"), col("proto"))
+    val topk = udaf(
+      new graft.operators.Aggregators.TopKPayloadAggregator[FlowLineFields](limit))
+    // null tie fields coalesce to "" (sorts first -- matching the old
+    // column-wise window order's nulls-first) rather than being silently
+    // SKIPPED by concat_ws, which would merge adjacent fields
+    val tie = concat_ws("\u0001",
+      Seq("alien_ip", "alien_port", "my_ip", "my_port", "proto")
+        .map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    // a null byte sum sorts last (Long.MinValue) -- the DESC-nulls-last
+    // order of the old window form
+    val sortKey = coalesce((col("bytes_up") + col("bytes_down")).cast("long"),
+      lit(Long.MinValue))
     summary
       .join(broadcast(keys.select(keyCol).distinct()), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol))
-      .agg(concat_ws("\n",
-        topk((col("bytes_up") + col("bytes_down")).cast("long"), tie, flowLine))
-        .as("flows_detail"))
+      .agg(topk(sortKey, tie, flowFields).as("win"))
+      .select(col(keyCol),
+        concat_ws("\n", transform(col("win"), renderLine _)).as("flows_detail"))
   }
 
   // ------------------------------------------------------------ derived sets

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -64,8 +66,13 @@ object Aggregators {
     */
   class TopKAggregator(k: Int)
       extends Aggregator[(Long, String), Seq[(Long, String)], Seq[String]] {
+    // explicit predicate order (key desc, payload asc) rather than
+    // sortBy(-key): negating Long.MinValue overflows back to MinValue,
+    // which would silently sort the highest-priority row last
+    private def lt(a: (Long, String), b: (Long, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     private def trim(s: Seq[(Long, String)]): Seq[(Long, String)] =
-      s.sortBy { case (key, payload) => (-key, payload) }.take(k)
+      s.sortWith(lt).take(k)
     def zero: Seq[(Long, String)] = Seq.empty
     def reduce(acc: Seq[(Long, String)], x: (Long, String)): Seq[(Long, String)] =
       trim(acc :+ x)
@@ -78,11 +85,11 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
-  /** Top-K with an explicit tiebreak column: keeps at most `k`
-    * (sortKey, tie, payload) rows ordered by (sortKey desc, tie asc) and
-    * finishes to the payloads in that order. This is [[TopKAggregator]]
-    * with the total order the per-alert flow render needs
-    * (bytes desc, then the flow-identity tuple ascending —
+  /** Top-K with an explicit tiebreak column and an arbitrary payload:
+    * keeps at most `k` (sortKey, tie, payload) rows ordered by
+    * (sortKey desc, tie asc) and finishes to the payloads in that order.
+    * This is [[TopKAggregator]] with the total order the per-alert flow
+    * render needs (bytes desc, then the flow-identity tuple ascending —
     * Detectors.flowDetail), so the render's group limit runs as a
     * map-side-combining hash aggregate instead of a window: no per-task
     * sort of the full flow stream, O(k) state per alerted key. The former
@@ -91,27 +98,35 @@ object Aggregators {
     * — 7.9 GB of externalized sort at the 100× fixture; this buffer never
     * externalizes anything.
     *
+    * The payload is generic so callers can buffer RAW fields (a narrow
+    * struct) and run expensive rendering AFTER selection, over the ≤k
+    * winners only — formatting the whole input stream inside the
+    * aggregate cost GraftApp a measured +14% end-to-end at the 100×
+    * fixture when the payload was the pre-rendered line.
+    *
     * The common-case reduce is O(1): a full buffer rejects any row not
     * beating its last entry before touching the sorted sequence. Ties
     * compare with Java String order — identical to Spark/DuckDB binary
-    * string comparison for the ASCII flow fields this renders.
+    * string comparison for the ASCII flow fields this orders. The sort
+    * uses the same `lt` predicate as the fast-path rejection (never key
+    * negation, which overflows at Long.MinValue).
     */
-  class TopKLineAggregator(k: Int)
-      extends Aggregator[(Long, String, String), Seq[(Long, String, String)], Seq[String]] {
-    private def lt(a: (Long, String, String), b: (Long, String, String)): Boolean =
+  class TopKPayloadAggregator[P: TypeTag](k: Int)
+      extends Aggregator[(Long, String, P), Seq[(Long, String, P)], Seq[P]] {
+    private def lt(a: (Long, String, P), b: (Long, String, P)): Boolean =
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    private def trim(s: Seq[(Long, String, String)]): Seq[(Long, String, String)] =
-      s.sortBy { case (key, tie, _) => (-key, tie) }.take(k)
-    def zero: Seq[(Long, String, String)] = Seq.empty
-    def reduce(acc: Seq[(Long, String, String)], x: (Long, String, String)): Seq[(Long, String, String)] =
+    private def trim(s: Seq[(Long, String, P)]): Seq[(Long, String, P)] =
+      s.sortWith(lt).take(k)
+    def zero: Seq[(Long, String, P)] = Seq.empty
+    def reduce(acc: Seq[(Long, String, P)], x: (Long, String, P)): Seq[(Long, String, P)] =
       if (acc.length == k && !lt(x, acc.last)) acc else trim(acc :+ x)
-    def merge(a: Seq[(Long, String, String)], b: Seq[(Long, String, String)]): Seq[(Long, String, String)] =
+    def merge(a: Seq[(Long, String, P)], b: Seq[(Long, String, P)]): Seq[(Long, String, P)] =
       if (a.isEmpty) b else if (b.isEmpty) a else trim(a ++ b)
-    def finish(acc: Seq[(Long, String, String)]): Seq[String] = acc.map(_._3)
-    def bufferEncoder: Encoder[Seq[(Long, String, String)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String, String)]]()
-    def outputEncoder: Encoder[Seq[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    def finish(acc: Seq[(Long, String, P)]): Seq[P] = acc.map(_._3)
+    def bufferEncoder: Encoder[Seq[(Long, String, P)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String, P)]]()
+    def outputEncoder: Encoder[Seq[P]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[P]]()
   }
 
   /** KMV (k-minimum-values) sketch accumulator: the k smallest DISTINCT

@@ -26,8 +26,8 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out("k2")._2("c") == 1.0)
   }
 
-  test("TopKLineAggregator: rank order, tiebreaks, boundedness, merge associativity") {
-    val agg = new Aggregators.TopKLineAggregator(3)
+  test("TopKPayloadAggregator: rank order, tiebreaks, boundedness, merge associativity") {
+    val agg = new Aggregators.TopKPayloadAggregator[String](3)
     val rows = Seq(
       (5L, "b", "5b"), (5L, "a", "5a"), (9L, "z", "9z"),
       (1L, "a", "1a"), (9L, "a", "9a"), (5L, "a", "5a2"))

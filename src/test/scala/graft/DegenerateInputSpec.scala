@@ -62,6 +62,33 @@ class DegenerateInputSpec extends AnyFunSuite {
       && !out.head.getString(1).contains("\n"))
   }
 
+  test("flowDetail: null flow fields never crash the aggregate") {
+    import spark.implicits._
+    // nulls in a tie field (proto), a rendered field (my_port), the byte
+    // sum (sort key), and the direction vote — each must survive the
+    // raw-field buffer: null tie coalesces to "" (sorts first), a null
+    // sort key sorts last, a null rendered field nullifies only ITS line
+    // (concat_ws drops it), and a null direction renders the <?> arrow.
+    val rows = Seq[(String, String, String, String, String, java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Integer, java.lang.Long, java.lang.Long, java.lang.Double, java.lang.Long)](
+      ("h1", "80", "a1", "5000", null, 10L, 20L, 3L, 1, 0L, 5L, 2.0, 0L),
+      ("h1", null, "a2", "5001", "tcp", 99L, 0L, 1L, -1, 0L, 5L, 2.0, 0L),
+      ("h1", "81", "a3", "5002", "tcp", null, 1L, 1L, 1, 0L, 5L, 2.0, 0L),
+      ("h1", "82", "a4", "5003", "tcp", 5L, 5L, 1L, null, 0L, 5L, 2.0, 1L))
+      .toDF("my_ip", "my_port", "alien_ip", "alien_port", "proto",
+        "bytes_up", "bytes_down", "n_pkts", "direction", "t_min", "t_max",
+        "sample_rate", "status")
+    val out = graft.detectors.Detectors.flowDetail(rows, rows).collect()
+    assert(out.length == 1)
+    val lines = out.head.getString(1).split("\n").toSeq
+    // 4 candidate rows; the null-proto and null-my_port lines render as
+    // NULL and are dropped by concat_ws — the two intact lines survive,
+    // byte-desc order (a4's 10 bytes beats a3's null sort key)
+    assert(lines.length == 2)
+    assert(lines.head.contains("a4:5003") && lines.head.contains(" <?> ")
+      && lines.head.contains(" [!]"))
+    assert(lines.last.contains("a3:5002"))
+  }
+
   test("lang classifier: empty corpus and single-class corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")

@@ -45,7 +45,7 @@ class PlanGoldenSpec extends AnyFunSuite {
     "t10_decontaminate" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=5 scans=4 pushed=4 agg=10 objagg=0 sortagg=0 window=3 wgl=0",
     "t22_tfidf_terms" -> "bhj=0 smj=0 shj=0 bnlj=1 cart=0 bcastx=1 shufflex=5 scans=2 pushed=0 agg=4 objagg=0 sortagg=0 window=2 wgl=2",
     "s3_time_filter" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=1 pushed=1 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
-    // det4's render is the bounded TopKLineAggregator (objagg=2 partial+
+    // det4's render is the bounded TopKPayloadAggregator (objagg=2 partial+
     // final), with NO window and NO sort in the plan — the fingerprint
     // pins exactly the property the 7.9 GB spill fix bought
     "det4_alert_flow_detail" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=0 agg=2 objagg=2 sortagg=0 window=0 wgl=0",

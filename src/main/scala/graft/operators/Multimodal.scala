@@ -219,19 +219,23 @@ object Multimodal {
             shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("sig"))): _*)).as("bs"))
       .select(col("media_id"), col("ahash"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // bucket-size gate as a count aggregate + shuffle-hash semi-join,
+    // bucket-size gate as a count aggregate + BROADCAST semi-join,
     // NOT a window count: the window form SORTS the entire banded stream
     // just to size buckets (the exact shape the sharedGramPairs spill
-    // postmortem replaced) — the aggregate combines map-side, the
-    // semi-join stays a hash build over the (band,sig) survivors, and
-    // between banding and pairing nothing sorts. The gate keeps buckets
-    // of 2..maxBucket members: singletons can't pair, so dropping them
-    // here also keeps them out of the self-join's build side.
+    // postmortem replaced) — the aggregate combines map-side (its shuffle
+    // moves at most one partial per populated bucket per task), and the
+    // survivor set is broadcast because it is DOMAIN-bounded, not
+    // data-bounded: (band, sig) ranges over 4 × 2^16 = 262,144 values no
+    // matter how many images exist, so the semi-join never exchanges the
+    // banded stream (the earlier shuffle_hash hint did — a full extra
+    // exchange before the self-join's own). The gate keeps buckets of
+    // 2..maxBucket members: singletons can't pair, so dropping them here
+    // also keeps them out of the self-join's build side.
     val kept = bandedRaw.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
       .select(col("band"), col("sig"))
-    val banded = bandedRaw.join(kept.hint("shuffle_hash"), Seq("band", "sig"), "left_semi")
+    val banded = bandedRaw.join(broadcast(kept), Seq("band", "sig"), "left_semi")
     val a = banded.select(col("band"), col("sig"),
       col("media_id").as("id1"), col("ahash").as("h1"))
     val b = banded.select(col("band"), col("sig"),

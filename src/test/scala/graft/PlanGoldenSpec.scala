@@ -49,9 +49,12 @@ class PlanGoldenSpec extends AnyFunSuite {
     // final), with NO window and NO sort in the plan — the fingerprint
     // pins exactly the property the 7.9 GB spill fix bought
     "det4_alert_flow_detail" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=2 pushed=0 agg=2 objagg=2 sortagg=0 window=0 wgl=0",
-    // m4's bucket gate is a count-aggregate + shuffle-hash semi-join:
-    // window=0 pins the absence of the full-stream window sort
-    "m4_image_neardup" -> "bhj=1 smj=0 shj=2 bnlj=0 cart=0 bcastx=1 shufflex=6 scans=4 pushed=4 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
+    // m4's bucket gate is a count-aggregate + BROADCAST semi-join (the
+    // survivor set is domain-bounded at 4×2^16 rows): window=0 pins the
+    // absence of the full-stream window sort, shufflex=4 pins that the
+    // banded stream is never exchanged just to apply the gate (the old
+    // shuffle_hash hint cost two extra full exchanges)
+    "m4_image_neardup" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=4 scans=4 pushed=4 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
   )
 
   goldens.toSeq.sortBy(_._1).foreach { case (name, want) =>

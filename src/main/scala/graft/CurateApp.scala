@@ -58,7 +58,8 @@ object CurateApp {
     val report = run(spark, inDir, outDir,
       qualityMin = c.getDouble("curation.qualityMin", 0.5),
       benchMod = c.getInt("curation.benchMod", 50),
-      maxOverlap = c.getDouble("curation.maxOverlap", 0.5))
+      maxOverlap = c.getDouble("curation.maxOverlap", 0.5),
+      widths = DedupWidths.fromConfig(c))
     report.orderBy(col("stage")).show(20, truncate = false)
     spark.stop()
   }
@@ -75,8 +76,9 @@ object CurateApp {
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
           qualityMin: Double = 0.5, benchMod: Int = 50,
-          maxOverlap: Double = 0.5): DataFrame = {
-    val (frame, release) = taggedCached(spark, inDir, qualityMin, benchMod, maxOverlap)
+          maxOverlap: Double = 0.5,
+          widths: DedupWidths = DedupWidths.default): DataFrame = {
+    val (frame, release) = taggedCached(spark, inDir, qualityMin, benchMod, maxOverlap, widths)
     try {
       frame.filter(col("stage") === "kept")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
@@ -102,8 +104,10 @@ object CurateApp {
     */
   def tagged(spark: SparkSession, inDir: String,
              qualityMin: Double = 0.5, benchMod: Int = 50,
-             maxOverlap: Double = 0.5): DataFrame =
-    build(spark, inDir, qualityMin, benchMod, maxOverlap, persistShared = false)._1
+             maxOverlap: Double = 0.5,
+             widths: DedupWidths = DedupWidths.default): DataFrame =
+    build(spark, inDir, qualityMin, benchMod, maxOverlap, widths,
+      persistShared = false)._1
 
   /** [[tagged]] with the three stages the DAG reuses — the row-local
     * verdict frame, the fingerprint-joined frame, and the near-dup
@@ -113,11 +117,14 @@ object CurateApp {
     */
   def taggedCached(spark: SparkSession, inDir: String,
                    qualityMin: Double = 0.5, benchMod: Int = 50,
-                   maxOverlap: Double = 0.5): (DataFrame, () => Unit) =
-    build(spark, inDir, qualityMin, benchMod, maxOverlap, persistShared = true)
+                   maxOverlap: Double = 0.5,
+                   widths: DedupWidths = DedupWidths.default): (DataFrame, () => Unit) =
+    build(spark, inDir, qualityMin, benchMod, maxOverlap, widths,
+      persistShared = true)
 
   private def build(spark: SparkSession, inDir: String,
                     qualityMin: Double, benchMod: Int, maxOverlap: Double,
+                    widths: DedupWidths,
                     persistShared: Boolean): (DataFrame, () => Unit) = {
     val shared = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // quality scores, tokenization, fingerprints and the LSH+CC near-dup
@@ -151,7 +158,7 @@ object CurateApp {
     val s3 = withFp.filter(!col("exact_dup"))
       .select(col("doc_id"), col("text"), col("n_chars"))
     val resolved = sharedStage(Dedup.resolveDuplicates(s3,
-        Dedup.lshCandidatePairs(s3).select(col("doc1"), col("doc2")),
+        widths.candidatePairs(s3),
         pairsDistinct = true)
       .select(col("doc_id"), col("keep").as("near_canonical")))
 

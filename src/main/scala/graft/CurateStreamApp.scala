@@ -202,6 +202,12 @@ object CurateStreamApp {
     val qualityMin = config.getDouble("curation.qualityMin", 0.5)
     val maxBucket = config.getInt("curation.maxBucket", 10000)
     val foldEvery = config.getInt("curation.foldEvery", 8)
+    // production MinHash widths (curation.minhash.* keys). The stream's
+    // near-dup screen is band-index-shaped, so only the MinHash dials
+    // apply here (curation.nearDupMethod selects SimHash in the BATCH
+    // app only); see the DedupWidths scaladoc for the state-directory
+    // width-compatibility contract.
+    val widths = DedupWidths.fromConfig(config)
     val stateRoot = s"$stateDir/corpus_state"
     val deltaRoot = s"$stateDir/corpus_deltas"
 
@@ -236,7 +242,7 @@ object CurateStreamApp {
     // scanned, never shuffled.
     val stateSizes = state.sizes
     val oversized = stateSizes.filter(col("n") > maxBucket).select(col("band"), col("sig"))
-    val batchBands = Dedup.lshBandsLocal(batchUnique)
+    val batchBands = Dedup.lshBandsLocal(batchUnique, widths.numPerms, widths.numBands)
     val corpusHit = batchBands
       .join(oversized, Seq("band", "sig"), "left_anti")
       .join(stateBands, Seq("band", "sig"), "left_semi")
@@ -266,7 +272,8 @@ object CurateStreamApp {
     else survivors.drop("fp").write.mode(SaveMode.Append).parquet(s"$outDir/curated")
 
     // state advance: the batch's survivors only
-    val survivorBands = Dedup.lshBandsLocal(survivors.select(col("doc_id"), col("text")))
+    val survivorBands = Dedup.lshBandsLocal(survivors.select(col("doc_id"), col("text")),
+        widths.numPerms, widths.numBands)
       .localCheckpoint(true) // consumed by two writes below
     if (batchId >= 0) {
       // O(batch) commit: one immutable delta directory, one atomic

@@ -52,19 +52,55 @@ object LangClassifier {
     */
   def trainPredict(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang", dims: Int = 262144,
-      classes: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame = {
+      classes: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame =
+    predictions(docs, textCol, langCol, dims, classes, isTrain = lit(true))
+      .select(col("doc_id"), col(langCol), col("pred_lang"), col("correct"))
+
+  /** The realistic deployment shape: train on the labeled slice, score
+    * EVERY doc — the holdout rows are predicted exactly as an unlabeled
+    * 100 TB corpus would be (their labels touch nothing but the
+    * `correct` column). The split is t16's content-addressed md5 bucket
+    * (`TextFunctions.sampleBucket`): deterministic, engine-portable,
+    * RNG-free — bucket < trainPct trains.
+    *
+    * Returns (doc_id, langCol, split, pred_lang, correct) with
+    * split ∈ {train, holdout}; holdout accuracy (aggregate `correct`
+    * over split='holdout') is the generalization measure, which the
+    * same-corpus `trainPredict` cannot give.
+    */
+  def trainPredictHoldout(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", dims: Int = 262144,
+      classes: Seq[String] = Seq("de", "en", "es", "fr", "zh"),
+      trainPct: Int = 80): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99, s"trainPct=$trainPct out of (0,100)")
+    val isTrain = graft.functions.TextFunctions.sampleBucket(col("doc_id")) < trainPct
+    predictions(docs, textCol, langCol, dims, classes, isTrain)
+      .select(col("doc_id"), col(langCol),
+        when(isTrain, "train").otherwise("holdout").as("split"),
+        col("pred_lang"), col("correct"))
+  }
+
+  /** Shared scoring core: weights/vocab/class totals come from the
+    * `isTrain` slice only; every doc is scored. Features unseen in
+    * training contribute smoothing mass only (LEFT join + coalesce-0 —
+    * with isTrain ≡ true that is exactly the old inner join, so
+    * `trainPredict` output is bit-identical to the pre-holdout code).
+    */
+  private def predictions(docs: DataFrame, textCol: String, langCol: String,
+      dims: Int, classes: Seq[String], isTrain: Column): DataFrame = {
     require(classes == classes.sorted && classes.nonEmpty,
       "classes must be sorted (the tiebreak contract) and non-empty")
     val feats = docs
-      .select(col("doc_id"), col(langCol).as("__lang"),
+      .select(col("doc_id"), col(langCol).as("__lang"), isTrain.as("__train"),
         explode(tokens(col(textCol))).as("t"))
-      .select(col("doc_id"), col("__lang"), featureHash(col("t"), dims).as("h"))
+      .select(col("doc_id"), col("__lang"), col("__train"),
+        featureHash(col("t"), dims).as("h"))
 
-    // weight table: one row per observed feature hash, one count column
-    // per class — cardinality ≤ dims, broadcast below
+    // weight table: one row per feature hash observed IN TRAINING, one
+    // count column per class — cardinality ≤ dims, broadcast below
     val classCounts = classes.map(c =>
       sum(when(col("__lang") === c, 1L).otherwise(0L)).as(s"n_$c"))
-    val weights = feats.groupBy(col("h"))
+    val weights = feats.filter(col("__train")).groupBy(col("h"))
       .agg(classCounts.head, classCounts.tail: _*)
 
     // class totals and vocabulary size: a ONE-ROW frame, broadcast into
@@ -74,11 +110,12 @@ object LangClassifier {
     val totals = weights.agg(totalCols.head, totalCols.tail: _*)
 
     // per-doc numerators: s_c = Σ_t n(c, h_t) + n_tokens (the +1
-    // smoothing summed over tokens)
-    val docSums = classes.map(c => sum(col(s"n_$c")).as(s"sum_$c")) :+
+    // smoothing summed over tokens; unseen features count 0)
+    val docSums = classes.map(c =>
+      sum(coalesce(col(s"n_$c"), lit(0L))).as(s"sum_$c")) :+
       count(lit(1)).as("n_toks")
     val perDoc = feats
-      .join(broadcast(weights), Seq("h"))
+      .join(broadcast(weights), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(docSums.head, docSums.tail: _*)
 

@@ -1123,6 +1123,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T34: the held-out evaluation path of t33 — train on the t16
+    // content-addressed 80% bucket, score every doc (the holdout rows are
+    // predicted exactly as an unlabeled corpus would be), and emit
+    // integer-exact per-split/per-lang accuracy counts. On the synthetic
+    // fixture the ACCURACY is chance by design (lang is label-independent
+    // noise — see LangClassifierSpec for real learning + generalization);
+    // what the oracle pins is the split + train-slice weighting +
+    // unseen-feature smoothing arithmetic.
+    "t34_lang_holdout" -> ((s, dir) => {
+      graft.ml.LangClassifier.trainPredictHoldout(Catalog.documents(s, dir))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("correct")).cast("long").as("n_correct"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // T4: document fingerprints — exact (normalized md5) and sketch
     // (md5 of the 4 smallest distinct shingle hashes, winnowing-style).
     "t4_fingerprint" -> ((s, dir) => {
@@ -1281,19 +1297,25 @@ object PipelineQueries {
   private[queries] val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** t33 oracle: the hashed-NB-mean classifier with the argmax fold
-    * UNROLLED into chained CTEs — generated from the same sorted class
-    * list as ml.LangClassifier so the fold order (and therefore the
-    * tiebreak) is structurally identical. HUGEINT carries the cross
+  /** t33/t34 oracle core: the hashed-NB-mean classifier with the argmax
+    * fold UNROLLED into chained CTEs — generated from the same sorted
+    * class list as ml.LangClassifier so the fold order (and therefore
+    * the tiebreak) is structurally identical. HUGEINT carries the cross
     * products (the Spark side uses decimal(38,0) for the same values).
+    * `trainPred` (over f's doc_id) selects the training slice: weights,
+    * class totals, and vocabulary come from it alone; every doc is
+    * scored via a LEFT join (features unseen in training contribute
+    * smoothing mass only — coalesce-0), and `tail` renders the final
+    * SELECT over `per` = (doc_id, lang, is_train, pred_lang, correct).
     */
-  private val langClassifierSql: String = {
+  private def langClassifierSqlCore(trainPred: String, tail: String): String = {
     val classes = Seq("de", "en", "es", "fr", "zh")
     val dims = 262144
     val nCols = classes.map(c =>
       s"SUM(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS n_$c").mkString(", ")
     val tCols = classes.map(c => s"SUM(n_$c) AS t_$c").mkString(", ")
-    val sumCols = classes.map(c => s"SUM(w.n_$c) AS sum_$c").mkString(", ")
+    val sumCols = classes.map(c =>
+      s"SUM(COALESCE(w.n_$c, 0)) AS sum_$c").mkString(", ")
     val numDen = classes.map(c =>
       s"sum_$c + n_toks AS num_$c, t_$c + v AS den_$c").mkString(", ")
     val fold = classes.tail.zipWithIndex.map { case (c, i) =>
@@ -1316,18 +1338,38 @@ object PipelineQueries {
        |  SELECT doc_id, lang,
        |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $dims AS h
        |  FROM tok),
-       |w AS (SELECT h, $nCols FROM f GROUP BY h),
+       |w AS (SELECT h, $nCols FROM f WHERE $trainPred GROUP BY h),
        |tot AS (SELECT $tCols, COUNT(*) AS v FROM w),
        |pd AS (
        |  SELECT f.doc_id, $sumCols, COUNT(*) AS n_toks
-       |  FROM f JOIN w USING (h) GROUP BY f.doc_id),
+       |  FROM f LEFT JOIN w USING (h) GROUP BY f.doc_id),
        |b0 AS (SELECT pd.doc_id, $numDen FROM pd CROSS JOIN tot),
-       |$fold
-       |SELECT d.doc_id, d.lang, COALESCE(b.$last, 'und') AS pred_lang,
-       |  CASE WHEN d.lang = COALESCE(b.$last, 'und') THEN 1 ELSE 0 END AS correct
-       |FROM documents d LEFT JOIN b${classes.length - 1} b ON b.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |$fold,
+       |per AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CASE WHEN ${trainPred.replace("doc_id", "d.doc_id")} THEN 1 ELSE 0 END AS is_train,
+       |    COALESCE(b.$last, 'und') AS pred_lang,
+       |    CASE WHEN d.lang = COALESCE(b.$last, 'und') THEN 1 ELSE 0 END AS correct
+       |  FROM documents d LEFT JOIN b${classes.length - 1} b ON b.doc_id = d.doc_id)
+       |$tail""".stripMargin
   }
+
+  private val langClassifierSql: String = langClassifierSqlCore(
+    trainPred = "TRUE",
+    tail = """SELECT doc_id, lang, pred_lang, correct FROM per ORDER BY doc_id""")
+
+  /** The t16 content-addressed split bucket in DuckDB — identical to
+    * `TextFunctions.sampleBucket(doc_id)`.
+    */
+  private val bucketSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+  private val langHoldoutSql: String = langClassifierSqlCore(
+    trainPred = s"$bucketSql < 80",
+    tail = """SELECT CASE WHEN is_train = 1 THEN 'train' ELSE 'holdout' END AS split,
+             |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(correct) AS BIGINT) AS n_correct
+             |FROM per GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
 
   /** Number of BPE merges the t31/t32 oracles unroll — shared with the
     * Spark side's `nMerges` so both engines learn the same table.
@@ -2049,6 +2091,8 @@ object PipelineQueries {
         |ORDER BY domain""".stripMargin,
 
     "t33_lang_classifier" -> langClassifierSql,
+
+    "t34_lang_holdout" -> langHoldoutSql,
 
     "t28_quality_classifier" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),

@@ -60,4 +60,51 @@ class LangClassifierSpec extends AnyFunSuite {
       LangClassifier.trainPredict(docsDf(corpus), classes = Seq("en", "de", "fr"))
     }
   }
+
+  // a larger multilingual fixture for the holdout test: per language,
+  // deterministic sliding windows over a language-specific vocabulary —
+  // every doc's token SET differs, so a holdout doc is never a verbatim
+  // copy of a training doc and correct holdout labels require the
+  // learned per-language vocabulary weights, not memorization
+  private val vocab = Map(
+    "en" -> "the cat sat on mat and dog slept in sun house of cards is not home for brave free question day".split(" "),
+    "de" -> "der hund und die katze schlafen in dem haus garten das ist ein gutes buch mann liest es zu hause".split(" "),
+    "fr" -> "le chat dort sur tapis et chien joue dans jardin un verre de vin du pain avec fromage la region".split(" "))
+  private val bigCorpus: Seq[(Long, String, String)] =
+    vocab.toSeq.sortBy(_._1).zipWithIndex.flatMap { case ((lang, words), li) =>
+      (0 until 40).map { i =>
+        val text = (0 until 8).map(j => words((i + j * 3) % words.length)).mkString(" ")
+        (li * 100L + i, lang, text)
+      }
+    }
+
+  test("holdout: both splits populated, train slice learned, holdout generalizes") {
+    val out = LangClassifier.trainPredictHoldout(docsDf(bigCorpus),
+        classes = Seq("de", "en", "fr"), trainPct = 80)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4)))
+    assert(out.length == bigCorpus.length)
+    val bySplit = out.groupBy(_._3)
+    assert(bySplit.keySet == Set("train", "holdout"))
+    val holdout = bySplit("holdout")
+    // majority-class accuracy on a 3-way balanced corpus is ~1/3; the
+    // learned model must clear it decisively on docs it never trained on
+    val hAcc = holdout.count(_._5 == 1).toDouble / holdout.length
+    assert(hAcc > 0.9, s"holdout accuracy $hAcc over ${holdout.length} docs")
+  }
+
+  test("holdout split matches the t16 sampleBucket contract exactly") {
+    import spark.implicits._
+    val got = LangClassifier.trainPredictHoldout(docsDf(bigCorpus),
+        classes = Seq("de", "en", "fr"), trainPct = 80)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("split"))
+    val expect = docsDf(bigCorpus).select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.when(
+        graft.functions.TextFunctions.sampleBucket(
+          org.apache.spark.sql.functions.col("doc_id")) < 80, "train")
+        .otherwise("holdout").as("split"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
 }

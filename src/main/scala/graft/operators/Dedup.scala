@@ -1072,7 +1072,7 @@ object Dedup {
     //    maps trivially fit) the explicit exchanges are pure overhead
     //    and the plain partial-aggregate shapes run instead — identical
     //    rows either way.
-    val small = graft.plans.AdaptiveWidth.isSmall(keyed, 2L << 20)
+    val small = graft.plans.AdaptiveWidth.isSmallInput(keyed, expansionFactor = 4)
     val n8 = graft.plans.AdaptiveWidth.widened(keyed)
     def wideBy(df: DataFrame, cols: Column*): DataFrame =
       if (small) df else df.repartition(n8, cols: _*)

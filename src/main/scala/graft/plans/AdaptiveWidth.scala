@@ -44,6 +44,33 @@ object AdaptiveWidth {
   def isSmall(df: DataFrame, thresholdBytes: Long): Boolean =
     estimatedBytes(df) < thresholdBytes
 
+  /** Per-task input-byte budget of the plain partial-aggregate plan —
+    * how many INPUT bytes one task's aggregation hash map absorbs before
+    * the expansion can outgrow it. One conf key, deployment-sized:
+    * the regime boundary is `numShufflePartitions × taskInputBytes`,
+    * so a 1000-executor job with thousands of shuffle partitions widens
+    * only at proportionally larger inputs instead of inheriting a
+    * local[32] constant. 256 KiB/task reproduces the measured sf0.1 /
+    * 100× boundaries exactly at the local default (32 partitions →
+    * 8 MiB).
+    */
+  val TaskInputBytesKey = "spark.graft.adaptiveWidth.taskInputBytes"
+  val DefaultTaskInputBytes: Long = 256L << 10
+
+  /** Config-derived regime gate for the wide-exchange call sites.
+    * `expansionFactor` is the SITE's output-per-input-byte multiple
+    * relative to the baseline lineitem pair/distinct plans (the gram
+    * pair pipelines expand ~4× harder per input byte, so their boundary
+    * sits 4× lower). At 32 shuffle partitions the derived thresholds are
+    * the previously hard-coded 8 MiB (factor 1) and 2 MiB (factor 4).
+    */
+  def isSmallInput(df: DataFrame, expansionFactor: Int = 1): Boolean = {
+    val conf = df.sparkSession.sessionState.conf
+    val perTask = conf.getConfString(TaskInputBytesKey,
+      DefaultTaskInputBytes.toString).toLong
+    isSmall(df, conf.numShufflePartitions * perTask / expansionFactor)
+  }
+
   /** Exchange width for the large regime: `factor` × the session's
     * shuffle parallelism. 6 keeps the local default (32) under
     * spark.shuffle.sort.bypassMergeThreshold (200), retaining the

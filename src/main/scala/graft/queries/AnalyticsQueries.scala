@@ -58,7 +58,7 @@ object AnalyticsQueries {
     // plain partial-aggregate plan is spill-safe and ~2.5× cheaper (no
     // pre/post exchanges), so the widening only engages when the input
     // estimate says the expansion can outgrow per-task hash maps.
-    val small = graft.plans.AdaptiveWidth.isSmall(op, 8L << 20)
+    val small = graft.plans.AdaptiveWidth.isSmallInput(op)
     val keptBase = op.join(sized.hint("shuffle_hash"), Seq("ok"), "left_semi")
     val kept =
       if (small) keptBase

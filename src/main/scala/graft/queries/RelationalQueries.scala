@@ -810,7 +810,7 @@ object RelationalQueries {
       // split is exactly countDistinct).
       val li = Catalog.lineitem(s, dir)
       val proj = li.select($"l_suppkey", $"l_partkey", $"l_orderkey")
-      if (graft.plans.AdaptiveWidth.isSmall(proj, 8L << 20)) {
+      if (graft.plans.AdaptiveWidth.isSmallInput(proj)) {
         li.groupBy($"l_suppkey")
           .agg(countDistinct($"l_partkey").as("n_parts"),
             countDistinct($"l_orderkey").as("n_orders"))

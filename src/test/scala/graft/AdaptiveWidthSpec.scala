@@ -26,15 +26,41 @@ class AdaptiveWidthSpec extends AnyFunSuite {
   }
 
   test("sf0.001/sf0.01 sit in the small regime for the gated call sites") {
-    // the thresholds the call sites use: 8 MB (lineitem pair/distinct
-    // plans), 2 MB (gram pipelines) — both fixtures the tests and the
-    // driver's correctness gate run on must take the plain plan, since
-    // that is the plan whose results the oracles pinned fastest
+    // the derived thresholds the call sites use: 256 KiB/task × 32
+    // partitions = 8 MB (lineitem pair/distinct plans), /4 expansion =
+    // 2 MB (gram pipelines) — both fixtures the tests and the driver's
+    // correctness gate run on must take the plain plan, since that is
+    // the plan whose results the oracles pinned fastest
     for (dir <- Seq(SparkTestSession.sfDir, "/root/testdata/sf0.01")) {
       val li = Catalog.lineitem(spark, dir)
-      assert(AdaptiveWidth.isSmall(li.select("l_suppkey", "l_partkey"), 8L << 20), dir)
+      assert(AdaptiveWidth.isSmallInput(li.select("l_suppkey", "l_partkey")), dir)
       val docs = Catalog.documents(spark, dir)
-      assert(AdaptiveWidth.isSmall(docs.select("doc_id", "text"), 2L << 20), dir)
+      assert(AdaptiveWidth.isSmallInput(docs.select("doc_id", "text"),
+        expansionFactor = 4), dir)
+    }
+  }
+
+  test("the regime boundary derives from shuffle partitions x the conf key") {
+    val li = Catalog.lineitem(spark, SparkTestSession.sfDir)
+      .select("l_suppkey", "l_partkey")
+    val before = spark.conf.getOption(AdaptiveWidth.TaskInputBytesKey)
+    try {
+      // 1 byte/task: everything is the large regime (a deployment can
+      // force the wide plans without touching code)
+      spark.conf.set(AdaptiveWidth.TaskInputBytesKey, "1")
+      assert(!AdaptiveWidth.isSmallInput(li))
+      // a huge budget: the same input is small even at expansion 4
+      spark.conf.set(AdaptiveWidth.TaskInputBytesKey, (1L << 40).toString)
+      assert(AdaptiveWidth.isSmallInput(li, expansionFactor = 4))
+      // and the default reproduces the previously hard-coded 8 MiB at
+      // the production sessions' 32 shuffle partitions
+      spark.conf.unset(AdaptiveWidth.TaskInputBytesKey)
+      assert(32 * AdaptiveWidth.DefaultTaskInputBytes == 8L << 20)
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(AdaptiveWidth.TaskInputBytesKey, v)
+        case None => spark.conf.unset(AdaptiveWidth.TaskInputBytesKey)
+      }
     }
   }
 

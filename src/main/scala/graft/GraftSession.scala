@@ -28,9 +28,21 @@ object GraftSession {
       // run as ObjectHashAggregate, which falls back to SORT-based
       // aggregation after this many in-memory groups (default 128) —
       // re-introducing exactly the per-task input sort the bounded
-      // aggregators exist to avoid. Every graft aggregator buffer is
-      // O(k)-bounded, so a much larger group budget is safe: 64k groups
-      // × a bounded buffer each stays far under executor memory.
+      // aggregators exist to avoid. Raising it session-wide removes the
+      // graceful spill fallback for EVERY ObjectHashAggregate, so the
+      // codebase carries a BOUNDED-BUFFER CONTRACT: any object-agg
+      // buffer must be O(bounded) per group, never corpus-proportional.
+      // Audit of every collect_list/collect_set site (r10): the LSH /
+      // gram bucket lists pre-filter to bsz ≤ maxBucket BEFORE the
+      // collect buffers them (Dedup.scala); SimilaritySearch collects
+      // dims-bounded vector structs; HistogramFunctions collects
+      // bin-bounded bucket structs; the detector port/os sets are
+      // domain-bounded (≤64k ports) and sliced; the query-layer
+      // collects are rank≤k-filtered or slice(…, k)-capped. The typed
+      // Aggregators (TopK*/MinK/Histogram) are O(k) by construction
+      // (AggregatorsSpec pins it). A new unbounded collect under a hot
+      // key would OOM a task instead of spilling — keep new object-agg
+      // buffers inside this contract or scope this config away locally.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       // the SQL-surface domain functions (graft_logbin, graft_hamming, …)

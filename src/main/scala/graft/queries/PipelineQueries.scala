@@ -2131,13 +2131,20 @@ object PipelineQueries {
         |  MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_doc""".stripMargin,
 
+    // the kept/bk CTEs mirror lshCandidatePairs' 2..10000 bucket-size
+    // gate exactly (a megabucket would otherwise diverge the two engines;
+    // the singleton drop is a no-op for pairs but kept for symmetry)
     "d2_minhash_lsh" ->
       s"""WITH sh AS (
         |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
         |  FROM documents),
-        |$bandsSql
+        |$bandsSql,
+        |kept AS (
+        |  SELECT b, sig FROM bands GROUP BY b, sig
+        |  HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |bk AS (SELECT bands.* FROM bands JOIN kept USING (b, sig))
         |SELECT x.doc_id AS doc1, y.doc_id AS doc2, COUNT(*) AS n_bands
-        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |FROM bk x JOIN bk y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
 
     "c6_split_leakage" ->
@@ -2145,9 +2152,13 @@ object PipelineQueries {
         |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
         |  FROM documents),
         |$bandsSql,
+        |kept AS (
+        |  SELECT b, sig FROM bands GROUP BY b, sig
+        |  HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |bk AS (SELECT bands.* FROM bands JOIN kept USING (b, sig)),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-        |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |  FROM bk x JOIN bk y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
         |split AS (
         |  SELECT doc_id,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 80 AS is_eval
@@ -2164,9 +2175,13 @@ object PipelineQueries {
       s"""WITH sh AS (
         |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
         |  FROM documents),
-        |${bandsSqlFor(128, 32)}
+        |${bandsSqlFor(128, 32)},
+        |kept AS (
+        |  SELECT b, sig FROM bands GROUP BY b, sig
+        |  HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |bk AS (SELECT bands.* FROM bands JOIN kept USING (b, sig))
         |SELECT x.doc_id AS doc1, y.doc_id AS doc2, COUNT(*) AS n_bands
-        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |FROM bk x JOIN bk y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
 
     // 64-bit simhash: bit 63 is the BIGINT sign bit; DuckDB raises on a
@@ -2360,9 +2375,13 @@ object PipelineQueries {
         |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
         |  FROM documents),
         |$bandsSql,
+        |kept AS (
+        |  SELECT b, sig FROM bands GROUP BY b, sig
+        |  HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |bk AS (SELECT bands.* FROM bands JOIN kept USING (b, sig)),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-        |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |  FROM bk x JOIN bk y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
         |ds AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
         |j AS (
         |  SELECT doc1, doc2,

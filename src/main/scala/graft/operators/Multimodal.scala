@@ -189,6 +189,79 @@ object Multimodal {
     hash
   }
 
+  /** 64-bit DCT perceptual hash (pHash, Krawetz "Looks Like It" /
+    * pHash.org — the public algorithm): resize to 32×32, grayscale
+    * (r+g+b, the same gray [[aHash]] uses), 2-D DCT-II over the 32×32
+    * grid, keep the top-left 8×8 LOW-FREQUENCY coefficient block, and
+    * set bit (8v+u) iff the coefficient exceeds the block mean computed
+    * EXCLUDING the DC term (whose magnitude would otherwise drown the
+    * mean). pHash survives the brightness/contrast/gamma shifts that
+    * flip aHash bits, because those perturb coefficient MAGNITUDES far
+    * less than per-pixel threshold comparisons — it is what a
+    * production image-dedup pass runs next to (or instead of) aHash.
+    *
+    * Bit-determinism across JVMs/platforms: the DCT basis uses
+    * StrictMath.cos (fdlibm bit-specified, unlike Math.cos's 1-ulp
+    * license) and the sums are fixed-order IEEE double arithmetic, so a
+    * captured run is a stable golden oracle exactly like aHash's.
+    */
+  def pHash(bytes: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null)
+      sys.error(s"pHash: undecodable image payload (${bytes.length} bytes)")
+    val n = 32
+    val small = resizeImage(img, n, n)
+    val gray = new Array[Double](n * n)
+    var i = 0
+    while (i < n * n) {
+      val rgb = small.getRGB(i % n, i / n)
+      gray(i) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      i += 1
+    }
+    // separable 2-D DCT-II, only the first 8 output frequencies of each
+    // dimension are ever read: rows first (32×8), then columns (8×8) —
+    // O(n²·8) instead of the full O(n³)
+    val basis = Array.tabulate(8, n)((u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * n)))
+    val rows = Array.ofDim[Double](n, 8) // rows(y)(u) = Σ_x gray(y,x)·cos(u,x)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += gray(y * n + x) * basis(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64) // coef(8v+u) = Σ_y rows(y)(u)·cos(v,y)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rows(yy)(u) * basis(v)(yy); yy += 1 }
+        coef(8 * v + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var sum = 0.0
+    i = 1
+    while (i < 64) { sum += coef(i); i += 1 }
+    val mean = sum / 63.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (coef(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** (media_id, ahash) for every image row — the batched decode pass
     * (same mapPartitions shape as [[extractFeatures]]: per-partition
     * codec setup, one iterator sweep).
@@ -205,19 +278,37 @@ object Multimodal {
       }(enc)
   }
 
-  /** Image near-dup candidates: the 64-bit aHash splits into 4×16-bit
+  /** (media_id, phash) for every image row — [[imageHashes]] with the
+    * DCT [[pHash]]; one decode + one O(32²·8) transform per image, same
+    * batched partition sweep. The column is named so a caller can join
+    * both hashes onto one media row without collisions.
+    */
+  def imagePHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("phash", org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), pHash(r.getAs[Array[Byte]]("bytes"))))
+      }(enc)
+  }
+
+  /** Image near-dup candidates: the 64-bit perceptual hash (`hashCol`:
+    * aHash by default, pHash for the DCT signature) splits into 4×16-bit
     * bands; images sharing any band bucket-join (one shuffle on the band
     * key, same recall trade as SimHash banding — pairs differing in all
     * four bands are missed), then exact Hamming distance filters.
     * Returns (id1, id2, hamming) with id1 < id2, deduped across bands.
     */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
-      maxBucket: Int = 10000): DataFrame = {
-    val bandedRaw = hashes.select(col("media_id"), col("ahash"),
+      maxBucket: Int = 10000, hashCol: String = "ahash"): DataFrame = {
+    val bandedRaw = hashes.select(col("media_id"), col(hashCol).as("__h"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("sig"))): _*)).as("bs"))
-      .select(col("media_id"), col("ahash"),
+            shiftright(col(hashCol), b * 16).bitwiseAND(0xffffL).as("sig"))): _*)).as("bs"))
+      .select(col("media_id"), col("__h"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
     // bucket-size gate as a count aggregate + BROADCAST semi-join,
     // NOT a window count: the window form SORTS the entire banded stream
@@ -237,9 +328,9 @@ object Multimodal {
       .select(col("band"), col("sig"))
     val banded = bandedRaw.join(broadcast(kept), Seq("band", "sig"), "left_semi")
     val a = banded.select(col("band"), col("sig"),
-      col("media_id").as("id1"), col("ahash").as("h1"))
+      col("media_id").as("id1"), col("__h").as("h1"))
     val b = banded.select(col("band"), col("sig"),
-      col("media_id").as("id2"), col("ahash").as("h2"))
+      col("media_id").as("id2"), col("__h").as("h2"))
     a.join(b, Seq("band", "sig")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))

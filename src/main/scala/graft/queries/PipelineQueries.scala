@@ -1209,6 +1209,17 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // M6: DCT perceptual hash (pHash) per image — the production image
+    // signature next to m3's aHash: real decode, 32×32 gray, StrictMath
+    // DCT-II, mean-thresholded 8×8 low-frequency block. Golden-parquet
+    // oracle (DuckDB can't decode PNGs; the hash is bit-deterministic —
+    // fdlibm cosines, fixed-order IEEE sums).
+    "m6_phash" -> ((s, dir) => {
+      Multimodal.imagePHashes(
+          Multimodal.gradientImagesFromDocuments(Catalog.documents(s, dir)))
+        .orderBy(col("media_id"))
+    }),
+
     // M5: real audio decode — WAV payloads through javax.sound.sampled,
     // features content-checked against the synthetic fixture's analytic
     // parameterization (square wave → RMS is exactly the amplitude;
@@ -2928,6 +2939,8 @@ object PipelineQueries {
       "SELECT * FROM read_parquet('/root/repo/goldens/m3_image_ahash.parquet') ORDER BY media_id",
     "m4_image_neardup" ->
       "SELECT * FROM read_parquet('/root/repo/goldens/m4_image_neardup.parquet') ORDER BY id1, id2",
+    "m6_phash" ->
+      "SELECT * FROM read_parquet('/root/repo/goldens/m6_phash.parquet') ORDER BY media_id",
 
     // golden parquet (K-Means cluster assignment is not expressible in
     // DuckDB — ml1–ml5 precedent); regenerate with the same recipe as m3/m4

@@ -153,4 +153,71 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  private def reEncode(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("pHash: deterministic, discriminative, and stable under upscaling") {
+    val grad = Multimodal.syntheticGradientPng(3L, 40L)
+    val h = Multimodal.pHash(grad)
+    assert(h == Multimodal.pHash(grad)) // bit-deterministic
+    // a different gradient pattern lands far away
+    val other = Multimodal.pHash(Multimodal.syntheticGradientPng(40L, 123L))
+    assert(java.lang.Long.bitCount(h ^ other) >= 12,
+      s"unrelated images only ${java.lang.Long.bitCount(h ^ other)} bits apart")
+    // perceptual, not a byte fingerprint: an 8×-upscaled copy stays close
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(grad))
+    val hBig = Multimodal.pHash(
+      reEncode(Multimodal.resizeImage(img, img.getWidth * 8, img.getHeight * 8)))
+    assert(java.lang.Long.bitCount(h ^ hBig) <= 8,
+      s"upscale moved the hash ${java.lang.Long.bitCount(h ^ hBig)} bits")
+  }
+
+  test("pHash shrugs off high-frequency noise that moves aHash") {
+    // per-pixel alternating ±12 noise: pure high-frequency energy, which
+    // the 8×8 LOW-frequency DCT block barely sees but per-pixel mean
+    // thresholding feels on every near-threshold cell — the brittleness
+    // pHash exists to fix. The clean/noisy pHash distance must be small
+    // and no larger than aHash's on the identical image pair.
+    val base = Multimodal.syntheticGradientPng(7L, 200L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val d = if ((x + y) % 2 == 0) 12 else -12
+      val rgb = img.getRGB(x, y)
+      def clip(v: Int) = math.max(0, math.min(255, v))
+      img.setRGB(x, y, (clip(((rgb >> 16) & 0xff) + d) << 16) |
+        (clip(((rgb >> 8) & 0xff) + d) << 8) | clip((rgb & 0xff) + d))
+    }
+    val noisy = reEncode(img)
+    val pClean = Multimodal.pHash(base); val pNoisy = Multimodal.pHash(noisy)
+    val aClean = Multimodal.aHash(base); val aNoisy = Multimodal.aHash(noisy)
+    val pDist = java.lang.Long.bitCount(pClean ^ pNoisy)
+    val aDist = java.lang.Long.bitCount(aClean ^ aNoisy)
+    assert(pDist <= 4, s"pHash moved $pDist bits under pixel noise")
+    assert(pDist <= aDist, s"pHash ($pDist) should be at most aHash ($aDist)")
+  }
+
+  test("imageNearDupPairs over phash: parity with the aHash pairs on clones") {
+    import spark.implicits._
+    val base = Multimodal.syntheticGradientPng(3L, 40L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    img.setRGB(0, 0, 0xffffff) // one-pixel perturbation of a copy
+    val media = Seq(
+      (1L, "image", base),
+      (2L, "image", reEncode(img)),
+      (3L, "image", Multimodal.syntheticGradientPng(40L, 123L)))
+      .toDF("media_id", "kind", "bytes")
+    val pPairs = Multimodal.imageNearDupPairs(Multimodal.imagePHashes(media),
+        maxHamming = 6, hashCol = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pPairs.toSeq == Seq((1L, 2L))) // same verdicts as the aHash test
+    // and the distributed hash matches the local function exactly
+    val got = Multimodal.imagePHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == Multimodal.pHash(base))
+    assert(got(3L) == Multimodal.pHash(Multimodal.syntheticGradientPng(40L, 123L)))
+  }
 }

@@ -24,26 +24,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      // typed-Aggregator plans (TopKPayloadAggregator, HistogramAggregator)
-      // run as ObjectHashAggregate, which falls back to SORT-based
-      // aggregation after this many in-memory groups (default 128) —
-      // re-introducing exactly the per-task input sort the bounded
-      // aggregators exist to avoid. Raising it session-wide removes the
-      // graceful spill fallback for EVERY ObjectHashAggregate, so the
-      // codebase carries a BOUNDED-BUFFER CONTRACT: any object-agg
-      // buffer must be O(bounded) per group, never corpus-proportional.
-      // Audit of every collect_list/collect_set site (r10): the LSH /
-      // gram bucket lists pre-filter to bsz ≤ maxBucket BEFORE the
-      // collect buffers them (Dedup.scala); SimilaritySearch collects
-      // dims-bounded vector structs; HistogramFunctions collects
-      // bin-bounded bucket structs; the detector port/os sets are
-      // domain-bounded (≤64k ports) and sliced; the query-layer
-      // collects are rank≤k-filtered or slice(…, k)-capped. The typed
-      // Aggregators (TopK*/MinK/Histogram) are O(k) by construction
-      // (AggregatorsSpec pins it). A new unbounded collect under a hot
-      // key would OOM a task instead of spilling — keep new object-agg
-      // buffers inside this contract or scope this config away locally.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // ObjectHashAggregate keeps Spark's DEFAULT sort-based fallback
+      // (128 in-memory groups): an r10 A/B at the 100x fixture measured
+      // the r9 session-wide raise to 65536 as neutral-to-20% SLOWER on
+      // every typed-Aggregator query (h2 7.3 vs 8.8 s, h8 9.2 vs 10.4,
+      // o3 4.9 vs 5.9; det4 a wash) and +28% on GraftApp's profile
+      // build end-to-end - streaming sort-grouped aggregation beats
+      // thousands of live map buffers. The graft aggregators stay
+      // O(k)-bounded per group regardless (AggregatorsSpec pins it), so
+      // the fallback is graceful: bounded buffers make a sort pass
+      // cheap, and a future unbounded collect under a hot key spills
+      // instead of OOMing.
       .config("spark.sql.session.timeZone", "UTC")
       // the SQL-surface domain functions (graft_logbin, graft_hamming, …)
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")

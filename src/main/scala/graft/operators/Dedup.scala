@@ -1014,14 +1014,26 @@ object Dedup {
     * pairs.
     */
   def dupSpanFraction(df: DataFrame, k: Int = 24, w: Int = 9): DataFrame = {
-    val keyed = df.filter(length(col("text")) >= k)
+    val keyedRaw = df.filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(org.apache.spark.sql.graft.ColumnBridge.column(
           graft.expressions.WinnowedGramHashes(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k, w)))
           .as("g"))
+    // The frequency lookup is a co-keyed HASH join, never sort-merge:
+    // left to the planner, the join of the gram stream against its own
+    // frequency table planned SMJ at ladder scale and sorted the whole
+    // stream just to look up a count (measured 5.3 GB of pure sort
+    // spill at the 400x probe, the only non-contract spill in the r10
+    // ladder). With the hint both sides exchange on g and hash-join
+    // per partition: zero externalization AND faster at every measured
+    // scale (100x 4.3 -> 3.7 s, 400x 16.6/5.3 GB -> 14.2 s/zero). An
+    // r10 A/B also rejected an AdaptiveWidth-widened single-exchange
+    // variant (one 6x-wide repartition feeding agg + probe): ~30%
+    // slower at 100x and more shuffle at 400x than this shape.
+    val keyed = keyedRaw
     val freq = keyed.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    keyed.join(freq, Seq("g"))
+    keyed.join(freq.hint("shuffle_hash"), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))

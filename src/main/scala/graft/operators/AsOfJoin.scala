@@ -32,9 +32,28 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String]): DataFrame =
+    asOfJoin(left, right, keyCol, timeCol, rightPayload, tolerance = None)
+
+  /** [[asOfJoin]] with a maximum-lookback `tolerance`: a right row only
+    * matches while `leftTime - rightTime <= tolerance` (the pandas
+    * `merge_asof(tolerance=...)` / production sensor-join contract — a
+    * config row from last year must NOT silently attach to today's
+    * alert). Same single-shuffle union-window plan; the tolerance is a
+    * post-window null-out, so the pair blowup the naive inequality-join
+    * form pays is still avoided entirely. `tolerance` must be expressed
+    * in the column's native ordering units (e.g. a `Column` of
+    * microseconds for timestamp columns compared via `unix_micros`) —
+    * pass the time column pre-converted to a numeric if needed.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      rightPayload: Seq[String], tolerance: Option[Column]): DataFrame = {
     val leftRow = struct(left.columns.map(col): _*)
-    val payload = struct(rightPayload.map(col): _*)
+    // the matched right TIME travels with the payload (field __mt) so the
+    // lookback bound can be applied after the window pass; __mt == __t for
+    // right rows, so tie-break order among right ties is unchanged
+    val payload = struct(col(timeCol).as("__mt"),
+      struct(rightPayload.map(col): _*).as("__mp"))
     val lType = left.select(leftRow).schema.head.dataType
     val pType = right.select(payload).schema.head.dataType
 
@@ -52,9 +71,19 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // tolerance: null out a carried match that is older than the bound.
+    // `tolerance` must be subtractable from the time column (an INTERVAL
+    // for timestamps, a numeric for numeric time axes); right rows with a
+    // null time sort before everything and never satisfy the bound.
+    val matched = tolerance match {
+      case Some(tol) =>
+        when(col("__m")("__mt") >= col("__t") - tol, col("__m")("__mp"))
+      case None => col("__m")("__mp")
+    }
+
     l2.unionByName(r2)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(c => col(s"__l.$c").as(c)) :+ col("__m").as("matched"): _*)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) :+ matched.as("matched"): _*)
   }
 }

@@ -439,6 +439,155 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Raw PCM samples (channel-mixed mono) for signal-level features that
+    * need more than [[decodeWav]]'s RMS reduction. 16-bit PCM only, same
+    * cached-reader hot path; multi-channel frames mix down by integer
+    * mean so the result stays deterministic (no float channel weights).
+    */
+  def decodePcmMono(bytes: Array[Byte]): (Int, Array[Int]) = {
+    import javax.sound.sampled.AudioSystem
+    val ais =
+      try wavReader.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception =>
+        AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes)) }
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16)
+        sys.error(s"decodePcmMono: only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+      val data = ais.readAllBytes()
+      val bigEndian = fmt.isBigEndian
+      val ch = fmt.getChannels
+      val nFrames = data.length / (2 * ch)
+      val out = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0
+        var c = 0
+        while (c < ch) {
+          val i = 2 * (f * ch + c)
+          val s = if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xff))
+                  else ((data(i + 1) << 8) | (data(i) & 0xff))
+          acc += s
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      (fmt.getSampleRate.toInt, out)
+    } finally ais.close()
+  }
+
+  /** Spectral peak fingerprint per 256-sample frame — the constellation
+    * signature a production audio-dedup/audio-search pass runs (Wang,
+    * ISMIR'03 "An Industrial-Strength Audio Search Algorithm" — per-frame
+    * band-wise spectral peaks; landmark pairing happens downstream at
+    * match time). Each frame: Hann window, real DFT magnitudes over bins
+    * 0..127 (N=256), the 128 bins split into 8 bands of 16, the argmax
+    * bin WITHIN each band packed as one byte → a 64-bit fingerprint per
+    * frame. Peak POSITIONS, not magnitudes, so the signature is invariant
+    * to gain — two copies of a clip ripped at different volumes
+    * fingerprint identically, which per-sample hashes can't do.
+    *
+    * A band emits its argmax only when the peak clears a NOISE FLOOR
+    * (mag² ≥ 1e-9 × the frame's total mag²); below it the band packs the
+    * 0xff "no peak" sentinel. Without the floor, bands holding nothing
+    * but double-rounding residue (~1e-28 relative mag²) would encode an
+    * argmax of numerical noise — which VARIES WITH GAIN and would silently
+    * break the invariance the signature exists for (a real pipeline's
+    * landmark extraction thresholds against the noise floor for the same
+    * reason).
+    *
+    * Bit-determinism: StrictMath trig tables + fixed-order IEEE sums
+    * (same golden-oracle license as [[pHash]]); argmax ties resolve to
+    * the lowest bin (strict >). Frames are hop=128 apart and only full
+    * frames fingerprint (a sub-frame tail is dropped, not zero-padded).
+    */
+  def audioFingerprint(bytes: Array[Byte]): Array[Long] = {
+    val (_, pcm) = decodePcmMono(bytes)
+    val frame = 256
+    val hop = 128
+    if (pcm.length < frame) return Array.emptyLongArray
+    val nFrames = (pcm.length - frame) / hop + 1
+    val hann = Array.tabulate(frame)(i =>
+      0.5 - 0.5 * StrictMath.cos(2.0 * StrictMath.PI * i / frame))
+    // precomputed DFT basis for bins 0..127 (k ranges over half the
+    // spectrum of a real signal); cos/sin tables share the (k·i mod 256)
+    // grid so the whole basis is 256 StrictMath evaluations, not 256·128
+    val cosT = Array.tabulate(frame)(j =>
+      StrictMath.cos(2.0 * StrictMath.PI * j / frame))
+    val sinT = Array.tabulate(frame)(j =>
+      StrictMath.sin(2.0 * StrictMath.PI * j / frame))
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * hop
+      val w = new Array[Double](frame)
+      var i = 0
+      while (i < frame) { w(i) = pcm(base + i) * hann(i); i += 1 }
+      // pass 1: per-band peak (mag², bin) + the frame's total mag²
+      val bandBest = new Array[Double](8)
+      val bandBin = new Array[Int](8)
+      var total = 0.0
+      var band = 0
+      while (band < 8) {
+        var best = -1.0
+        var bestBin = 0
+        var k = band * 16
+        val kEnd = k + 16
+        while (k < kEnd) {
+          var re = 0.0
+          var im = 0.0
+          i = 0
+          while (i < frame) {
+            val j = (k * i) & 255 // k·i mod 256 indexes the shared table
+            re += w(i) * cosT(j)
+            im -= w(i) * sinT(j)
+            i += 1
+          }
+          val mag = re * re + im * im
+          total += mag
+          if (mag > best) { best = mag; bestBin = k - (kEnd - 16) }
+          k += 1
+        }
+        bandBest(band) = best
+        bandBin(band) = bestBin
+        band += 1
+      }
+      // pass 2: pack, flooring noise-only bands to the 0xff sentinel
+      val floor = 1e-9 * total
+      var fp = 0L
+      band = 0
+      while (band < 8) {
+        val b = if (bandBest(band) >= floor && total > 0.0) bandBin(band) else 0xff
+        fp |= (b.toLong & 0xffL) << (8 * band)
+        band += 1
+      }
+      out(f) = fp
+      f += 1
+    }
+    out
+  }
+
+  /** (media_id, frame_idx, fp) for every audio row — the batched decode
+    * pass ([[imageHashes]] shape), one row per fingerprinted frame.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("frame_idx", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("fp", org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          audioFingerprint(r.getAs[Array[Byte]]("bytes")).iterator.zipWithIndex
+            .map { case (fp, idx) => Row(id, idx.toLong, fp) }
+        }
+      }(enc)
+  }
+
   /** STUB decoder for the codec-less kind (video): a 16-bin
     * histogram of byte values mod 16, normalized — deterministic,
     * fixed-shape, same signature a real decoder would have.

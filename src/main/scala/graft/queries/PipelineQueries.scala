@@ -1220,6 +1220,21 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // M7: spectral peak fingerprint (Shazam-style constellation frame
+    // signature) over the real WAV decode — per 256-sample frame, the
+    // argmax DFT bin of each of 8 bands packed into one long. Gain-
+    // invariant by construction (peak positions, not magnitudes): the
+    // fixture's clips differ in amplitude per media_id but share the
+    // period-8 square wave, so every frame lands the same fingerprint —
+    // which IS the production property under test. Golden-parquet oracle
+    // (DuckDB can't decode WAVs; StrictMath trig + fixed-order sums make
+    // the value bit-deterministic).
+    "m7_audio_fingerprint" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Catalog.documents(s, dir))
+      Multimodal.audioFingerprints(media.filter(col("kind") === "audio"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // M5: real audio decode — WAV payloads through javax.sound.sampled,
     // features content-checked against the synthetic fixture's analytic
     // parameterization (square wave → RMS is exactly the amplitude;
@@ -2941,6 +2956,8 @@ object PipelineQueries {
       "SELECT * FROM read_parquet('/root/repo/goldens/m4_image_neardup.parquet') ORDER BY id1, id2",
     "m6_phash" ->
       "SELECT * FROM read_parquet('/root/repo/goldens/m6_phash.parquet') ORDER BY media_id",
+    "m7_audio_fingerprint" ->
+      "SELECT * FROM read_parquet('/root/repo/goldens/m7_audio_fingerprint.parquet') ORDER BY media_id, frame_idx",
 
     // golden parquet (K-Means cluster assignment is not expressible in
     // DuckDB — ml1–ml5 precedent); regenerate with the same recipe as m3/m4

@@ -215,6 +215,26 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // J14 (beyond-reference): as-of join with a maximum-lookback
+    // tolerance — the pandas merge_asof(tolerance=...) contract: a click
+    // older than 1 hour must NOT attach to the purchase. Same one-shuffle
+    // union-window plan as j9; the bound is a post-window null-out, never
+    // an inequality pair join.
+    "j14_asof_tolerance" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.asOfJoin(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "ts"), tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("matched.click_id").as("click_id"),
+          unix_millis(col("matched.ts")).as("click_ts_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // J10 (beyond-reference): grid-bucketed range join — orders land in
     // overlapping 120-day promo windows via an equi-join on grid cells
     // plus an exact residual filter; never an inequality BNLJ.
@@ -602,6 +622,38 @@ object RelationalQueries {
         .agg(round(sum(col("rev_e4")) / 10000.0, 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Q23 (TPC-H Q7 shape): two-nation trade volume by ship year. The
+    // nation-pair predicate is pushed into the DIMENSION scans (supplier/
+    // customer keep only the two nations), so the broadcast hash joins
+    // prune the lineitem stream before the one fact-fact shuffle with
+    // orders; the cross-pair disjunction runs on the two tiny joined
+    // name columns. Same integer-cents revenue formulation as q2/q3.
+    "q23_volume_shipping" -> ((s, dir) => {
+      val natPair = Catalog.nation(s, dir)
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select(col("n_nationkey"), col("n_name"))
+      val li = Catalog.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      val ord = Catalog.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Catalog.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(natPair), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val supp = Catalog.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(natPair), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(round(sum(col("rev_e4")) / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
     "q1_agg" -> ((s, dir) => {
@@ -1332,6 +1384,23 @@ object RelationalQueries {
         |SELECT event_id, user_id, ts_ms, click_id, click_ts_ms
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    "j14_asof_tolerance" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |    r.click_id, epoch_ms(r.ts) AS click_ts_ms,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.ts DESC NULLS LAST, r.click_id DESC) AS rn
+        |  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+        |    AND r.ts >= l.ts - INTERVAL 1 HOUR)
+        |SELECT event_id, user_id, ts_ms, click_id, click_ts_ms
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "j6_conditional_lookup" ->
       """SELECT s_suppkey,
         |  CASE WHEN s_nationkey < 10 THEN s_nationkey ELSE s_nationkey % 10 END AS lookup_key,
@@ -1372,6 +1441,22 @@ object RelationalQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE c_nationkey = s_nationkey
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q23_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count

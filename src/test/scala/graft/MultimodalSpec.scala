@@ -220,4 +220,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L) == Multimodal.pHash(base))
     assert(got(3L) == Multimodal.pHash(Multimodal.syntheticGradientPng(40L, 123L)))
   }
+
+  test("audioFingerprint: analytic harmonic peaks, gain invariance, frame count") {
+    // period-8 square wave at N=256 → harmonics at exactly bins 32 and 96
+    // (fundamental f=sr/8 → bin N/8; 3rd harmonic 3N/8; 5N/8 > Nyquist).
+    // Band layout: band 2 covers bins 32..47 (peak at within-band 0),
+    // band 6 covers 96..111 (peak at within-band 0).
+    // The Hann kernel smears each harmonic onto its ±1 neighbors
+    // (coefficients 0.5 / 0.25), so REAL energy sits at bins
+    // {31,32,33, 95,96,97}: band 1 peaks at 31 (within-band 15),
+    // band 2 at 32 (0), band 5 at 95 (15), band 6 at 96 (0); bands
+    // 0/3/4/7 hold only rounding noise and must emit the 0xff sentinel.
+    val fps = Multimodal.audioFingerprint(Multimodal.syntheticWav(1L, 999L))
+    val n = Multimodal.audioNumSamples(999L) // 400 + 999%800 = 599
+    assert(fps.length == (n - 256) / 128 + 1)
+    for (fp <- fps; (band, want) <- Seq(0 -> 0xffL, 1 -> 15L, 2 -> 0L,
+        3 -> 0xffL, 4 -> 0xffL, 5 -> 15L, 6 -> 0L, 7 -> 0xffL)) {
+      assert(((fp >> (8 * band)) & 0xff) == want,
+        s"band $band of ${fp.toHexString}: want $want")
+    }
+    // stationary signal + hop divisible by the period: every frame equal
+    assert(fps.distinct.length == 1)
+    // gain invariance: different ids → different amplitudes, same wave
+    // shape and (bin-relative) spectrum → identical fingerprints
+    val other = Multimodal.audioFingerprint(Multimodal.syntheticWav(6L, 999L))
+    assert(Multimodal.audioSampleRate(1L) != Multimodal.audioSampleRate(6L) ||
+      Multimodal.audioAmplitude(1L) != Multimodal.audioAmplitude(6L))
+    assert(other.head == fps.head)
+    // too-short payload (sub-frame): no fingerprints, no error
+    assert(Multimodal.audioFingerprint(
+      Multimodal.syntheticWav(1L, 0L)).nonEmpty) // 400 samples ≥ 1 frame
+  }
+
+  test("audioFingerprints: distributed pass matches the local function") {
+    import spark.implicits._
+    val rows = Seq(1L -> 40L, 2L -> 999L).map { case (id, nc) =>
+      (id, "audio", Multimodal.syntheticWav(id, nc))
+    }.toDF("media_id", "kind", "bytes")
+    val got = Multimodal.audioFingerprints(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Seq(1L -> 40L, 2L -> 999L).flatMap { case (id, nc) =>
+      Multimodal.audioFingerprint(Multimodal.syntheticWav(id, nc))
+        .zipWithIndex.map { case (fp, i) => (id, i.toLong) -> fp }
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }

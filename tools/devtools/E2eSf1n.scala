@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * synthetic sFlow samples. Emits /tmp/e2e_sf1n.json for the round
   * artifact assembler.
   *
-  *   tools/run.sh graft.tmp.E2eSf1n /tmp/sf1n /tmp/e2e_sf1n.json
+  *   tools/run.sh graft.tmp.E2eSf1n /tmp/sf1n /tmp/e2e_sf1n.json [nSamples]
+  *
+  * nSamples (default 5,000,000) sizes the GraftApp batch; the r10 200x
+  * point doubles it to 10M so the e2e ladder scales with the fixture.
   */
 object E2eSf1n {
 
@@ -45,7 +48,7 @@ object E2eSf1n {
     }
 
     // ---- GraftApp one batch round over 5M synthetic samples ----------
-    val n = 5000000L
+    val n = if (args.length > 2) args(2).toLong else 5000000L
     val s = 4242
     val samples = spark.range(n).select(
       concat(lit("10.0."), h(col("id"), s + 1, 40), lit("."),

@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object GenSf1Natural {
 
+  /** optional table filter (set from main's 3rd arg) */
+  private var tablesOnly: Option[Set[String]] = None
+
   /** uniform [0,1) from (id, salt) — pure, no RNG state */
   private def u(id: org.apache.spark.sql.Column, salt: Int) =
     pmod(xxhash64(id, lit(salt)), lit(1000000000L)).cast("double") / 1e9
@@ -42,9 +45,13 @@ object GenSf1Natural {
     element_at(array(vs.map(lit): _*), h(id, salt, vs.size) + 1)
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: GenSf1Natural <outDir> [scale]")
+    require(args.nonEmpty, "usage: GenSf1Natural <outDir> [scale] [tables]")
     val outDir = args(0)
     val scale = if (args.length > 1) args(1).toInt else 10
+    // optional comma-list of tables to emit (r10: the 400x probe block
+    // only reads documents — generating 240M lineitem rows for it is
+    // pure waste)
+    tablesOnly = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -66,8 +73,10 @@ object GenSf1Natural {
     val nVecs = 2000L * scale
 
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
-      println(s"[gen] wrote $name")
+      if (tablesOnly.forall(_.contains(name))) {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+        println(s"[gen] wrote $name")
+      } else println(s"[gen] skipped $name (not in tables filter)")
     }
 
     // fixed-size dimension tables (same contents at every sf)

@@ -168,5 +168,48 @@ class DegenerateInputSpec extends AnyFunSuite {
     val emptyLeft = left.filter(col("event_id") < 0)
     assert(AsOfJoin.asOfJoin(emptyLeft,
       left.toDF("click_id", "user_id", "ts"), "user_id", "ts", Seq("click_id")).count() == 0)
+    // tolerance path on the same degenerate shapes
+    val tol = Some(org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+    val outTol = AsOfJoin.asOfJoin(left, emptyRight, "user_id", "ts",
+      Seq("click_id"), tolerance = tol)
+    assert(outTol.count() == 1)
+    assert(outTol.filter(col("matched.click_id").isNull).count() == 1)
+    assert(AsOfJoin.asOfJoin(emptyLeft, left.toDF("click_id", "user_id", "ts"),
+      "user_id", "ts", Seq("click_id"), tolerance = tol).count() == 0)
+  }
+
+  test("audio fingerprint: sub-frame clip, silent clip, empty frame") {
+    import graft.operators.Multimodal
+    // a clip shorter than one 256-sample frame fingerprints to nothing
+    val tiny = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+      val pcm = new Array[Byte](100 * 2) // 100 samples < 256
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 100L),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.audioFingerprint(tiny).isEmpty)
+    // a silent (all-zero) clip long enough to frame: total energy is 0,
+    // every band must emit the 0xff no-peak sentinel, never divide-by-zero
+    val silent = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+      val pcm = new Array[Byte](600 * 2)
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 600L),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val fps = Multimodal.audioFingerprint(silent)
+    assert(fps.nonEmpty)
+    assert(fps.forall(_ == -1L)) // 8 × 0xff bytes == all bits set
+    // distributed pass over an empty media frame yields an empty result
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Array[Byte])].toDF("media_id", "kind", "bytes")
+    assert(Multimodal.audioFingerprints(empty).count() == 0)
   }
 }

@@ -115,6 +115,26 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin with tolerance matches a naive bounded per-row scan on random data") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(200 + seed)
+      val tol = 7L
+      val left = Seq.tabulate(30)(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(50).toLong))
+      val right = Seq.tabulate(30)(i => (rnd.nextInt(5).toLong, 1000L + i, rnd.nextInt(50).toLong))
+      val expected = left.map { case (k, id, t) =>
+        val cands = right.filter(r => r._1 == k && r._3 <= t && r._3 >= t - tol)
+        id -> (if (cands.isEmpty) -1L else cands.maxBy(r => (r._3, r._2))._2)
+      }.toMap
+      val got = AsOfJoin.asOfJoin(
+          left.toDF("k", "id", "t"), right.toDF("k", "rid", "t"), "k", "t",
+          Seq("rid", "t"), tolerance = Some(lit(tol)))
+        .select(col("id"), col("matched.rid"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("LSH nearDupPairs is a subset of brute force with matching sims, and recalls planted near-dups") {
     import spark.implicits._
     import graft.operators.SimilaritySearch

@@ -1220,6 +1220,59 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // T35: CCNet-style perplexity filtering (Wenzek et al., LREC 2020 —
+    // THE production corpus-quality filter): score every document by the
+    // average negative log-likelihood of its word bigrams under an
+    // add-one-smoothed bigram LM trained on the corpus' own reference
+    // slice (lang='en'), keep-gate with an integer cross-multiplied
+    // average (never a float compare). Per-bigram log-probs fixed-pointed
+    // to 1e-6 BIGINT (the t24 convention) so per-doc sums are
+    // summation-order-exact in both engines. Plan: ONE window pass
+    // explodes bigrams with lang carried (no join-back), the reference
+    // counts aggregate map-side on the gram key, the head-token counts
+    // derive from the (small) bigram-count table rather than a second
+    // stream pass, and scoring is two gram-keyed hash joins + a doc-keyed
+    // aggregate — linear end-to-end, nothing quadratic, no driver state.
+    "t35_perplexity_filter" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val bi = graft.functions.TextFunctions
+        .explodedShingles(docs, "doc_id", "text", 2, carry = Seq("lang"))
+        .withColumn("w1", substring_index(col("shingle"), " ", 1))
+      // add-one-smoothed bigram LM from the reference slice; head counts
+      // cu(w1) = Σ cb(w1 ·) roll up from the bigram-TYPE table (bounded by
+      // distinct bigrams, far smaller than the token stream)
+      val cb = bi.filter(col("lang") === "en")
+        .groupBy(col("shingle")).agg(count(lit(1)).as("cb"))
+      val cu = cb.withColumn("w1", substring_index(col("shingle"), " ", 1))
+        .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      val vDf = cu.agg(count(lit(1)).as("v")) // smoothing vocab = distinct heads
+      val scored = bi
+        .join(cb, Seq("shingle"), "left")
+        .join(cu, Seq("w1"), "left")
+        .crossJoin(broadcast(vDf)) // one-row smoothing constant
+        // greatest(v,1): an EMPTY reference slice (v=0) must degrade to a
+        // defined no-op LM (P=1, logp=0, keep everything), never log(1/0)
+        .select(col("doc_id"),
+          round(log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("cu"), lit(0L)) + greatest(col("v"), lit(1L))).cast("double")) * 1e6, 0)
+            .cast("long").as("logp_e6"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_e6")).as("sum_logp_e6"))
+      // keep = avg(-logp) <= 3.45 nats (e^3.45 ≈ 31.5 perplexity — just
+      // over the corpus median, so the rare-bigram tail actually drops:
+      // 181/5000 at sf0.1) — cross-multiplied so the gate is integer-exact
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sum_logp_e6"), lit(0L)).as("sum_logp_e6"),
+          (coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+            -coalesce(col("sum_logp_e6"), lit(0L)) <=
+              coalesce(col("n_bigrams"), lit(0L)) * 3450000L)
+            .cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // M7: spectral peak fingerprint (Shazam-style constellation frame
     // signature) over the real WAV decode — per 256-sample frame, the
     // argmax DFT bin of each of 8 bands packed into one long. Gain-
@@ -2958,6 +3011,34 @@ object PipelineQueries {
       "SELECT * FROM read_parquet('/root/repo/goldens/m6_phash.parquet') ORDER BY media_id",
     "m7_audio_fingerprint" ->
       "SELECT * FROM read_parquet('/root/repo/goldens/m7_audio_fingerprint.parquet') ORDER BY media_id, frame_idx",
+
+    // CCNet perplexity filter: identical add-one bigram LM + 1e-6
+    // fixed-point log-prob sums (ln on count ratios, the t24 precedent)
+    "t35_perplexity_filter" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, lang, s, string_split(s, ' ')[1] AS w1
+        |  FROM (SELECT doc_id, lang,
+        |          unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS s
+        |        FROM toks)),
+        |cb AS (SELECT s, count(*) AS cb FROM bi WHERE lang = 'en' GROUP BY s),
+        |cu AS (SELECT string_split(s, ' ')[1] AS w1, sum(cb) AS cu FROM cb GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM cu),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(ROUND(ln((COALESCE(cb, 0) + 1) /
+        |          CAST(COALESCE(cu, 0) + GREATEST((SELECT v FROM v), 1) AS DOUBLE)) * 1e6)
+        |        AS BIGINT)) AS sum_logp_e6
+        |  FROM bi LEFT JOIN cb USING (s) LEFT JOIN cu USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  CAST(COALESCE(s.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,
+        |  CAST(COALESCE(s.n_bigrams, 0) > 0 AND
+        |       -COALESCE(s.sum_logp_e6, 0) <= COALESCE(s.n_bigrams, 0) * 3450000
+        |       AS INT) AS keep
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // golden parquet (K-Means cluster assignment is not expressible in
     // DuckDB — ml1–ml5 precedent); regenerate with the same recipe as m3/m4

@@ -681,6 +681,39 @@ class PipelineSpec extends AnyFunSuite {
     paired.foreach(id => assert(out(id)._3 > 0.0))
   }
 
+  test("t35 perplexity filter: conforming docs keep, off-model docs drop, empty reference is a no-op") {
+    import spark.implicits._
+    // reference LM: a fixed 40-word cycle repeated — every in-cycle bigram
+    // is near-certain under the trained model (P ≈ (c+1)/(c+40)), and any
+    // OTHER bigram has P = 1/(cu+40), i.e. -logp = ln(cu+40) > 3.45 nats
+    val vocab = (0 until 40).map(i => s"w$i")
+    val cycle = (vocab ++ vocab ++ vocab).mkString(" ") // 3 cycles per doc
+    val junk = (0 until 119).map(i => vocab((i * 17) % 40)).mkString(" ") // stride-17 shuffle
+    def run(rows: Seq[(Long, String, String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("t35_").toString
+      rows.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("t35_perplexity_filter")(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    }
+    val out = run(Seq.tabulate(10)(i => (i.toLong, cycle, "en")) ++ Seq(
+      (100L, cycle, "de"),       // conforming non-reference doc → keep
+      (101L, junk, "de")))       // off-model bigrams → drop
+    assert(out.size == 12)
+    assert(out(100L)._3 == 1, s"conforming doc dropped: ${out(100L)}")
+    assert(out(101L)._3 == 0, s"junk doc kept: ${out(101L)}")
+    out.filter(_._1 < 100).values.foreach { case (n, _, keep) =>
+      assert(n > 0 && keep == 1) // the reference slice itself conforms
+    }
+    // stride-17 junk shares NO bigram with the cycle (every cycle bigram
+    // steps +1 mod 40), so each of its bigrams scores ln(cu+40): verify
+    // the score separation is structural, not marginal
+    assert(-out(101L)._2 / math.max(out(101L)._1, 1L) >
+      2 * -out(100L)._2 / math.max(out(100L)._1, 1L))
+    // no reference docs at all → defined no-op LM: everything keeps
+    val none = run(Seq((1L, cycle, "de"), (2L, junk, "fr")))
+    assert(none.values.forall(v => v._3 == 1 && v._2 == 0L))
+  }
+
   test("semanticDedup: in-cluster near-dups drop, seniors and distant members survive") {
     import spark.implicits._
     def v(xs: Double*) = xs.map(_.toFloat).toArray

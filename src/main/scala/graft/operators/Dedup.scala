@@ -1045,6 +1045,41 @@ object Dedup {
     * buckets, collapse identical doc-lists, expand weighted pairs with
     * the compiled kernel, and sum per-pair shared-gram counts.
     */
+  /** Oriented span-CONTAINMENT screen — the asymmetric dual of d18's
+    * span-pair similarity, and the signal Jaccard-family near-dup
+    * structurally misses: a paragraph quoted inside a much larger
+    * document has tiny Jaccard (|A∩B|/|A∪B|) but containment
+    * |A∩B|/|A| ≈ 1. This is the quote/boilerplate/template detection
+    * pass of the RefinedWeb/CCNet curation lineage. Candidates come
+    * from the same winnowed-fingerprint bucket join as d18 (bucket-
+    * capped, never all-pairs; MinHash LSH would be WRONG here — it
+    * approximates Jaccard, so it cannot recall small-in-big pairs);
+    * each pair's shared distinct-gram count then normalizes by EACH
+    * side's own selection count, giving both orientations. Output:
+    * (doc_a, doc_b, shared_grams, containment_a, containment_b) with
+    * doc_a < doc_b, kept when either orientation clears
+    * `minContainment`. Same linear/output-bound cost shape as d18.
+    */
+  def spanContainmentPairs(df: DataFrame, k: Int = 24, w: Int = 9,
+      minShared: Int = 2, minContainment: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val keyed = df.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.WinnowedGramHashes(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k, w)))
+          .as("g"))
+    val perDoc = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sharedGramPairs(keyed, maxBucket, minShared)
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("containment_a", round(col("shared_grams") / col("n_a"), 6))
+      .withColumn("containment_b", round(col("shared_grams") / col("n_b"), 6))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("shared_grams"),
+        col("containment_a"), col("containment_b"))
+  }
+
   private def sharedGramPairs(keyed: DataFrame, maxBucket: Int,
       minShared: Int): DataFrame = {
     // compiled pair expansion ([[graft.expressions.PairCombinations]]) —

@@ -1220,6 +1220,18 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // D23: oriented span containment (quote/boilerplate detection) — the
+    // asymmetric signal Jaccard near-dup misses: a doc whose winnowed
+    // fingerprints are mostly CONTAINED in a partner is a quote/template
+    // even when the union-normalized similarity is tiny. Candidates from
+    // the d18 bucket join (never all-pairs), normalized by each side's
+    // own selection count.
+    "d23_span_containment" -> ((s, dir) => {
+      Dedup.spanContainmentPairs(Catalog.documents(s, dir),
+          k = 24, w = 9, minShared = 2, minContainment = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // T35: CCNet-style perplexity filtering (Wenzek et al., LREC 2020 —
     // THE production corpus-quality filter): score every document by the
     // average negative log-likelihood of its word bigrams under an
@@ -1948,6 +1960,38 @@ object PipelineQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_grams
         |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d18's selection CTEs + per-doc normalization for the oriented
+    // containment screen (filter on the ROUNDED values, matching Spark)
+    "d23_span_containment" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE len(text) >= 24),
+        |gl AS (
+        |  SELECT doc_id,
+        |    [substr(text, CAST(i AS INT), 24) for i in range(1, len(text) - 24 + 2)] AS gs
+        |  FROM docs),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest([list_min(list_slice(gs, CAST(i AS INT), CAST(i AS INT) + least(9, len(gs)) - 1))
+        |              for i in range(1, len(gs) - least(9, len(gs)) + 2)]) AS g
+        |    FROM gl)),
+        |c AS (SELECT g, count(*) AS cnt FROM sel GROUP BY g),
+        |kept AS (SELECT sel.doc_id, sel.g FROM sel JOIN c USING (g)
+        |         WHERE cnt BETWEEN 2 AND 1000),
+        |pd AS (SELECT doc_id, count(*) AS n FROM sel GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_grams
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, shared_grams,
+        |  ROUND(shared_grams / CAST(na.n AS DOUBLE), 6) AS containment_a,
+        |  ROUND(shared_grams / CAST(nb.n AS DOUBLE), 6) AS containment_b
+        |FROM pairs
+        |JOIN pd na ON doc_a = na.doc_id
+        |JOIN pd nb ON doc_b = nb.doc_id
+        |WHERE GREATEST(ROUND(shared_grams / CAST(na.n AS DOUBLE), 6),
+        |               ROUND(shared_grams / CAST(nb.n AS DOUBLE), 6)) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // t24: same hashed-bigram buckets, add-one-smoothed log-ratios

@@ -681,6 +681,36 @@ class PipelineSpec extends AnyFunSuite {
     paired.foreach(id => assert(out(id)._3 > 0.0))
   }
 
+  test("spanContainmentPairs: quote-in-document detected where Jaccard is tiny, orientation correct") {
+    val quote = "THE-QUOTED-PARAGRAPH-ABCDEFGHIJKLMNOPQRSTUVWXYZ-0123456789-END" // 63 chars
+    val big = ("unrelated preamble content words here " * 12) + quote +
+      (" much more trailing body text that goes on and on " * 12)
+    val docs = docsDf(Seq(
+      1L -> quote,                            // the small doc IS the quote
+      2L -> big,                              // contains it verbatim
+      3L -> ("completely different text with nothing shared at all " * 8)))
+    val out = Dedup.spanContainmentPairs(docs, k = 24, w = 9,
+        minShared = 1, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // exactly the (quote, container) pair; doc 3 never pairs
+    assert(out.keySet == Set((1L, 2L)), s"got $out")
+    val (shared, cA, cB) = out((1L, 2L))
+    assert(shared >= 1)
+    assert(cA >= 0.8, s"quote side should be (near-)fully contained: $cA")
+    assert(cB < 0.5, s"container side must stay low: $cB")
+    // and the symmetric union-normalized score would have REJECTED it:
+    // shared / (nA + nB - shared) is far below the containment threshold
+    val n = Dedup.spanContainmentPairs(docs, k = 24, w = 9,
+        minShared = 1, minContainment = 0.0)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select((col("shared_grams") /
+        (col("shared_grams") / col("containment_a") +
+         col("shared_grams") / col("containment_b") - col("shared_grams"))).as("jac"))
+      .head().getDouble(0)
+    assert(n < 0.5, s"jaccard-style score should be small, got $n")
+  }
+
   test("t35 perplexity filter: conforming docs keep, off-model docs drop, empty reference is a no-op") {
     import spark.implicits._
     // reference LM: a fixed 40-word cycle repeated — every in-cycle bigram

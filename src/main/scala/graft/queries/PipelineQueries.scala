@@ -1220,6 +1220,30 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // M8: image dedup END-TO-END — pHash signatures → banded near-dup
+    // candidates (m4 machinery over the DCT hash) → exact Hamming verify
+    // → connected components → canonical pick (min media_id = the
+    // component id; singletons keep themselves). The oracle is NOT an
+    // output golden: DuckDB recomputes banding, Hamming, and the CC
+    // reachability from the m6 hash golden independently (xor/bit_count
+    // agree with the JVM on 64-bit two's complement).
+    "m8_image_dedup" -> ((s, dir) => {
+      val hashes = Multimodal.imagePHashes(
+        Multimodal.gradientImagesFromDocuments(Catalog.documents(s, dir)))
+      val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 12,
+          hashCol = "phash")
+        .select(col("id1").as("doc1"), col("id2").as("doc2"))
+      val comps = Dedup.connectedComponents(pairs, pairsDistinct = true)
+        .withColumnRenamed("node", "media_id")
+      hashes.select(col("media_id"))
+        .join(comps, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("component"), col("media_id")).as("component"))
+        .withColumn("keep",
+          (col("media_id") === col("component")).cast("long"))
+        .orderBy(col("media_id"))
+    }),
+
     // D23: oriented span containment (quote/boilerplate detection) — the
     // asymmetric signal Jaccard near-dup misses: a doc whose winnowed
     // fingerprints are mostly CONTAINED in a partner is a quote/template
@@ -1961,6 +1985,43 @@ object PipelineQueries {
         |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // m8: banding + Hamming + CC recomputed INDEPENDENTLY from the m6
+    // hash golden (not an output golden) — DuckDB's >>/&/xor/bit_count
+    // match the JVM on 64-bit two's complement
+    "m8_image_dedup" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT media_id, phash
+        |  FROM read_parquet('/root/repo/goldens/m6_phash.parquet')),
+        |bands AS (
+        |  SELECT media_id, b, (phash >> CAST(b * 16 AS INT)) & 65535 AS sig
+        |  FROM h CROSS JOIN range(0, 4) r(b)),
+        |kept AS (SELECT b, sig FROM bands GROUP BY b, sig
+        |         HAVING count(*) BETWEEN 2 AND 10000),
+        |bk AS (SELECT bands.media_id, bands.b, bands.sig
+        |       FROM bands JOIN kept USING (b, sig)),
+        |cand AS (
+        |  SELECT DISTINCT x.media_id AS doc1, y.media_id AS doc2
+        |  FROM bk x JOIN bk y ON x.b = y.b AND x.sig = y.sig
+        |    AND x.media_id < y.media_id),
+        |ham AS (
+        |  SELECT c.doc1, c.doc2 FROM cand c
+        |  JOIN h ha ON ha.media_id = c.doc1
+        |  JOIN h hb ON hb.media_id = c.doc2
+        |  WHERE bit_count(xor(ha.phash, hb.phash)) <= 12),
+        |edges AS (SELECT doc1 AS s, doc2 AS d FROM ham
+        |          UNION SELECT doc2, doc1 FROM ham),
+        |reach(n, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)
+        |SELECT m.media_id,
+        |  COALESCE(cc.component, m.media_id) AS component,
+        |  CAST(CASE WHEN m.media_id = COALESCE(cc.component, m.media_id)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM h m LEFT JOIN cc ON cc.node = m.media_id
+        |ORDER BY m.media_id""".stripMargin,
 
     // d18's selection CTEs + per-doc normalization for the oriented
     // containment screen (filter on the ROUNDED values, matching Spark)

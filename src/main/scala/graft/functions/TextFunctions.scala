@@ -72,24 +72,15 @@ object TextFunctions {
     * doc_id exchange. Documents with fewer than n tokens contribute no
     * rows — restore them with a left join from the doc base if needed.
     */
-  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    explodedShingles(docs, idCol, textCol, n, Nil)
-
-  /** [[explodedShingles]] carrying extra per-document columns through the
-    * explode (e.g. `lang` for reference-slice LM training) — the carried
-    * values ride the same posexplode rows, no join-back shuffle.
-    */
-  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      carry: Seq[String]): DataFrame = {
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val leads = (1 until n).map(k => lead(col("__tok"), k).over(w))
-    docs.select(col(idCol) +: carry.map(col) :+
-        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")): _*)
+    docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
       .withColumn("shingle",
         when(leads.lastOption.map(_.isNotNull).getOrElse(lit(true)),
           concat_ws(" ", (col("__tok") +: leads): _*)))
       .filter(col("shingle").isNotNull)
-      .select(col(idCol) +: carry.map(col) :+ col("shingle"): _*)
+      .select(col(idCol), col("shingle"))
   }
 
   /** Multiset count of tokens in a fixed word set — a codegen hash-probe

@@ -1272,12 +1272,17 @@ object PipelineQueries {
     "t35_perplexity_filter" -> ((s, dir) => {
       val docs = Catalog.documents(s, dir)
       val bi = graft.functions.TextFunctions
-        .explodedShingles(docs, "doc_id", "text", 2, carry = Seq("lang"))
+        .explodedShingles(docs, "doc_id", "text", 2)
         .withColumn("w1", substring_index(col("shingle"), " ", 1))
-      // add-one-smoothed bigram LM from the reference slice; head counts
-      // cu(w1) = Σ cb(w1 ·) roll up from the bigram-TYPE table (bounded by
-      // distinct bigrams, far smaller than the token stream)
-      val cb = bi.filter(col("lang") === "en")
+      // add-one-smoothed bigram LM from the reference slice. The slice
+      // filter goes BEFORE its explode: a lang filter cannot be pushed
+      // through the shingle window (lang is not the window's partition
+      // key), so filtering the exploded stream would window the FULL
+      // corpus just to discard 59% of it. Head counts cu(w1) = Σ cb(w1 ·)
+      // roll up from the bigram-TYPE table (bounded by distinct bigrams,
+      // far smaller than the token stream).
+      val cb = graft.functions.TextFunctions
+        .explodedShingles(docs.filter(col("lang") === "en"), "doc_id", "text", 2)
         .groupBy(col("shingle")).agg(count(lit(1)).as("cb"))
       val cu = cb.withColumn("w1", substring_index(col("shingle"), " ", 1))
         .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))

@@ -331,11 +331,17 @@ object Multimodal {
       col("media_id").as("id1"), col("__h").as("h1"))
     val b = banded.select(col("band"), col("sig"),
       col("media_id").as("id2"), col("__h").as("h2"))
+    // Hamming BEFORE the cross-band distinct: the xor+popcount is a few
+    // cycles per row, while distinct is an exchange+aggregate over every
+    // surviving row — filtering first shrinks exactly the expensive part
+    // (pairs failing the verify would otherwise ride the shuffle just to
+    // be dropped after dedup; the verdict per pair is deterministic, so
+    // filter/distinct commute).
     a.join(b, Seq("band", "sig")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Synthetic-audio parameterization: sample rate, sample count, and

@@ -394,6 +394,34 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // A30: exponential time-decay activity profile — the recency
+    // weighting every behavioral-profile system runs (a login last night
+    // counts ~full, one from last month ~nothing; the event-grain dual of
+    // H1's histogram merge-with-decay). Each event weighs
+    // 2^(-age/halflife) against the corpus' own max timestamp (anchor is
+    // data-derived, so the query is deterministic, not wall-clock-
+    // dependent); per-event weights fixed-point to 1e-6 BIGINT (t24
+    // convention) so the per-user sums are summation-order-exact. One
+    // scan, a one-row broadcast anchor, one map-side-combined aggregate.
+    "a30_decay_profile" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      val anchor = ev.agg(max(col("ts_us")).as("anchor_us"))
+      val halflifeSec = 604800.0 // 7 days
+      val ln2 = 0.6931471805599453 // literal in BOTH engines — no ln(2) drift
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("w",
+          exp(lit(-ln2) * ((col("anchor_us") - col("ts_us")) / 1e6) / halflifeSec))
+        .select(col("user_id"),
+          round(col("w") * 1e6, 0).cast("long").as("w_e6"),
+          round(col("value") * col("w") * 1e6, 0).cast("long").as("v_e6"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w_e6")).as("decayed_count_e6"),
+          sum(col("v_e6")).as("decayed_value_e6"))
+        .orderBy(col("user_id"))
+    }),
+
     // A29: forward-fill gap imputation — carry each user's last observed
     // reading over later null rows (IoT/metrics downsampling repair; the
     // fixture's value column is dense, so 4 of 5 readings are nulled
@@ -532,6 +560,25 @@ object AnalyticsQueries {
         |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
         |    AS is_current
         |FROM eff ORDER BY user_id, from_us""".stripMargin,
+
+    // identical decay formula, identical op order (the exp argument is
+    // written the same way in both engines; ln2 is a shared literal)
+    "a30_decay_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    CAST(epoch_us(ts::TIMESTAMP) AS BIGINT) AS ts_us
+        |  FROM events),
+        |anchor AS (SELECT max(ts_us) AS anchor_us FROM e),
+        |w AS (
+        |  SELECT user_id,
+        |    exp(-0.6931471805599453 *
+        |        (((SELECT anchor_us FROM anchor) - ts_us) / 1e6) / 604800.0) AS w,
+        |    value
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(ROUND(w * 1e6) AS BIGINT)) AS BIGINT) AS decayed_count_e6,
+        |  CAST(sum(CAST(ROUND(value * w * 1e6) AS BIGINT)) AS BIGINT) AS decayed_value_e6
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a29_gap_fill" ->
       """WITH e AS (

@@ -46,6 +46,9 @@ class PlanDisciplineSpec extends AnyFunSuite {
     *  - t35_perplexity_filter: crossJoin of the ONE-ROW smoothing-vocab
     *    count (an aggregate with no grouping keys) onto the scored
     *    bigram stream — the a9 one-row-stats shape.
+    *  - a30_decay_profile: crossJoin of the ONE-ROW max-timestamp anchor
+    *    (an aggregate with no grouping keys) onto the event stream — the
+    *    a9 one-row-stats shape.
     */
   private val allowedBnlj = Set(
     "a9_znorm", "h4_kl_divergence", "t12_bm25", "t13_lm_score",
@@ -54,7 +57,7 @@ class PlanDisciplineSpec extends AnyFunSuite {
     "v1_knn_brute", "v4_ivf_topk", "v10_ivf_persisted", "v5_int8_knn",
     "v9_coarse_rerank", "t23_kmv_overlap", "v11_recall_eval",
     "t31_bpe_learn", "t33_lang_classifier", "t34_lang_holdout",
-    "t35_perplexity_filter")
+    "t35_perplexity_filter", "a30_decay_profile")
 
   test("no cartesian products; BNLJ only on the allowlisted tiny-broadcast queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

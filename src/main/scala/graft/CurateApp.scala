@@ -23,8 +23,12 @@ import graft.sources.Catalog
   *
   *   1. `benchmark`  — held-out eval docs (doc_id ≡ 0 mod `benchMod`);
   *                     excluded from training output by definition
-  *   2. `quality`    — composite quality score below `qualityMin`
-  *                     (length/punctuation/stopword signals)
+  *   2. `quality`    — the selected quality gate rejects it
+  *                     (`curation.qualityGate`: `score` = composite
+  *                     length/punct/stopword score below `qualityMin`;
+  *                     `gopher` = Rae et al. 2021 rule conjunction;
+  *                     `perplexity` = CCNet bigram-LM NLL above
+  *                     `curation.perplexityMaxNllE6`)
   *   3. `exact_dup`  — same normalized md5 fingerprint as an earlier doc
   *                     (first occurrence keeps)
   *   4. `near_dup`   — MinHash-LSH candidate pairs → connected
@@ -59,7 +63,10 @@ object CurateApp {
       qualityMin = c.getDouble("curation.qualityMin", 0.5),
       benchMod = c.getInt("curation.benchMod", 50),
       maxOverlap = c.getDouble("curation.maxOverlap", 0.5),
-      widths = DedupWidths.fromConfig(c))
+      widths = DedupWidths.fromConfig(c),
+      qualityGate = c.getString("curation.qualityGate", "score"),
+      maxAvgNllE6 = c.getLong("curation.perplexityMaxNllE6",
+        operators.PerplexityGate.DefaultMaxAvgNllE6))
     report.orderBy(col("stage")).show(20, truncate = false)
     spark.stop()
   }
@@ -77,8 +84,11 @@ object CurateApp {
   def run(spark: SparkSession, inDir: String, outDir: String,
           qualityMin: Double = 0.5, benchMod: Int = 50,
           maxOverlap: Double = 0.5,
-          widths: DedupWidths = DedupWidths.default): DataFrame = {
-    val (frame, release) = taggedCached(spark, inDir, qualityMin, benchMod, maxOverlap, widths)
+          widths: DedupWidths = DedupWidths.default,
+          qualityGate: String = "score",
+          maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6): DataFrame = {
+    val (frame, release) = taggedCached(spark, inDir, qualityMin, benchMod,
+      maxOverlap, widths, qualityGate, maxAvgNllE6)
     try {
       frame.filter(col("stage") === "kept")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
@@ -105,9 +115,11 @@ object CurateApp {
   def tagged(spark: SparkSession, inDir: String,
              qualityMin: Double = 0.5, benchMod: Int = 50,
              maxOverlap: Double = 0.5,
-             widths: DedupWidths = DedupWidths.default): DataFrame =
+             widths: DedupWidths = DedupWidths.default,
+             qualityGate: String = "score",
+             maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6): DataFrame =
     build(spark, inDir, qualityMin, benchMod, maxOverlap, widths,
-      persistShared = false)._1
+      qualityGate, maxAvgNllE6, persistShared = false)._1
 
   /** [[tagged]] with the three stages the DAG reuses — the row-local
     * verdict frame, the fingerprint-joined frame, and the near-dup
@@ -118,13 +130,16 @@ object CurateApp {
   def taggedCached(spark: SparkSession, inDir: String,
                    qualityMin: Double = 0.5, benchMod: Int = 50,
                    maxOverlap: Double = 0.5,
-                   widths: DedupWidths = DedupWidths.default): (DataFrame, () => Unit) =
+                   widths: DedupWidths = DedupWidths.default,
+                   qualityGate: String = "score",
+                   maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6): (DataFrame, () => Unit) =
     build(spark, inDir, qualityMin, benchMod, maxOverlap, widths,
-      persistShared = true)
+      qualityGate, maxAvgNllE6, persistShared = true)
 
   private def build(spark: SparkSession, inDir: String,
                     qualityMin: Double, benchMod: Int, maxOverlap: Double,
-                    widths: DedupWidths,
+                    widths: DedupWidths, qualityGate: String,
+                    maxAvgNllE6: Long,
                     persistShared: Boolean): (DataFrame, () => Unit) = {
     val shared = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // quality scores, tokenization, fingerprints and the LSH+CC near-dup
@@ -136,12 +151,41 @@ object CurateApp {
 
     val docs = Catalog.documents(spark, inDir)
 
-    // stage 1+2: row-local verdicts
+    // stage 1+2: the quality gate is SELECTABLE (curation.qualityGate):
+    //   score      — composite length/punct/stopword score (row-local)
+    //   gopher     — the Rae et al. 2021 §A1.1 rule conjunction (row-local)
+    //   perplexity — CCNet-style bigram-LM NLL gate (Wenzek LREC'20; the
+    //                production corpus filter): NOT row-local — the LM
+    //                trains on the corpus' own lang='en' reference slice
+    //                (operators/PerplexityGate), so the verdict is a
+    //                doc-keyed left join of the scored frame. Docs the
+    //                scorer never saw (no bigrams) fail the gate.
     val toks = tokens(col("text"))
-    val tagged0 = sharedStage(docs
+    val base0 = docs
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("is_bench", col("doc_id") % benchMod === 0)
-      .withColumn("low_quality", qualityScore(col("text"), toks) < qualityMin))
+    val tagged0 = sharedStage(qualityGate match {
+      case "gopher" =>
+        val g = gopherFlags(col("text"), toks)
+        base0.withColumn("low_quality",
+          (g("ok_word_count") * g("ok_mean_word_len") * g("ok_symbol_ratio")
+            * g("ok_bullets") * g("ok_ellipses") * g("ok_alpha_words")
+            * g("ok_stopwords")) === 0)
+      case "perplexity" =>
+        val scored = operators.PerplexityGate.nllScores(
+          docs.select(col("doc_id"), col("text"), col("lang")),
+          col("lang") === "en")
+        base0.join(scored, Seq("doc_id"), "left")
+          .withColumn("low_quality",
+            !operators.PerplexityGate.keepExpr(
+              coalesce(col("n_bigrams"), lit(0L)),
+              coalesce(col("sum_logp_e6"), lit(0L)), maxAvgNllE6))
+          .drop("n_bigrams", "sum_logp_e6")
+      case "score" =>
+        base0.withColumn("low_quality", qualityScore(col("text"), toks) < qualityMin)
+      case other => sys.error(
+        s"curation.qualityGate must be score|gopher|perplexity, got '$other'")
+    })
 
     // stage 3: exact dedup among docs surviving 1+2 — first occurrence
     // (min doc_id) per normalized fingerprint keeps. A window min over

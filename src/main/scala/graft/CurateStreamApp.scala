@@ -20,7 +20,10 @@ import graft.streaming.StreamingJobs
   * }}}
   *
   * Per micro-batch, in drop-precedence order:
-  *   1. `quality`   — composite score below `curation.qualityMin`;
+  *   1. `quality`   — the selected gate (`curation.qualityGate`:
+  *                    `score` = composite score vs `curation.qualityMin`;
+  *                    `gopher` = rule conjunction; `perplexity` = bigram-
+  *                    LM NLL vs the [[bootstrapLm]]-trained LM state);
   *   2. `exact_dup` — normalized fingerprint already in the corpus
   *                    fingerprint state, or seen earlier in this batch
   *                    (first occurrence keeps);
@@ -64,6 +67,32 @@ object CurateStreamApp {
     * batch id (fp can never collide with an md5 hex digest).
     */
   private[graft] val BatchMarker = "__meta:last_applied_batch"
+
+  /** Train the perplexity gate's bigram LM on a reference corpus and
+    * persist it under `<stateDir>/lm_state` (its OWN swap root: the LM is
+    * static — CCNet trains once on the reference corpus — so the
+    * per-batch delta/fold cycle of `corpus_state` never rewrites it).
+    * Run once before starting a `curation.qualityGate = perplexity`
+    * stream; re-run to retrain (one atomic multi-table swap).
+    */
+  def bootstrapLm(spark: SparkSession, ref: DataFrame, stateDir: String): Unit = {
+    val (cb, cu, vDf) = operators.PerplexityGate.lmFromSlice(ref)
+    StateSwap.swapAll(s"$stateDir/lm_state", Seq(
+      "lm_bigrams" -> cb, "lm_heads" -> cu, "lm_meta" -> vDf))
+  }
+
+  /** The bootstrapped LM tables (bigram counts, head counts, one-row
+    * vocab), or None if [[bootstrapLm]] has never run for this state dir.
+    */
+  private[graft] def readLmState(spark: SparkSession, stateDir: String)
+      : Option[(DataFrame, DataFrame, DataFrame)] = {
+    val root = s"$stateDir/lm_state"
+    if (!StateSwap.exists(spark, root)) None
+    else Some((
+      StateSwap.readTableOrElse(spark, root, "lm_bigrams", sys.error("lm_bigrams missing")),
+      StateSwap.readTableOrElse(spark, root, "lm_heads", sys.error("lm_heads missing")),
+      StateSwap.readTableOrElse(spark, root, "lm_meta", sys.error("lm_meta missing"))))
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -200,6 +229,9 @@ object CurateStreamApp {
                    outDir: String, config: GraftConfig = GraftConfig.empty,
                    batchId: Long = -1L): Unit = {
     val qualityMin = config.getDouble("curation.qualityMin", 0.5)
+    val qualityGate = config.getString("curation.qualityGate", "score")
+    val maxAvgNllE6 = config.getLong("curation.perplexityMaxNllE6",
+      operators.PerplexityGate.DefaultMaxAvgNllE6)
     val maxBucket = config.getInt("curation.maxBucket", 10000)
     val foldEvery = config.getInt("curation.foldEvery", 8)
     // production MinHash widths (curation.minhash.* keys). The stream's
@@ -217,11 +249,38 @@ object CurateStreamApp {
     val stateFps = state.fps
     val stateBands = state.bands
 
-    // 1. quality gate — row-local, no shuffle
+    // 1. quality gate — selectable (curation.qualityGate, same modes as
+    // CurateApp): score and gopher are row-local, no shuffle; perplexity
+    // scores the batch against the BOOTSTRAPPED LM state ([[bootstrapLm]]
+    // — CCNet's shape: the LM trains once on the reference corpus, every
+    // arrival pays two gram-keyed joins whose build side is the
+    // batch-sized bigram set, so the LM tables are scanned, never
+    // shuffled, exactly like the band-index lookup below)
     val toks = tokens(col("text"))
-    val qualified = batch
-      .withColumn("fp", exactFingerprint(col("text")))
-      .filter(qualityScore(col("text"), toks) >= qualityMin)
+    val fingered = batch.withColumn("fp", exactFingerprint(col("text")))
+    val qualified = qualityGate match {
+      case "score" =>
+        fingered.filter(qualityScore(col("text"), toks) >= qualityMin)
+      case "gopher" =>
+        val g = gopherFlags(col("text"), toks)
+        fingered.filter(
+          (g("ok_word_count") * g("ok_mean_word_len") * g("ok_symbol_ratio")
+            * g("ok_bullets") * g("ok_ellipses") * g("ok_alpha_words")
+            * g("ok_stopwords")) === 1)
+      case "perplexity" =>
+        val lm = readLmState(spark, stateDir).getOrElse(sys.error(
+          s"curation.qualityGate=perplexity but no LM state under $stateDir/lm_state — " +
+            "run CurateStreamApp.bootstrapLm over the reference corpus first"))
+        val scored = operators.PerplexityGate.scoreAgainstLm(
+          batch.select(col("doc_id"), col("text")), lm._1, lm._2, lm._3)
+        fingered.join(scored, Seq("doc_id"), "left")
+          .filter(operators.PerplexityGate.keepExpr(
+            coalesce(col("n_bigrams"), lit(0L)),
+            coalesce(col("sum_logp_e6"), lit(0L)), maxAvgNllE6))
+          .drop("n_bigrams", "sum_logp_e6")
+      case other => sys.error(
+        s"curation.qualityGate must be score|gopher|perplexity, got '$other'")
+    }
 
     // 2. exact dedup: first-in-batch occurrence keeps (window min over
     // the fingerprint), then drop anything the corpus already has

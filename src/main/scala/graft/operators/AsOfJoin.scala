@@ -41,10 +41,10 @@ object AsOfJoin {
     * config row from last year must NOT silently attach to today's
     * alert). Same single-shuffle union-window plan; the tolerance is a
     * post-window null-out, so the pair blowup the naive inequality-join
-    * form pays is still avoided entirely. `tolerance` must be expressed
-    * in the column's native ordering units (e.g. a `Column` of
-    * microseconds for timestamp columns compared via `unix_micros`) —
-    * pass the time column pre-converted to a numeric if needed.
+    * form pays is still avoided entirely. `tolerance` must be
+    * subtractable from the time column: an INTERVAL `Column` for
+    * timestamp columns (the j14 caller's shape), or a numeric `Column`
+    * for numeric time axes.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       rightPayload: Seq[String], tolerance: Option[Column]): DataFrame = {

@@ -594,6 +594,132 @@ object Multimodal {
       }(enc)
   }
 
+  /** Tone-mixture parameterization for the audio-DEDUP fixture. The
+    * square-wave fixture ([[syntheticWav]]) is useless for dedup — every
+    * clip shares the period-8 wave, so all clips fingerprint identically
+    * and the component graph degenerates to one clique. Here each clip is
+    * a mixture of 8 sinusoids, ONE PER FINGERPRINT BAND, whose bin inside
+    * its band is a splitmix64-mixed function of the clip's TONE GROUP
+    * (`doc_id / 21` — audio ids are every 3rd doc id, so exactly 7
+    * consecutive audio rows share a group): group members share the
+    * waveform but keep their own per-id gain and length, i.e. they are
+    * volume-normalized re-rips of one clip — the exact duplicate class
+    * the gain-invariant constellation signature exists to catch, and the
+    * one per-sample hashing cannot. Distinct groups mix to distinct
+    * 8-byte fingerprints (16^8 space, splitmix-scattered), so bucket
+    * sizes stay O(group), never O(corpus) — the fixture scales linearly.
+    */
+  def toneGroup(id: Long): Long = id / 21
+
+  /** splitmix64 finalizer (Steele et al., public SplittableRandom mix) —
+    * a well-mixed deterministic hash with no library dependency.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The DFT bin (0..127) band `b` of group `g`'s tone mixture peaks at:
+    * band base 16·b plus a mixed 4-bit offset — except bin 0 (DC) is
+    * nudged to 1 (a DC component carries no tone).
+    */
+  def toneBin(g: Long, b: Int): Int = {
+    val off = (mix64(g * 8 + b) & 0xf).toInt
+    val bin = 16 * b + off
+    if (bin == 0) 1 else bin
+  }
+
+  /** Deterministic tone-mixture WAV: Σ_b A·sin(2π·toneBin(g,b)·i/256),
+    * A = amplitude/8 (8 unit sines bound the int16 range), same writer /
+    * sample-rate / length parameterization as [[syntheticWav]]. All
+    * frequencies are exact multiples of 1/256 — the fingerprint's frame
+    * size — so every 128-hop frame sees the same circularly-shifted
+    * waveform and lands the same 8 per-band peaks regardless of gain.
+    */
+  def syntheticToneWav(id: Long, nChars: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+    val (sr, n) = (audioSampleRate(id), audioNumSamples(nChars))
+    val amp = audioAmplitude(id) / 8.0
+    val g = toneGroup(id)
+    val bins = Array.tabulate(8)(b => toneBin(g, b))
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0
+      var b = 0
+      while (b < 8) {
+        acc += amp * StrictMath.sin(2.0 * StrictMath.PI * bins(b) * i / 256.0)
+        b += 1
+      }
+      val s = StrictMath.round(acc).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val toneWavUdf = udf { (id: Long, nChars: Long) => syntheticToneWav(id, nChars) }
+
+  /** Audio-only media table with tone-mixture payloads — the audio-dedup
+    * fixture (the [[gradientImagesFromDocuments]] analog: the plain
+    * square-wave fixture is fingerprint-degenerate, these aren't). Same
+    * audio id slice as [[mediaFromDocuments]] (doc_id % 3 == 1).
+    */
+  def toneAudioFromDocuments(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 1).select(
+      col("doc_id").as("media_id"), lit("audio").as("kind"),
+      toneWavUdf(col("doc_id"), col("n_chars")).as("bytes"))
+
+  /** Audio near-dup candidates + verify over constellation fingerprints
+    * ([[audioFingerprints]] output): clips sharing any DISTINCT frame
+    * fingerprint bucket-join on that fp (the d2 LSH shape — ONE shuffle
+    * on the fp key, window-gated bucket sizes over the SAME key so the
+    * exchange is shared, pairs expanded row-locally by the compiled
+    * PairCombinations kernel, quadratic only in bucket size, never in n);
+    * verify = fingerprint CONTAINMENT: shared distinct fps over the
+    * SMALLER clip's distinct-fp count (containment, not Jaccard, because
+    * a re-rip may be truncated — d23's asymmetric-signal argument at the
+    * audio modality). The fp key is data-bounded (2^64 space), NOT
+    * domain-bounded like m4's 4×2^16 band space, so the bucket gate must
+    * ride the window, not a broadcast survivor set.
+    * Returns (id1, id2, shared_fps, containment) with id1 < id2.
+    */
+  def audioNearDupPairs(fps: DataFrame, minShared: Int = 1,
+      minContainment: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = fps.select(col("media_id"), col("fp")).distinct()
+    val perMedia = sigs.groupBy(col("media_id")).agg(count(lit(1)).as("nfp"))
+    val pairsInBucket = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PairCombinations(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("ds"))))
+    val w = Window.partitionBy(col("fp"))
+    val shared = sigs
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz").between(2, maxBucket))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("media_id"))).as("ds"))
+      .select(explode(pairsInBucket).as("p"))
+      .select(col("p.doc_a").as("id1"), col("p.doc_b").as("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("shared_fps"))
+    shared
+      .join(perMedia.withColumnRenamed("media_id", "id1")
+        .withColumnRenamed("nfp", "nfp1"), Seq("id1"))
+      .join(perMedia.withColumnRenamed("media_id", "id2")
+        .withColumnRenamed("nfp", "nfp2"), Seq("id2"))
+      .select(col("id1"), col("id2"), col("shared_fps"),
+        round(col("shared_fps") / least(col("nfp1"), col("nfp2")), 6)
+          .as("containment"))
+      .filter(col("shared_fps") >= minShared &&
+        col("containment") >= minContainment)
+  }
+
   /** STUB decoder for the codec-less kind (video): a 16-bin
     * histogram of byte values mod 16, normalized — deterministic,
     * fixed-shape, same signature a real decoder would have.

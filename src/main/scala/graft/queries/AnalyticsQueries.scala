@@ -403,6 +403,11 @@ object AnalyticsQueries {
     // dependent); per-event weights fixed-point to 1e-6 BIGINT (t24
     // convention) so the per-user sums are summation-order-exact. One
     // scan, a one-row broadcast anchor, one map-side-combined aggregate.
+    // Residual parity risk (t24/t35 class): the shared-ln2 literal and
+    // identical op order MINIMIZE but cannot eliminate JVM-vs-DuckDB
+    // libm drift — if w*1e6 ever lands within ~1 ulp of a .5 rounding
+    // boundary on a new fixture, the two engines may round apart. Verified
+    // exact on sf0.01/sf0.1; diagnose a future hash mismatch here first.
     "a30_decay_profile" -> ((s, dir) => {
       val ev = Catalog.events(s, dir)
         .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))

@@ -736,6 +736,21 @@ object PipelineQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
     }),
 
+    // C5V: the c5 curation pipeline with the PERPLEXITY quality gate
+    // (curation.qualityGate = perplexity — the CCNet production filter):
+    // same DAG, but stage 2 rejects on the t35 bigram-LM NLL threshold
+    // instead of the composite score. The oracle replays the whole
+    // pipeline with the t35 LM CTEs substituted for the score CTEs, so
+    // the gate switch is machine-checked end-to-end, not just per-doc.
+    "c5v_curate_report_ppl" -> ((s, dir) => {
+      val (frame, release) = graft.CurateApp.taggedCached(s, dir,
+        qualityGate = "perplexity")
+      val rep = graft.CurateApp.report(frame).orderBy(col("stage"))
+      val rows = rep.collect() // ≤6 rows by construction (the stage enum)
+      release()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
+    }),
+
     // D11: exact duplicated-substring spans (char-24-gram match) — the
     // verbatim-overlap complement to token-shingle near-dup. Runs the
     // production path (xxhash64 gram keys, 8 bytes shuffled vs 24): the
@@ -1244,6 +1259,44 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // M9F: constellation fingerprints over the tone-mixture DEDUP fixture
+    // (the square-wave fixture is fingerprint-degenerate — every clip
+    // lands one fp; the tone mixture scatters groups across 16^8 fps).
+    // Golden-parquet oracle like m7's (DuckDB can't decode WAVs; the fp is
+    // bit-deterministic: StrictMath trig, fixed-order IEEE sums). m9's
+    // oracle recomputes the dedup from THIS golden, so a drifted live
+    // fingerprint fails here first.
+    "m9f_tone_fingerprint" -> ((s, dir) => {
+      Multimodal.audioFingerprints(
+          Multimodal.toneAudioFromDocuments(Catalog.documents(s, dir)))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // M9: audio dedup END-TO-END — the m8 composition at the audio
+    // modality: constellation fingerprints → shared-fp bucket candidates
+    // (d2 LSH shape, one shuffle, window-gated buckets) → containment
+    // verify (shared distinct fps / smaller clip's fp count — re-rips may
+    // be truncated) → connected components → canonical pick (min media_id
+    // = component id; singletons keep themselves). Oracle is NOT an
+    // output golden: DuckDB recomputes buckets, containment, and CC
+    // reachability from the m9f fingerprint golden independently.
+    "m9_audio_dedup" -> ((s, dir) => {
+      val fps = Multimodal.audioFingerprints(
+        Multimodal.toneAudioFromDocuments(Catalog.documents(s, dir)))
+      val pairs = Multimodal.audioNearDupPairs(fps,
+          minShared = 1, minContainment = 0.8)
+        .select(col("id1").as("doc1"), col("id2").as("doc2"))
+      val comps = Dedup.connectedComponents(pairs, pairsDistinct = true)
+        .withColumnRenamed("node", "media_id")
+      fps.select(col("media_id")).distinct()
+        .join(comps, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("component"), col("media_id")).as("component"))
+        .withColumn("keep",
+          (col("media_id") === col("component")).cast("long"))
+        .orderBy(col("media_id"))
+    }),
+
     // D23: oriented span containment (quote/boilerplate detection) — the
     // asymmetric signal Jaccard near-dup misses: a doc whose winnowed
     // fingerprints are mostly CONTAINED in a partner is a quote/template
@@ -1263,53 +1316,32 @@ object PipelineQueries {
     // slice (lang='en'), keep-gate with an integer cross-multiplied
     // average (never a float compare). Per-bigram log-probs fixed-pointed
     // to 1e-6 BIGINT (the t24 convention) so per-doc sums are
-    // summation-order-exact in both engines. Plan: ONE window pass
-    // explodes bigrams with lang carried (no join-back), the reference
-    // counts aggregate map-side on the gram key, the head-token counts
-    // derive from the (small) bigram-count table rather than a second
-    // stream pass, and scoring is two gram-keyed hash joins + a doc-keyed
-    // aggregate — linear end-to-end, nothing quadratic, no driver state.
+    // summation-order-exact in both engines. Plan: TWO explode passes —
+    // the full corpus for scoring, and the (pre-filtered) reference slice
+    // for LM training (the slice filter precedes its own explode; see the
+    // inner comment) — the reference counts aggregate map-side on the
+    // gram key, the head-token counts derive from the (small) bigram-
+    // count table rather than a second stream pass, scoring is two
+    // gram-keyed hash joins + a doc-keyed aggregate, and lang joins back
+    // from docs at the end — linear end-to-end, nothing quadratic, no
+    // driver state.
     "t35_perplexity_filter" -> ((s, dir) => {
+      // LM + scoring live in operators/PerplexityGate (shared with the
+      // curation apps' qualityGate=perplexity mode); keep = avg(-logp) <=
+      // 3.45 nats (e^3.45 ≈ 31.5 perplexity — just over the corpus
+      // median, so the rare-bigram tail actually drops: 181/5000 at
+      // sf0.1), cross-multiplied so the gate is integer-exact
       val docs = Catalog.documents(s, dir)
-      val bi = graft.functions.TextFunctions
-        .explodedShingles(docs, "doc_id", "text", 2)
-        .withColumn("w1", substring_index(col("shingle"), " ", 1))
-      // add-one-smoothed bigram LM from the reference slice. The slice
-      // filter goes BEFORE its explode: a lang filter cannot be pushed
-      // through the shingle window (lang is not the window's partition
-      // key), so filtering the exploded stream would window the FULL
-      // corpus just to discard 59% of it. Head counts cu(w1) = Σ cb(w1 ·)
-      // roll up from the bigram-TYPE table (bounded by distinct bigrams,
-      // far smaller than the token stream).
-      val cb = graft.functions.TextFunctions
-        .explodedShingles(docs.filter(col("lang") === "en"), "doc_id", "text", 2)
-        .groupBy(col("shingle")).agg(count(lit(1)).as("cb"))
-      val cu = cb.withColumn("w1", substring_index(col("shingle"), " ", 1))
-        .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
-      val vDf = cu.agg(count(lit(1)).as("v")) // smoothing vocab = distinct heads
-      val scored = bi
-        .join(cb, Seq("shingle"), "left")
-        .join(cu, Seq("w1"), "left")
-        .crossJoin(broadcast(vDf)) // one-row smoothing constant
-        // greatest(v,1): an EMPTY reference slice (v=0) must degrade to a
-        // defined no-op LM (P=1, logp=0, keep everything), never log(1/0)
-        .select(col("doc_id"),
-          round(log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("cu"), lit(0L)) + greatest(col("v"), lit(1L))).cast("double")) * 1e6, 0)
-            .cast("long").as("logp_e6"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_e6")).as("sum_logp_e6"))
-      // keep = avg(-logp) <= 3.45 nats (e^3.45 ≈ 31.5 perplexity — just
-      // over the corpus median, so the rare-bigram tail actually drops:
-      // 181/5000 at sf0.1) — cross-multiplied so the gate is integer-exact
+      val scored = graft.operators.PerplexityGate
+        .nllScores(docs, col("lang") === "en")
       docs.select(col("doc_id"), col("lang"))
         .join(scored, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("sum_logp_e6"), lit(0L)).as("sum_logp_e6"),
-          (coalesce(col("n_bigrams"), lit(0L)) > 0 &&
-            -coalesce(col("sum_logp_e6"), lit(0L)) <=
-              coalesce(col("n_bigrams"), lit(0L)) * 3450000L)
+          graft.operators.PerplexityGate.keepExpr(
+              coalesce(col("n_bigrams"), lit(0L)),
+              coalesce(col("sum_logp_e6"), lit(0L)))
             .cast("int").as("keep"))
         .orderBy(col("doc_id"))
     }),
@@ -1902,6 +1934,86 @@ object PipelineQueries {
         |    (d.doc_id % 50 = 0) AS is_bench,
         |    (s.quality < 0.5) AS low_quality
         |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id),
+        |s12 AS (SELECT * FROM base0 WHERE NOT is_bench AND NOT low_quality),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |  FROM s12),
+        |fpc AS (SELECT f, MIN(doc_id) AS fp_canon FROM fp GROUP BY f),
+        |exact_dups AS (
+        |  SELECT fp.doc_id FROM fp JOIN fpc USING (f)
+        |  WHERE fp.doc_id <> fpc.fp_canon),
+        |s3 AS (
+        |  SELECT s12.doc_id, s12.text, s12.n_chars FROM s12
+        |  ANTI JOIN exact_dups ON s12.doc_id = exact_dups.doc_id),
+        |${ccSqlOn("s3")},
+        |wc AS (
+        |  SELECT s3.doc_id, COALESCE(cc.component, s3.doc_id) AS component,
+        |    s3.n_chars
+        |  FROM s3 LEFT JOIN cc ON cc.node = s3.doc_id),
+        |sel AS (
+        |  SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS canonical_doc
+        |  FROM wc),
+        |near_dups AS (SELECT doc_id FROM sel WHERE doc_id <> canonical_doc),
+        |s4 AS (
+        |  SELECT s3.doc_id, s3.text FROM s3
+        |  ANTI JOIN near_dups ON s3.doc_id = near_dups.doc_id),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(${shinglesSql(toksSql)}) AS shingle
+        |  FROM (SELECT doc_id, text FROM s4) d),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(${shinglesSql(toksSql)}) AS shingle
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+        |ov AS (
+        |  SELECT dsh.doc_id, COUNT(*) AS n_overlap
+        |  FROM dsh JOIN bsh USING (shingle) GROUP BY 1),
+        |contam AS (
+        |  SELECT nsh.doc_id FROM nsh LEFT JOIN ov USING (doc_id)
+        |  WHERE COALESCE(ov.n_overlap, 0) >= nsh.n_sh * 0.5),
+        |tagged AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CASE WHEN b.is_bench THEN 'benchmark'
+        |         WHEN b.low_quality THEN 'quality'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM exact_dups) THEN 'exact_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM near_dups) THEN 'near_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+        |         ELSE 'kept' END AS stage
+        |  FROM base0 b)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM tagged GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // c5v: the c5 pipeline with the t35 perplexity-LM CTEs as the quality
+    // stage (LEFT join: docs without bigrams are absent from pscored and
+    // must read as low_quality, matching keepExpr's n_bigrams > 0 gate)
+    "c5v_curate_report_ppl" ->
+      s"""WITH RECURSIVE
+        |toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, lang, s, string_split(s, ' ')[1] AS w1
+        |  FROM (SELECT doc_id, lang,
+        |          unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS s
+        |        FROM toks)),
+        |cb AS (SELECT s, count(*) AS cb FROM bi WHERE lang = 'en' GROUP BY s),
+        |cu AS (SELECT string_split(s, ' ')[1] AS w1, sum(cb) AS cu FROM cb GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM cu),
+        |pscored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(ROUND(ln((COALESCE(cb, 0) + 1) /
+        |          CAST(COALESCE(cu, 0) + GREATEST((SELECT v FROM v), 1) AS DOUBLE)) * 1e6)
+        |        AS BIGINT)) AS sum_logp_e6
+        |  FROM bi LEFT JOIN cb USING (s) LEFT JOIN cu USING (w1)
+        |  GROUP BY doc_id),
+        |base0 AS (
+        |  SELECT d.doc_id, d.text, d.n_chars,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |    (d.doc_id % 50 = 0) AS is_bench,
+        |    NOT (COALESCE(s.n_bigrams, 0) > 0 AND
+        |         -COALESCE(s.sum_logp_e6, 0) <= COALESCE(s.n_bigrams, 0) * 3450000)
+        |      AS low_quality
+        |  FROM documents d LEFT JOIN pscored s USING (doc_id)),
         |s12 AS (SELECT * FROM base0 WHERE NOT is_bench AND NOT low_quality),
         |fp AS (
         |  SELECT doc_id,
@@ -3121,6 +3233,44 @@ object PipelineQueries {
       "SELECT * FROM read_parquet('/root/repo/goldens/m6_phash.parquet') ORDER BY media_id",
     "m7_audio_fingerprint" ->
       "SELECT * FROM read_parquet('/root/repo/goldens/m7_audio_fingerprint.parquet') ORDER BY media_id, frame_idx",
+    "m9f_tone_fingerprint" ->
+      "SELECT * FROM read_parquet('/root/repo/goldens/m9f_tone_fingerprint.parquet') ORDER BY media_id, frame_idx",
+
+    // m9: buckets + containment verify + CC recomputed INDEPENDENTLY from
+    // the m9f fingerprint golden (not an output golden) — the m8 pattern
+    // at the audio modality
+    "m9_audio_dedup" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT DISTINCT media_id, fp
+        |  FROM read_parquet('/root/repo/goldens/m9f_tone_fingerprint.parquet')),
+        |pm AS (SELECT media_id, count(*) AS nfp FROM f GROUP BY media_id),
+        |buckets AS (SELECT fp FROM f GROUP BY fp
+        |            HAVING count(*) BETWEEN 2 AND 10000),
+        |bk AS (SELECT f.media_id, f.fp FROM f JOIN buckets USING (fp)),
+        |shared AS (
+        |  SELECT a.media_id AS id1, b.media_id AS id2, count(*) AS shared_fps
+        |  FROM bk a JOIN bk b ON a.fp = b.fp AND a.media_id < b.media_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM shared
+        |  JOIN pm p1 ON id1 = p1.media_id
+        |  JOIN pm p2 ON id2 = p2.media_id
+        |  WHERE shared_fps >= 1
+        |    AND ROUND(shared_fps / CAST(LEAST(p1.nfp, p2.nfp) AS DOUBLE), 6) >= 0.8),
+        |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(n, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)
+        |SELECT m.media_id,
+        |  COALESCE(cc.component, m.media_id) AS component,
+        |  CAST(CASE WHEN m.media_id = COALESCE(cc.component, m.media_id)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM (SELECT DISTINCT media_id FROM f) m
+        |LEFT JOIN cc ON cc.node = m.media_id
+        |ORDER BY m.media_id""".stripMargin,
 
     // CCNet perplexity filter: identical add-one bigram LM + 1e-6
     // fixed-point log-prob sums (ln on count ratios, the t24 precedent)

@@ -81,4 +81,46 @@ class CurateAppSpec extends AnyFunSuite {
     if (leaked.nonEmpty) // cleaner lag on checkpoint blocks: note, not a failure
       info(s"localCheckpoint blocks still draining after 30s: ${leaked.keySet}")
   }
+
+  test("qualityGate switch: quality-stage verdicts match each gate's own query") {
+    import graft.operators.PerplexityGate
+    import graft.functions.TextFunctions.{gopherFlags, tokens}
+    val docs = graft.sources.Catalog.documents(spark, sfDir)
+
+    def qualityDocs(gate: String) =
+      CurateApp.tagged(spark, sfDir, qualityGate = gate)
+        .filter(col("stage") === "quality")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // perplexity mode: quality rejections = non-bench docs failing the
+    // t35 keep gate (bench docs are tagged benchmark first)
+    val scored = PerplexityGate.nllScores(docs, col("lang") === "en")
+    val pplRejects = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .filter(col("doc_id") % 50 =!= 0 &&
+        !PerplexityGate.keepExpr(coalesce(col("n_bigrams"), lit(0L)),
+          coalesce(col("sum_logp_e6"), lit(0L))))
+      .collect().map(_.getLong(0)).toSet
+    assert(qualityDocs("perplexity") == pplRejects)
+    assert(pplRejects.nonEmpty, "fixture should reject some docs on perplexity")
+
+    // gopher mode: quality rejections = non-bench docs failing the rule
+    // conjunction (t20's keep bit)
+    val g = gopherFlags(col("text"), tokens(col("text")))
+    val gopherRejects = docs
+      .filter(col("doc_id") % 50 =!= 0 &&
+        (g("ok_word_count") * g("ok_mean_word_len") * g("ok_symbol_ratio")
+          * g("ok_bullets") * g("ok_ellipses") * g("ok_alpha_words")
+          * g("ok_stopwords")) === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(qualityDocs("gopher") == gopherRejects)
+
+    // the gates genuinely differ on this fixture (the switch is live)
+    assert(pplRejects != gopherRejects)
+
+    // unknown gate fails loudly, not silently-keep-everything
+    intercept[RuntimeException] {
+      CurateApp.tagged(spark, sfDir, qualityGate = "nope").collect()
+    }
+  }
 }

@@ -102,4 +102,52 @@ class CurateStreamAppSpec extends AnyFunSuite {
       stateDir, outDir, batchId = 3L)
     assert(state().liveDeltas == Seq(3L))
   }
+
+  test("perplexity gate: batches screen against the bootstrapped LM state; replay still a no-op") {
+    val root = Files.createTempDirectory("curatestream_ppl").toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    val conf = GraftConfig.parse(
+      """curation { qualityGate = "perplexity" }""")
+
+    // no LM bootstrapped yet → the gate must fail loudly, not keep-all
+    intercept[RuntimeException] {
+      CurateStreamApp.processBatch(spark, docs(1L -> baseText),
+        stateDir, outDir, conf, batchId = 0L)
+    }
+
+    // LM trained on the fox/ship register (the "reference corpus")
+    CurateStreamApp.bootstrapLm(spark,
+      docs(100L -> baseText, 101L -> shipText), stateDir)
+
+    // batch 0: one doc in the LM's register (familiar bigrams → low NLL,
+    // kept), one gibberish doc (every bigram unseen → NLL = ln(1/(0+V))
+    // per bigram, far above 3.45 nats → dropped)
+    val gibberish = ("zq vx qkj wpf xuz bnm qrt lkp zzv " +
+      "mxw pqd fhz vvk juw qnc rbl tzx ") * 3
+    CurateStreamApp.processBatch(spark,
+      docs(1L -> baseText, 2L -> gibberish),
+      stateDir, outDir, conf, batchId = 0L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // the dedup screens still run downstream of the LM gate, and a
+    // replayed batch is still a no-op under the perplexity config
+    CurateStreamApp.processBatch(spark,
+      docs(10L -> baseText, 11L -> shipText),
+      stateDir, outDir, conf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 11L))
+    CurateStreamApp.processBatch(spark,
+      docs(10L -> baseText, 11L -> shipText),
+      stateDir, outDir, conf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 2)
+
+    // re-bootstrap swaps the LM atomically (same root, new tables)
+    CurateStreamApp.bootstrapLm(spark, docs(200L -> gibberish), stateDir)
+    CurateStreamApp.processBatch(spark, docs(20L -> (gibberish + " zq vx")),
+      stateDir, outDir, conf, batchId = 2L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 11L, 20L))
+  }
 }

@@ -266,4 +266,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("tone fixture: gain-variant group members fingerprint identically, groups differ") {
+    // two ids in tone group 0 (1, 4: both /21 == 0) at different gains
+    // and lengths, one id in group 1 (22)
+    assert(Multimodal.toneGroup(1L) == Multimodal.toneGroup(4L))
+    assert(Multimodal.toneGroup(22L) != Multimodal.toneGroup(1L))
+    val a = Multimodal.audioFingerprint(Multimodal.syntheticToneWav(1L, 100L))
+    val b = Multimodal.audioFingerprint(Multimodal.syntheticToneWav(4L, 900L))
+    val c = Multimodal.audioFingerprint(Multimodal.syntheticToneWav(22L, 100L))
+    assert(Multimodal.audioAmplitude(1L) != Multimodal.audioAmplitude(4L))
+    // gain + length invariance: the shorter clip's fp set is contained
+    // in (here: equal to) the longer's
+    assert(a.toSet.subsetOf(b.toSet) || b.toSet.subsetOf(a.toSet))
+    assert((a.toSet & c.toSet).isEmpty, "distinct tone groups shared a frame fp")
+  }
+
+  test("audioNearDupPairs + m9 flow: perturbed-copy recall, unrelated clips stay apart") {
+    import spark.implicits._
+    // clip 2 = clip 1's waveform at a different gain/length (group 0);
+    // clip 22 = an unrelated tone group; clip 25 = 22's re-rip (group 1)
+    val media = Seq(1L -> 100L, 4L -> 900L, 22L -> 300L, 25L -> 200L)
+      .map { case (id, nc) => (id, "audio", Multimodal.syntheticToneWav(id, nc)) }
+      .toDF("media_id", "kind", "bytes")
+    val fps = Multimodal.audioFingerprints(media)
+    val pairs = Multimodal.audioNearDupPairs(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs == Seq((1L, 4L), (22L, 25L)))
+    // end-to-end components: {1,4} and {22,25}, canonical = min id
+    val comps = graft.operators.Dedup
+      .connectedComponents(Multimodal.audioNearDupPairs(fps)
+        .select(col("id1").as("doc1"), col("id2").as("doc2")), pairsDistinct = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 4L -> 1L, 22L -> 22L, 25L -> 22L))
+  }
 }

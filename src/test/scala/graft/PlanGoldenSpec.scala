@@ -55,6 +55,28 @@ class PlanGoldenSpec extends AnyFunSuite {
     // banded stream is never exchanged just to apply the gate (the old
     // shuffle_hash hint cost two extra full exchanges)
     "m4_image_neardup" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=4 scans=4 pushed=4 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
+    // t35 pins the filter-BEFORE-window shape: the reference-slice lang
+    // filter precedes its own shingle explode (the after-window form
+    // measured 19.3 s / 3034 MB vs 13.9 s / 1873 MB at 100×). window=4 =
+    // 2 explode passes × 2 window ops each; bnlj=1 is the one-row
+    // smoothing-constant broadcast (PlanDiscipline-allowlisted); bhj=3 =
+    // the two gram-keyed LM joins + the lang join-back.
+    "t35_perplexity_filter" -> "bhj=3 smj=0 shj=0 bnlj=1 cart=0 bcastx=4 shufflex=10 scans=5 pushed=4 agg=12 objagg=0 sortagg=0 window=4 wgl=0",
+    // m8/m9 fingerprint PAST the CC localCheckpoint (the iterative rounds
+    // truncate lineage), so they pin the post-CC canonical-pick join and
+    // that no window sort reappears in the final assembly
+    "m8_image_dedup" -> "bhj=0 smj=1 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=4 scans=1 pushed=1 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
+    "m9_audio_dedup" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=1 pushed=1 agg=4 objagg=0 sortagg=0 window=0 wgl=0",
+    // d23 pins the d18-family shape: shj=1 is the shuffle-hash bucket
+    // GATE semi-join (hinted — sort-merge would re-introduce the gram
+    // sort the gate exists to avoid), objagg=2 the compiled pair
+    // expansion's collect_list — never all-pairs
+    "d23_span_containment" -> "bhj=2 smj=0 shj=1 bnlj=0 cart=0 bcastx=2 shufflex=7 scans=4 pushed=4 agg=10 objagg=2 sortagg=0 window=0 wgl=0",
+    // q23: all five dims broadcast; exactly the two agg exchanges remain
+    "q23_volume_shipping" -> "bhj=5 smj=0 shj=0 bnlj=0 cart=0 bcastx=5 shufflex=2 scans=6 pushed=6 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
+    // j14 pins the ONE-shuffle union-window as-of plan (the tolerance is
+    // a post-window null-out, not a second join): window=1, bhj=0
+    "j14_asof_tolerance" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=2 pushed=2 agg=0 objagg=0 sortagg=0 window=1 wgl=0",
   )
 
   goldens.toSeq.sortBy(_._1).foreach { case (name, want) =>

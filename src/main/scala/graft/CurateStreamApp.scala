@@ -27,7 +27,12 @@ import graft.streaming.StreamingJobs
   *   2. `exact_dup` — normalized fingerprint already in the corpus
   *                    fingerprint state, or seen earlier in this batch
   *                    (first occurrence keeps);
-  *   3. `near_dup`  — any MinHash band collides with the corpus band
+  *   3. `image_dup` — (curation.imageScreen = phash, media-bearing
+  *                    streams only) the row's image pHash lands within
+  *                    `curation.image.maxHamming` of a corpus image
+  *                    (4×16-bit band index + in-join Hamming verify) or
+  *                    of an earlier image in the same batch;
+  *   4. `near_dup`  — any MinHash band collides with the corpus band
   *                    index (`Dedup.lshBandsLocal` on the stream side —
   *                    one codegen kernel per row, no stream-side
   *                    shuffle; the corpus side carries the same
@@ -36,8 +41,10 @@ import graft.streaming.StreamingJobs
   *                    batch — greedy first-keeps ordering, so two
   *                    near-identical docs arriving together can't both
   *                    enter the corpus;
-  *   4. survivors   — appended under `<outDir>/curated/batch=<id>` and
-  *                    merged into both state tables.
+  *   5. survivors   — appended under `<outDir>/curated/batch=<id>` and
+  *                    merged into the state tables (text fingerprints,
+  *                    text band index, and — when the image screen is
+  *                    on — the image band index).
   *
   * Delivery contract: foreachBatch is at-least-once, so every batch's
   * state advance commits as one immutable DELTA directory
@@ -131,7 +138,8 @@ object CurateStreamApp {
     * of the corpus index.
     */
   private[graft] final case class CorpusState(fps: DataFrame, bands: DataFrame,
-      sizes: DataFrame, appliedThrough: Long, liveDeltas: Seq[Long])
+      sizes: DataFrame, imgBands: DataFrame, appliedThrough: Long,
+      liveDeltas: Seq[Long])
 
   private def deltaDirs(spark: SparkSession, deltaRoot: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(deltaRoot)
@@ -156,20 +164,35 @@ object CurateStreamApp {
     val baseSizes = StateSwap.readTableOrElse(spark, stateRoot, "bucket_sizes",
       spark.range(0).select(col("id").cast("int").as("band"),
         col("id").cast("string").as("sig"), col("id").as("n")))
+    // image band index (the m4 screen's state; phash travels with the
+    // band row so the stream-side Hamming verify needs no second lookup).
+    // Absent unless the image screen has ever admitted an image.
+    def emptyImgBands = spark.range(0).select(col("id").cast("int").as("band"),
+      col("id").as("sig"), col("id").as("media_id"), col("id").as("phash"))
+    val baseImg = StateSwap.readTableOrElse(spark, stateRoot, "img_bands", emptyImgBands)
     val live = deltaDirs(spark, deltaRoot).filter(_ > appliedThrough)
-    if (live.isEmpty) CorpusState(baseFps, baseBands, baseSizes, appliedThrough, live)
+    if (live.isEmpty)
+      CorpusState(baseFps, baseBands, baseSizes, baseImg, appliedThrough, live)
     else {
+      val fsRoot = new org.apache.hadoop.fs.Path(deltaRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dFps = live.map(b => spark.read.parquet(s"$deltaRoot/batch=$b/fps"))
         .reduce(_ unionByName _)
       val dBands = live.map(b => spark.read.parquet(s"$deltaRoot/batch=$b/bands"))
         .reduce(_ unionByName _)
+      // img_bands is only present in deltas whose batch admitted images
+      val dImg = live
+        .filter(b => fsRoot.exists(
+          new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$b/img_bands")))
+        .map(b => spark.read.parquet(s"$deltaRoot/batch=$b/img_bands"))
+        .foldLeft(baseImg)(_ unionByName _)
       val sizes = baseSizes
         .join(dBands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("add")),
           Seq("band", "sig"), "full_outer")
         .select(col("band"), col("sig"),
           (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
       CorpusState(baseFps.unionByName(dFps), baseBands.unionByName(dBands),
-        sizes, appliedThrough, live)
+        sizes, dImg, appliedThrough, live)
     }
   }
 
@@ -178,18 +201,21 @@ object CurateStreamApp {
     * of corpus size; the existence of `batch=<id>` IS the applied marker.
     */
   private def writeDelta(spark: SparkSession, deltaRoot: String, batchId: Long,
-                         fps: DataFrame, bands: DataFrame): Unit = {
+                         fps: DataFrame, bands: DataFrame,
+                         imgBands: Option[DataFrame] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$batchId")
     val fs = target.getFileSystem(conf)
     val staging = new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$batchId.staging")
     fs.delete(staging, true) // marker-less staging debris from a crash
     // deltas are batch-sized: one file per table keeps the pre-fold file
-    // count at 2 per batch
+    // count at 2-3 per batch (img_bands only when the batch admitted images)
     fps.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(staging, "fps").toString)
     bands.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(staging, "bands").toString)
+    imgBands.foreach(_.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(staging, "img_bands").toString))
     fs.mkdirs(target.getParent)
     if (!fs.rename(staging, target))
       sys.error(s"CurateStreamApp: delta commit rename $staging -> $target failed")
@@ -212,7 +238,8 @@ object CurateStreamApp {
       val withMarker = state.fps.unionByName(spark.range(1)
         .select(lit(BatchMarker).as("fp"), lit(upTo).as("doc_id")))
       StateSwap.swapAll(stateRoot, Seq(
-        "fps" -> withMarker, "bands" -> state.bands, "bucket_sizes" -> state.sizes))
+        "fps" -> withMarker, "bands" -> state.bands,
+        "bucket_sizes" -> state.sizes, "img_bands" -> state.imgBands))
     }
     val p = new org.apache.hadoop.fs.Path(deltaRoot)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -316,7 +343,47 @@ object CurateStreamApp {
         Seq("band", "sig"))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id")).distinct()
-    val colliding = corpusHit.unionByName(inBatchHit).distinct()
+    val collidingText = corpusHit.unionByName(inBatchHit).distinct()
+
+    // 3b. IMAGE near-dup screen (curation.imageScreen = phash; the m4
+    // machinery stream-side): rows carrying an image payload band their
+    // pHash into the same 4×16-bit signatures the batch generator uses
+    // (Multimodal.imageHashBands), candidates come from the corpus image
+    // band index — phash rides the index row, so the exact Hamming
+    // verify happens inside the same lookup join, no second fetch — and
+    // in-batch copies resolve greedy-first like the text screen. The
+    // batch side is tiny (broadcast); the index is scanned, never
+    // shuffled. Rows without media columns (text-only streams) skip the
+    // screen entirely.
+    val imageScreen = config.getString("curation.imageScreen", "off")
+    val hasMedia = batch.columns.contains("kind") && batch.columns.contains("bytes")
+    val imgMaxHamming = config.getInt("curation.image.maxHamming", 6)
+    val batchImgBands: Option[DataFrame] =
+      if (imageScreen == "off" || !hasMedia) None
+      else if (imageScreen != "phash") sys.error(
+        s"curation.imageScreen must be off|phash, got '$imageScreen'")
+      else Some(operators.Multimodal.imageHashBands(
+        operators.Multimodal.imagePHashes(
+          batchUnique.select(col("doc_id").as("media_id"), col("kind"), col("bytes"))),
+        "phash").localCheckpoint(true)) // codec runs once, feeds 3 consumers
+    val colliding = batchImgBands match {
+      case None => collidingText
+      case Some(ib) =>
+        val imgCorpusHit = ib
+          .join(state.imgBands
+            .withColumnRenamed("media_id", "state_id")
+            .withColumnRenamed("phash", "state_ph"), Seq("band", "sig"))
+          .filter(bit_count(col("__h").bitwiseXOR(col("state_ph"))) <= imgMaxHamming)
+          .select(col("media_id").as("doc_id")).distinct()
+        val a = ib.select(col("band"), col("sig"),
+          col("media_id").as("id1"), col("__h").as("h1"))
+        val imgInBatchHit = ib
+          .join(a, Seq("band", "sig"))
+          .filter(col("id1") < col("media_id") &&
+            bit_count(col("__h").bitwiseXOR(col("h1"))) <= imgMaxHamming)
+          .select(col("media_id").as("doc_id")).distinct()
+        collidingText.unionByName(imgCorpusHit).unionByName(imgInBatchHit).distinct()
+    }
     // materialized EAGERLY: the survivor plan reads all three state
     // tables and feeds three consumers (curated write, fp merge, band
     // merge) — one localCheckpoint avoids re-running the quality gate and
@@ -330,10 +397,14 @@ object CurateStreamApp {
         .parquet(s"$outDir/curated/batch=$batchId")
     else survivors.drop("fp").write.mode(SaveMode.Append).parquet(s"$outDir/curated")
 
-    // state advance: the batch's survivors only
+    // state advance: the batch's survivors only. Image bands re-key the
+    // precomputed batch index on the survivor set — no second decode.
     val survivorBands = Dedup.lshBandsLocal(survivors.select(col("doc_id"), col("text")),
         widths.numPerms, widths.numBands)
       .localCheckpoint(true) // consumed by two writes below
+    val survivorImgBands = batchImgBands.map(_
+      .join(survivors.select(col("doc_id").as("media_id")), Seq("media_id"), "left_semi")
+      .select(col("band"), col("sig"), col("media_id"), col("__h").as("phash")))
     if (batchId >= 0) {
       // O(batch) commit: one immutable delta directory, one atomic
       // rename — per-batch cost is independent of corpus size, unlike a
@@ -341,7 +412,7 @@ object CurateStreamApp {
       // every 10-second trigger. The base rewrite happens once per
       // `foldEvery` batches instead.
       writeDelta(spark, deltaRoot, batchId,
-        survivors.select(col("fp"), col("doc_id")), survivorBands)
+        survivors.select(col("fp"), col("doc_id")), survivorBands, survivorImgBands)
       if (state.liveDeltas.size + 1 >= foldEvery) foldDeltas(spark, stateDir)
     } else {
       // direct invocation: compact any live deltas first (so the base IS
@@ -361,8 +432,10 @@ object CurateStreamApp {
         .join(batchSizes, Seq("band", "sig"), "full_outer")
         .select(col("band"), col("sig"),
           (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
+      val newImg = survivorImgBands.fold(base.imgBands)(base.imgBands.unionByName(_))
       StateSwap.swapAll(stateRoot, Seq(
-        "fps" -> withMarker, "bands" -> newBands, "bucket_sizes" -> newSizes))
+        "fps" -> withMarker, "bands" -> newBands, "bucket_sizes" -> newSizes,
+        "img_bands" -> newImg))
     }
   }
 }

@@ -302,14 +302,23 @@ object Multimodal {
     * four bands are missed), then exact Hamming distance filters.
     * Returns (id1, id2, hamming) with id1 < id2, deduped across bands.
     */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
-      maxBucket: Int = 10000, hashCol: String = "ahash"): DataFrame = {
-    val bandedRaw = hashes.select(col("media_id"), col(hashCol).as("__h"),
+  /** 4×16-bit band decomposition of a 64-bit perceptual hash:
+    * (media_id, __h = the full hash, band, sig). Shared by the batch
+    * near-dup generator ([[imageNearDupPairs]]) and the streaming image
+    * screen ([[graft.CurateStreamApp]]'s band-index state), so both use
+    * byte-identical signatures.
+    */
+  def imageHashBands(hashes: DataFrame, hashCol: String): DataFrame =
+    hashes.select(col("media_id"), col(hashCol).as("__h"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col(hashCol), b * 16).bitwiseAND(0xffffL).as("sig"))): _*)).as("bs"))
       .select(col("media_id"), col("__h"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
+      maxBucket: Int = 10000, hashCol: String = "ahash"): DataFrame = {
+    val bandedRaw = imageHashBands(hashes, hashCol)
     // bucket-size gate as a count aggregate + BROADCAST semi-join,
     // NOT a window count: the window form SORTS the entire banded stream
     // just to size buckets (the exact shape the sharedGramPairs spill

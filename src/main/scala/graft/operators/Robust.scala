@@ -38,18 +38,39 @@ object Robust {
 
   /** Per-group robust outlier summary: median, MAD (median absolute
     * deviation), and the count of points with |v − med| > cutoff·MAD.
-    * Two median passes (values, then deviations); the med/mad side tables
-    * are one row per group, so both re-joins broadcast.
+    * Two median passes are inherent (the deviations need the median
+    * first); each is regime-gated (AdaptiveWidth, the a6/a23 pattern):
+    * below the input-size boundary the one-window [[groupedQuantile]]
+    * runs (cheapest when the whole group sorts in one task anyway);
+    * above it the binned-SELECTION median ([[exactGroupedQuantiles]] —
+    * bit-identical, parity-tested) takes over, because with few groups
+    * the window form funnels the whole table through #groups sort tasks
+    * TWICE — measured 23.8 s / 17.4× at the 100× fixture vs 12.5 s /
+    * 4.0× for the selection form (which in turn costs ~2× at sf0.1,
+    * hence the gate; unknown estimates choose selection — seconds of
+    * overhead beats a single-task sort of the universe). The med/mad
+    * outputs are one row per group — the selection form's are
+    * checkpointed so downstream scans don't re-run it, and both forms'
+    * broadcast into the re-joins.
     */
   def madOutlierSummary(df: DataFrame, keys: Seq[String], value: Column,
                         cutoff: Double = 3.0): DataFrame = {
     val v = value.cast("double")
-    val med = groupedQuantile(df, keys, v, 0.5, "med")
+    val small = graft.plans.AdaptiveWidth.isSmallInput(df)
+    // (re-reading the projected frame per pass was A/B'd against a
+    // MEMORY_AND_DISK persist of the projection at the 100× fixture:
+    // neutral — the probe windows, not the scans, dominate — so the
+    // plan stays persist-free)
+    def median(in: DataFrame, vc: Column, out: String): DataFrame =
+      if (small) groupedQuantile(in, keys, vc, 0.5, out)
+      else exactGroupedQuantiles(in, keys, vc, Seq(0.5 -> out))
+        .localCheckpoint(true)
+    val med = median(df, v, "med")
     val withMed = df.select(keys.map(col) :+ v.as("__v"): _*)
       .join(broadcast(med), keys)
-    val mad = groupedQuantile(
+    val mad = median(
       withMed.select(keys.map(col) :+ abs(col("__v") - col("med")).as("__d"): _*),
-      keys, col("__d"), 0.5, "mad")
+      col("__d"), "mad")
     withMed.join(broadcast(mad), keys)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),

@@ -580,19 +580,28 @@ object PipelineQueries {
     // cross product.
     "t10_decontaminate" -> ((s, dir) => {
       // long-form shingling (codegen'd explode+lead, not interpreted
-      // array HOFs); distinct-per-doc replaces array_distinct
+      // array HOFs); distinct-per-doc replaces array_distinct. Two plan
+      // facts bought a 100× 15.4 s → single-digit profile: (1) the bench
+      // dictionary explodes the PRE-FILTERED 1-in-50 bench slice (the t35
+      // filter-before-window rule — the old shared-frame form re-ran the
+      // FULL corpus explode+distinct once per consumer just to keep 2% of
+      // it); (2) per-doc total and overlap counts come from ONE pass over
+      // the exploded train stream via a marked left join (both sides
+      // distinct ⇒ multiplicity 1), not two doc aggregates joined back —
+      // the CurateApp stage-5 shape.
       val docs = Catalog.documents(s, dir)
-      val sh3 = graft.functions.TextFunctions.explodedShingles(docs, "doc_id", "text", 3).distinct()
-      val benchShingles = sh3.filter(col("doc_id") % 50 === 0)
+      val train = graft.functions.TextFunctions
+        .explodedShingles(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 3)
+        .distinct()
+      val benchShingles = graft.functions.TextFunctions
+        .explodedShingles(docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 3)
         .select(col("shingle")).distinct()
-      val train = sh3.filter(col("doc_id") % 50 =!= 0)
-      val nSh = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val overlap = train
-        .join(benchShingles, Seq("shingle"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      val counts = train
+        .join(benchShingles.withColumn("hit", lit(1)), Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
       docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
-        .join(nSh, Seq("doc_id"), "left")
-        .join(overlap, Seq("doc_id"), "left")
+        .join(counts, Seq("doc_id"), "left")
         .withColumn("n_sh", coalesce(col("n_sh"), lit(0L)))
         .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
         .withColumn("overlap_frac",

@@ -150,4 +150,77 @@ class CurateStreamAppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 11L, 20L))
   }
+
+  test("image screen: near-dup images drop against evolving band state; replay a no-op") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val root = Files.createTempDirectory("curatestream_img").toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    val conf = GraftConfig.parse(
+      """curation { imageScreen = "phash" }""")
+
+    // media-bearing doc rows: FULLY distinct texts (shared-template texts
+    // would trip the TEXT near-dup screen and mask the image verdicts),
+    // image payloads from the gradient fixture
+    def mdocs(rows: (Long, String, Array[Byte])*) =
+      rows.toSeq.map { case (id, sentence, png) =>
+        val t = (sentence + " ") * 3
+        (id, t, t.length.toLong, "en", "test", "image", png)
+      }.toDF("doc_id", "text", "n_chars", "lang", "source", "kind", "bytes")
+    val tRiver = "the river flows gently downstream past mossy rocks and " +
+      "old willows carrying small boats toward the distant quiet sea"
+    val tHarbor = "tall cranes load heavy crates onto waiting ships while " +
+      "gulls circle the busy harbor under a pale morning fog"
+    val tMountain = "snow covers the high granite peaks where climbers rest " +
+      "beside frozen lakes and count bright stars all night"
+    val tDesert = "hot wind moves golden dunes across the empty desert while " +
+      "camels walk slowly between scattered thorn bushes at dusk"
+    val tForest = "ancient oaks shade the mossy forest floor where foxes " +
+      "hunt quietly and mushrooms grow beside fallen silver logs"
+    val tIsland = "white sand rings the small green island where palm trees " +
+      "lean over clear warm water full of striped fish"
+
+    val imgA = Multimodal.syntheticGradientPng(3L, 40L)
+    val imgB = Multimodal.syntheticGradientPng(40L, 123L)
+    // batch 0: two distinct images enter the corpus + the image index
+    CurateStreamApp.processBatch(spark,
+      mdocs((1L, tRiver, imgA), (2L, tHarbor, imgB)),
+      stateDir, outDir, conf, batchId = 0L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // batch 1: a one-pixel perturbation of image A (cross-BATCH image
+    // near-dup -> dropped despite fresh text), a fresh image (kept), and
+    // an in-batch copy of that fresh image (dropped, greedy first-keeps)
+    val imgAish = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imgA))
+      img.setRGB(0, 0, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val imgC = Multimodal.syntheticGradientPng(7L, 200L)
+    CurateStreamApp.processBatch(spark,
+      mdocs((10L, tMountain, imgAish), (11L, tDesert, imgC), (12L, tForest, imgC)),
+      stateDir, outDir, conf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
+
+    // replay is still a no-op with the image screen on
+    CurateStreamApp.processBatch(spark,
+      mdocs((10L, tMountain, imgAish), (11L, tDesert, imgC), (12L, tForest, imgC)),
+      stateDir, outDir, conf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+
+    // batch 2: image C is corpus state now (its bands folded through the
+    // delta log), so a re-rip of C screens out
+    CurateStreamApp.processBatch(spark, mdocs((20L, tIsland, imgC)),
+      stateDir, outDir, conf, batchId = 2L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+
+    // and a text-only stream (no media columns) still flows untouched
+    CurateStreamApp.processBatch(spark, docs(30L -> baseText),
+      stateDir, outDir, conf, batchId = 3L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 4)
+  }
 }

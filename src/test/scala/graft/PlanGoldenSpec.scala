@@ -42,7 +42,11 @@ class PlanGoldenSpec extends AnyFunSuite {
     "a29_gap_fill" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 objagg=0 sortagg=0 window=1 wgl=0",
     "d2_minhash_lsh" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=4 scans=1 pushed=0 agg=4 objagg=2 sortagg=0 window=2 wgl=0",
     "d4_ngram_jaccard" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=0 pushed=0 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
-    "t10_decontaminate" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=5 scans=4 pushed=4 agg=10 objagg=0 sortagg=0 window=3 wgl=0",
+    // t10 regenerated after the r11 rework (filter-before-explode bench
+    // dictionary + one-pass marked-left-join counts): window 3→2 (the
+    // full-corpus explode no longer re-runs per consumer), shuffle 5→4,
+    // agg 10→6 (one doc aggregate instead of two joined back)
+    "t10_decontaminate" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=3 pushed=3 agg=6 objagg=0 sortagg=0 window=2 wgl=0",
     "t22_tfidf_terms" -> "bhj=0 smj=0 shj=0 bnlj=1 cart=0 bcastx=1 shufflex=5 scans=2 pushed=0 agg=4 objagg=0 sortagg=0 window=2 wgl=2",
     "s3_time_filter" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=1 pushed=1 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
     // det4's render is the bounded TopKPayloadAggregator (objagg=2 partial+

@@ -686,6 +686,17 @@ object Multimodal {
       col("doc_id").as("media_id"), lit("audio").as("kind"),
       toneWavUdf(col("doc_id"), col("n_chars")).as("bytes"))
 
+  /** Query-clip fixture for [[audioMatches]]: ONE clip per tone group
+    * (audio ids ≡ 1 mod 21), same group waveform at a DIFFERENT length
+    * (n_chars + 391 → a different [[audioNumSamples]]) — i.e. a
+    * truncated/extended re-rip whose source clip the matcher must find
+    * by shared frame fingerprints, not by byte identity.
+    */
+  def toneQueriesFromDocuments(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 21 === 1).select(
+      col("doc_id").as("media_id"), lit("audio").as("kind"),
+      toneWavUdf(col("doc_id"), col("n_chars") + 391).as("bytes"))
+
   /** Audio near-dup candidates + verify over constellation fingerprints
     * ([[audioFingerprints]] output): clips sharing any DISTINCT frame
     * fingerprint bucket-join on that fp (the d2 LSH shape — ONE shuffle
@@ -727,6 +738,43 @@ object Multimodal {
           .as("containment"))
       .filter(col("shared_fps") >= minShared &&
         col("containment") >= minContainment)
+  }
+
+  /** Constellation MATCHING — the retrieval half of the Wang ISMIR'03
+    * pipeline whose fingerprint half is [[audioFingerprint]]: a query
+    * clip's frame fingerprints equi-join the index's, and each matching
+    * frame pair votes for (query, index clip, time offset qf−if); a true
+    * source alignment concentrates votes on ONE offset diagonal, noise
+    * scatters. Returns the top-scoring (media_id, delta, votes) per
+    * query (ties → lowest media_id, then delta — deterministic).
+    *
+    * Scale shape: one equi-join on the 64-bit fp key + one map-side-
+    * combined vote aggregate + a per-query top-1 (WindowGroupLimit) —
+    * never a cross join. The all-sentinel fp (every band floored — i.e.
+    * silence) is excluded on both sides, and index fps shared by more
+    * than `maxBucket` clips are dropped (boilerplate audio — the same
+    * megabucket trade every banded generator here makes).
+    */
+  def audioMatches(queryFps: DataFrame, indexFps: DataFrame,
+      minVotes: Int = 1, maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val silent = lit(-1L) // 8 × 0xff no-peak sentinel bytes
+    val q = queryFps.filter(col("fp") =!= silent)
+      .select(col("media_id").as("query_id"), col("frame_idx").as("qf"), col("fp"))
+    val i = indexFps.filter(col("fp") =!= silent)
+      .select(col("media_id"), col("frame_idx").as("ifx"), col("fp"))
+    val kept = i.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select(col("fp"))
+    val votes = q
+      .join(i.join(kept, Seq("fp"), "left_semi"), Seq("fp"))
+      .groupBy(col("query_id"), col("media_id"),
+        (col("qf") - col("ifx")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("media_id").asc, col("delta").asc)
+    votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
   }
 
   /** STUB decoder for the codec-less kind (video): a 16-bin

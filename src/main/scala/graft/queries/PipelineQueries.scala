@@ -1306,6 +1306,31 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // M10F: fingerprints of the query clips (per-group re-rips at a
+    // different length/gain) — the m9f-style golden the m10 oracle
+    // recomputes from.
+    "m10f_query_fingerprint" -> ((s, dir) => {
+      Multimodal.audioFingerprints(
+          Multimodal.toneQueriesFromDocuments(Catalog.documents(s, dir)))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // M10: audio search — the retrieval half of the Wang ISMIR'03
+    // constellation pipeline (m7 fingerprints, m9 dedup, THIS is match):
+    // query frame fps equi-join the index, matching pairs vote on the
+    // (query, clip, time-offset) diagonal, top vote per query wins.
+    // Oracle recomputes join + votes + top-1 from the m9f (index) and
+    // m10f (query) fingerprint goldens independently.
+    "m10_audio_match" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val index = Multimodal.audioFingerprints(
+        Multimodal.toneAudioFromDocuments(docs))
+      val queries = Multimodal.audioFingerprints(
+        Multimodal.toneQueriesFromDocuments(docs))
+      Multimodal.audioMatches(queries, index)
+        .orderBy(col("query_id"))
+    }),
+
     // D23: oriented span containment (quote/boilerplate detection) — the
     // asymmetric signal Jaccard near-dup misses: a doc whose winnowed
     // fingerprints are mostly CONTAINED in a partner is a quote/template
@@ -3244,6 +3269,30 @@ object PipelineQueries {
       "SELECT * FROM read_parquet('/root/repo/goldens/m7_audio_fingerprint.parquet') ORDER BY media_id, frame_idx",
     "m9f_tone_fingerprint" ->
       "SELECT * FROM read_parquet('/root/repo/goldens/m9f_tone_fingerprint.parquet') ORDER BY media_id, frame_idx",
+    "m10f_query_fingerprint" ->
+      "SELECT * FROM read_parquet('/root/repo/goldens/m10f_query_fingerprint.parquet') ORDER BY media_id, frame_idx",
+
+    // m10: join + offset votes + top-1 recomputed INDEPENDENTLY from the
+    // two fingerprint goldens (index = m9f, queries = m10f)
+    "m10_audio_match" ->
+      """WITH qf AS (
+        |  SELECT media_id AS query_id, frame_idx AS qf, fp
+        |  FROM read_parquet('/root/repo/goldens/m10f_query_fingerprint.parquet')
+        |  WHERE fp <> -1),
+        |idx AS (
+        |  SELECT media_id, frame_idx AS ifx, fp
+        |  FROM read_parquet('/root/repo/goldens/m9f_tone_fingerprint.parquet')
+        |  WHERE fp <> -1),
+        |kept AS (SELECT fp FROM idx GROUP BY fp HAVING count(*) <= 10000),
+        |v AS (
+        |  SELECT query_id, media_id, qf - ifx AS delta, count(*) AS votes
+        |  FROM qf JOIN idx USING (fp) JOIN kept USING (fp)
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 1),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY votes DESC, media_id, delta) AS rk
+        |      FROM v)
+        |SELECT query_id, media_id, delta, votes FROM r WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
 
     // m9: buckets + containment verify + CC recomputed INDEPENDENTLY from
     // the m9f fingerprint golden (not an output golden) — the m8 pattern

@@ -300,4 +300,43 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(1L -> 1L, 4L -> 1L, 22L -> 22L, 25L -> 22L))
   }
+
+  test("audioMatches: offset voting finds the source clip; silence never matches") {
+    import spark.implicits._
+    // index: one clip per tone group (ids 1 and 22 are different groups)
+    val index = Multimodal.audioFingerprints(
+      Seq(1L -> 900L, 22L -> 900L)
+        .map { case (id, nc) => (id, "audio", Multimodal.syntheticToneWav(id, nc)) }
+        .toDF("media_id", "kind", "bytes"))
+    // query 100: two silent frames then group-1's waveform (a time-shifted
+    // re-rip); query 200: pure silence (every frame the 0xff sentinel)
+    def wavOf(pcm: Array[Int], sr: Int): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+      val out = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        out(2 * i) = (pcm(i) & 0xff).toByte
+        out(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(out),
+        fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val (sr22, pcm22) = Multimodal.decodePcmMono(Multimodal.syntheticToneWav(22L, 500L))
+    val queries = Multimodal.audioFingerprints(Seq(
+      (100L, "audio", wavOf(new Array[Int](256) ++ pcm22, sr22)),
+      (200L, "audio", wavOf(new Array[Int](512), 8000)))
+      .toDF("media_id", "kind", "bytes"))
+    val got = Multimodal.audioMatches(queries, index).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // query 100 matches clip 22 on the shifted diagonal; the silent query
+    // produces no row at all (sentinel fps are excluded, not mismatched)
+    assert(got.keySet == Set(100L), got.toString)
+    assert(got(100L)._1 == 22L)
+    assert(got(100L)._2 >= 1L, s"expected a positive time offset, got ${got(100L)}")
+  }
 }

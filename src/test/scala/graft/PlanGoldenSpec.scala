@@ -81,6 +81,10 @@ class PlanGoldenSpec extends AnyFunSuite {
     // j14 pins the ONE-shuffle union-window as-of plan (the tolerance is
     // a post-window null-out, not a second join): window=1, bhj=0
     "j14_asof_tolerance" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=2 pushed=2 agg=0 objagg=0 sortagg=0 window=1 wgl=0",
+    // m10 pins the constellation-match shape: one fp equi-join (the
+    // query side broadcasts) + map-side-combined vote aggregate + a
+    // WindowGroupLimit top-1 per query — never a cross join
+    "m10_audio_match" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=3 pushed=3 agg=4 objagg=0 sortagg=0 window=1 wgl=2",
   )
 
   goldens.toSeq.sortBy(_._1).foreach { case (name, want) =>

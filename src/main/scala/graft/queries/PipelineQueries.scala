@@ -1306,6 +1306,69 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // T36: NEAR-decontamination — the fuzzy rung above t10's exact
+    // shingle overlap: paraphrased/perturbed benchmark text shares few
+    // exact shingle HITS but still collides in MinHash band space, so
+    // candidates come from train×bench LSH band collisions (the d2
+    // generator, cross-sided like d22's ingest screen) and each
+    // candidate pair is VERIFIED with exact 3-gram Jaccard — precision
+    // matters when the verdict deletes training data. Output per train
+    // doc: candidate count, max verified Jaccard, contaminated flag.
+    // Shape at 100 TB: the bench side is 2% of the corpus (broadcast
+    // bands), pairs are LSH-bounded, shingle sets computed once per doc
+    // appearing in any pair (semi-join prune — the d4 lesson).
+    "t36_near_decontaminate" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      // pairs / shingle sets are each referenced 2-4× downstream, and
+      // Catalyst re-evaluates a subtree per reference — without pinning,
+      // the minhash banding and the shingle explodes re-run per consumer
+      // (first fingerprint: 17 scans / 16 windows; pinned: 1 band join +
+      // 1 explode per side). localCheckpoint + explicit broadcasts on
+      // the LSH-bounded frames, the a17/exactGroupedQuantiles precedent.
+      val pairs = Dedup.lshBands(train)
+        .join(Dedup.lshBands(bench)
+          .select(col("band"), col("sig"), col("doc_id").as("bench_id")),
+          Seq("band", "sig"))
+        .select(col("doc_id"), col("bench_id")).distinct()
+        .localCheckpoint(true)
+      val tSh = graft.functions.TextFunctions.explodedShingles(
+          train.join(broadcast(pairs.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi"),
+          "doc_id", "text", 3).distinct()
+        .localCheckpoint(true)
+      val bSh = graft.functions.TextFunctions.explodedShingles(
+          bench.join(broadcast(pairs.select(col("bench_id").as("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi"),
+          "doc_id", "text", 3).distinct()
+        .select(col("doc_id").as("bench_id"), col("shingle"))
+        .localCheckpoint(true)
+      val nT = tSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_t"))
+      val nB = bSh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_b"))
+      val shared = broadcast(pairs)
+        .join(tSh, Seq("doc_id"))
+        .join(bSh, Seq("bench_id", "shingle"))
+        .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("sh_n"))
+      val j = pairs
+        .join(shared, Seq("doc_id", "bench_id"), "left")
+        .join(broadcast(nT), Seq("doc_id"))
+        .join(broadcast(nB), Seq("bench_id"))
+        .select(col("doc_id"),
+          round(coalesce(col("sh_n"), lit(0L)) /
+            (col("n_t") + col("n_b") - coalesce(col("sh_n"), lit(0L))).cast("double"), 6)
+            .as("jac"))
+      val agg = j.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bench_candidates"), max(col("jac")).as("max_jaccard"))
+      train.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bench_candidates"), lit(0L)).as("n_bench_candidates"),
+          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+          (coalesce(col("max_jaccard"), lit(0.0)) >= 0.5).cast("int").as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // M10F: fingerprints of the query clips (per-group re-rips at a
     // different length/gain) — the m9f-style golden the m10 oracle
     // recomputes from.
@@ -3271,6 +3334,49 @@ object PipelineQueries {
       "SELECT * FROM read_parquet('/root/repo/goldens/m9f_tone_fingerprint.parquet') ORDER BY media_id, frame_idx",
     "m10f_query_fingerprint" ->
       "SELECT * FROM read_parquet('/root/repo/goldens/m10f_query_fingerprint.parquet') ORDER BY media_id, frame_idx",
+
+    // t36: the d2 band CTEs split train/bench, cross-side collisions,
+    // exact 3-gram jaccard verify on the candidate pairs
+    "t36_near_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM documents),
+        |$bandsSql,
+        |tb AS (SELECT doc_id, b, sig FROM bands WHERE doc_id % 50 <> 0),
+        |bb AS (SELECT doc_id AS bench_id, b, sig FROM bands WHERE doc_id % 50 = 0),
+        |pairs AS (
+        |  SELECT DISTINCT tb.doc_id, bb.bench_id
+        |  FROM tb JOIN bb ON tb.b = bb.b AND tb.sig = bb.sig),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh
+        |  WHERE doc_id IN (SELECT doc_id FROM pairs)),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id, unnest(sh) AS s FROM sh
+        |  WHERE doc_id IN (SELECT bench_id FROM pairs)),
+        |nt AS (SELECT doc_id, count(*) AS n_t FROM tsh GROUP BY 1),
+        |nb AS (SELECT bench_id, count(*) AS n_b FROM bsh GROUP BY 1),
+        |shared AS (
+        |  SELECT p.doc_id, p.bench_id, count(*) AS sh_n
+        |  FROM pairs p
+        |  JOIN tsh ON tsh.doc_id = p.doc_id
+        |  JOIN bsh ON bsh.bench_id = p.bench_id AND bsh.s = tsh.s
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.doc_id,
+        |    ROUND(COALESCE(sh_n, 0) /
+        |          CAST(n_t + n_b - COALESCE(sh_n, 0) AS DOUBLE), 6) AS jac
+        |  FROM pairs p
+        |  LEFT JOIN shared USING (doc_id, bench_id)
+        |  JOIN nt USING (doc_id)
+        |  JOIN nb USING (bench_id)),
+        |agg AS (SELECT doc_id, count(*) AS n_bench_candidates,
+        |               MAX(jac) AS max_jaccard
+        |        FROM j GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bench_candidates, 0) AS n_bench_candidates,
+        |  COALESCE(agg.max_jaccard, 0.0) AS max_jaccard,
+        |  CAST(COALESCE(agg.max_jaccard, 0.0) >= 0.5 AS INT) AS contaminated
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     // m10: join + offset votes + top-1 recomputed INDEPENDENTLY from the
     // two fingerprint goldens (index = m9f, queries = m10f)

@@ -85,6 +85,11 @@ class PlanGoldenSpec extends AnyFunSuite {
     // query side broadcasts) + map-side-combined vote aggregate + a
     // WindowGroupLimit top-1 per query — never a cross join
     "m10_audio_match" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=3 pushed=3 agg=4 objagg=0 sortagg=0 window=1 wgl=2",
+    // t36 fingerprints PAST the pinned pairs/shingle checkpoints (the
+    // m8/m9 convention): scans=1 pins that the band join and the two
+    // shingle explodes run ONCE (the unpinned form re-evaluated them per
+    // consumer — 17 scans / 16 windows), bhj=4 the broadcast verify joins
+    "t36_near_decontaminate" -> "bhj=4 smj=2 shj=0 bnlj=0 cart=0 bcastx=4 shufflex=7 scans=1 pushed=1 agg=8 objagg=0 sortagg=0 window=0 wgl=0",
   )
 
   goldens.toSeq.sortBy(_._1).foreach { case (name, want) =>

@@ -32,7 +32,12 @@ import graft.streaming.StreamingJobs
   *                    `curation.image.maxHamming` of a corpus image
   *                    (4×16-bit band index + in-join Hamming verify) or
   *                    of an earlier image in the same batch;
-  *   4. `near_dup`  — any MinHash band collides with the corpus band
+  *   4. `audio_dup` — (curation.audioScreen = fingerprint) the clip's
+  *                    distinct constellation fps are ≥
+  *                    `curation.audio.minContainment` contained in one
+  *                    corpus clip's (audio_fps state) or an earlier
+  *                    in-batch clip's;
+  *   5. `near_dup`  — any MinHash band collides with the corpus band
   *                    index (`Dedup.lshBandsLocal` on the stream side —
   *                    one codegen kernel per row, no stream-side
   *                    shuffle; the corpus side carries the same
@@ -41,10 +46,10 @@ import graft.streaming.StreamingJobs
   *                    batch — greedy first-keeps ordering, so two
   *                    near-identical docs arriving together can't both
   *                    enter the corpus;
-  *   5. survivors   — appended under `<outDir>/curated/batch=<id>` and
+  *   6. survivors   — appended under `<outDir>/curated/batch=<id>` and
   *                    merged into the state tables (text fingerprints,
-  *                    text band index, and — when the image screen is
-  *                    on — the image band index).
+  *                    text band index, and — when the media screens are
+  *                    on — the image band / audio fp indices).
   *
   * Delivery contract: foreachBatch is at-least-once, so every batch's
   * state advance commits as one immutable DELTA directory
@@ -138,8 +143,8 @@ object CurateStreamApp {
     * of the corpus index.
     */
   private[graft] final case class CorpusState(fps: DataFrame, bands: DataFrame,
-      sizes: DataFrame, imgBands: DataFrame, appliedThrough: Long,
-      liveDeltas: Seq[Long])
+      sizes: DataFrame, imgBands: DataFrame, audioFps: DataFrame,
+      appliedThrough: Long, liveDeltas: Seq[Long])
 
   private def deltaDirs(spark: SparkSession, deltaRoot: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(deltaRoot)
@@ -170,9 +175,15 @@ object CurateStreamApp {
     def emptyImgBands = spark.range(0).select(col("id").cast("int").as("band"),
       col("id").as("sig"), col("id").as("media_id"), col("id").as("phash"))
     val baseImg = StateSwap.readTableOrElse(spark, stateRoot, "img_bands", emptyImgBands)
+    // audio fingerprint index (the m9 screen's state: one row per
+    // DISTINCT (clip, frame fp)). Absent unless the audio screen has
+    // ever admitted a clip.
+    def emptyAudioFps = spark.range(0).select(
+      col("id").as("media_id"), col("id").as("fp"))
+    val baseAud = StateSwap.readTableOrElse(spark, stateRoot, "audio_fps", emptyAudioFps)
     val live = deltaDirs(spark, deltaRoot).filter(_ > appliedThrough)
     if (live.isEmpty)
-      CorpusState(baseFps, baseBands, baseSizes, baseImg, appliedThrough, live)
+      CorpusState(baseFps, baseBands, baseSizes, baseImg, baseAud, appliedThrough, live)
     else {
       val fsRoot = new org.apache.hadoop.fs.Path(deltaRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -180,19 +191,20 @@ object CurateStreamApp {
         .reduce(_ unionByName _)
       val dBands = live.map(b => spark.read.parquet(s"$deltaRoot/batch=$b/bands"))
         .reduce(_ unionByName _)
-      // img_bands is only present in deltas whose batch admitted images
-      val dImg = live
+      // media tables are only present in deltas whose batch admitted media
+      def foldMedia(base: DataFrame, table: String) = live
         .filter(b => fsRoot.exists(
-          new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$b/img_bands")))
-        .map(b => spark.read.parquet(s"$deltaRoot/batch=$b/img_bands"))
-        .foldLeft(baseImg)(_ unionByName _)
+          new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$b/$table")))
+        .map(b => spark.read.parquet(s"$deltaRoot/batch=$b/$table"))
+        .foldLeft(base)(_ unionByName _)
       val sizes = baseSizes
         .join(dBands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("add")),
           Seq("band", "sig"), "full_outer")
         .select(col("band"), col("sig"),
           (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
       CorpusState(baseFps.unionByName(dFps), baseBands.unionByName(dBands),
-        sizes, dImg, appliedThrough, live)
+        sizes, foldMedia(baseImg, "img_bands"), foldMedia(baseAud, "audio_fps"),
+        appliedThrough, live)
     }
   }
 
@@ -202,7 +214,8 @@ object CurateStreamApp {
     */
   private def writeDelta(spark: SparkSession, deltaRoot: String, batchId: Long,
                          fps: DataFrame, bands: DataFrame,
-                         imgBands: Option[DataFrame] = None): Unit = {
+                         imgBands: Option[DataFrame] = None,
+                         audioFps: Option[DataFrame] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$batchId")
     val fs = target.getFileSystem(conf)
@@ -216,6 +229,8 @@ object CurateStreamApp {
       .parquet(new org.apache.hadoop.fs.Path(staging, "bands").toString)
     imgBands.foreach(_.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(staging, "img_bands").toString))
+    audioFps.foreach(_.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(staging, "audio_fps").toString))
     fs.mkdirs(target.getParent)
     if (!fs.rename(staging, target))
       sys.error(s"CurateStreamApp: delta commit rename $staging -> $target failed")
@@ -239,7 +254,8 @@ object CurateStreamApp {
         .select(lit(BatchMarker).as("fp"), lit(upTo).as("doc_id")))
       StateSwap.swapAll(stateRoot, Seq(
         "fps" -> withMarker, "bands" -> state.bands,
-        "bucket_sizes" -> state.sizes, "img_bands" -> state.imgBands))
+        "bucket_sizes" -> state.sizes, "img_bands" -> state.imgBands,
+        "audio_fps" -> state.audioFps))
     }
     val p = new org.apache.hadoop.fs.Path(deltaRoot)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -366,7 +382,7 @@ object CurateStreamApp {
         operators.Multimodal.imagePHashes(
           batchUnique.select(col("doc_id").as("media_id"), col("kind"), col("bytes"))),
         "phash").localCheckpoint(true)) // codec runs once, feeds 3 consumers
-    val colliding = batchImgBands match {
+    val collidingImg = batchImgBands match {
       case None => collidingText
       case Some(ib) =>
         val imgCorpusHit = ib
@@ -383,6 +399,40 @@ object CurateStreamApp {
             bit_count(col("__h").bitwiseXOR(col("h1"))) <= imgMaxHamming)
           .select(col("media_id").as("doc_id")).distinct()
         collidingText.unionByName(imgCorpusHit).unionByName(imgInBatchHit).distinct()
+    }
+
+    // 3c. AUDIO near-dup screen (curation.audioScreen = fingerprint; the
+    // m9 machinery stream-side): audio rows decode once into
+    // constellation frame fingerprints, an arriving clip drops when its
+    // distinct-fp CONTAINMENT against any single corpus clip clears the
+    // threshold (the m9 verify — re-rips may be truncated), or against
+    // an earlier in-batch clip (greedy first-keeps via the m9 pair
+    // generator on the batch-sized frame set). The state index is
+    // (clip, distinct fp) rows, scanned via one fp equi-join.
+    val audioScreen = config.getString("curation.audioScreen", "off")
+    val audMinContainment = config.getDouble("curation.audio.minContainment", 0.8)
+    val batchAudioFps: Option[DataFrame] =
+      if (audioScreen == "off" || !hasMedia) None
+      else if (audioScreen != "fingerprint") sys.error(
+        s"curation.audioScreen must be off|fingerprint, got '$audioScreen'")
+      else Some(operators.Multimodal.audioFingerprints(
+          batchUnique.select(col("doc_id").as("media_id"), col("kind"), col("bytes")))
+        .localCheckpoint(true)) // codec runs once, feeds 3 consumers
+    val colliding = batchAudioFps match {
+      case None => collidingImg
+      case Some(af) =>
+        val sigs = af.select(col("media_id"), col("fp")).distinct()
+        val nfp = sigs.groupBy(col("media_id")).agg(count(lit(1)).as("nfp"))
+        val audCorpusHit = sigs
+          .join(state.audioFps.withColumnRenamed("media_id", "state_id"), Seq("fp"))
+          .groupBy(col("media_id"), col("state_id")).agg(count(lit(1)).as("shared"))
+          .join(nfp, Seq("media_id"))
+          .filter(col("shared") >= col("nfp") * audMinContainment)
+          .select(col("media_id").as("doc_id")).distinct()
+        val audInBatchHit = operators.Multimodal
+          .audioNearDupPairs(af, minContainment = audMinContainment)
+          .select(col("id2").as("doc_id")).distinct() // greedy: earlier id keeps
+        collidingImg.unionByName(audCorpusHit).unionByName(audInBatchHit).distinct()
     }
     // materialized EAGERLY: the survivor plan reads all three state
     // tables and feeds three consumers (curated write, fp merge, band
@@ -405,6 +455,9 @@ object CurateStreamApp {
     val survivorImgBands = batchImgBands.map(_
       .join(survivors.select(col("doc_id").as("media_id")), Seq("media_id"), "left_semi")
       .select(col("band"), col("sig"), col("media_id"), col("__h").as("phash")))
+    val survivorAudioFps = batchAudioFps.map(_
+      .select(col("media_id"), col("fp")).distinct()
+      .join(survivors.select(col("doc_id").as("media_id")), Seq("media_id"), "left_semi"))
     if (batchId >= 0) {
       // O(batch) commit: one immutable delta directory, one atomic
       // rename — per-batch cost is independent of corpus size, unlike a
@@ -412,7 +465,8 @@ object CurateStreamApp {
       // every 10-second trigger. The base rewrite happens once per
       // `foldEvery` batches instead.
       writeDelta(spark, deltaRoot, batchId,
-        survivors.select(col("fp"), col("doc_id")), survivorBands, survivorImgBands)
+        survivors.select(col("fp"), col("doc_id")), survivorBands,
+        survivorImgBands, survivorAudioFps)
       if (state.liveDeltas.size + 1 >= foldEvery) foldDeltas(spark, stateDir)
     } else {
       // direct invocation: compact any live deltas first (so the base IS
@@ -433,9 +487,10 @@ object CurateStreamApp {
         .select(col("band"), col("sig"),
           (coalesce(col("n"), lit(0L)) + coalesce(col("add"), lit(0L))).as("n"))
       val newImg = survivorImgBands.fold(base.imgBands)(base.imgBands.unionByName(_))
+      val newAud = survivorAudioFps.fold(base.audioFps)(base.audioFps.unionByName(_))
       StateSwap.swapAll(stateRoot, Seq(
         "fps" -> withMarker, "bands" -> newBands, "bucket_sizes" -> newSizes,
-        "img_bands" -> newImg))
+        "img_bands" -> newImg, "audio_fps" -> newAud))
     }
   }
 }

@@ -223,4 +223,64 @@ class CurateStreamAppSpec extends AnyFunSuite {
       stateDir, outDir, conf, batchId = 3L)
     assert(spark.read.parquet(s"$outDir/curated").count() == 4)
   }
+
+  test("audio screen: gain-variant re-rips drop against the fp state; fresh tones pass") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val root = Files.createTempDirectory("curatestream_aud").toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    val conf = GraftConfig.parse(
+      """curation { audioScreen = "fingerprint" }""")
+
+    def adocs(rows: (Long, String, Array[Byte])*) =
+      rows.toSeq.map { case (id, t3, wav) =>
+        val t = (t3 + " ") * 3
+        (id, t, t.length.toLong, "en", "test", "audio", wav)
+      }.toDF("doc_id", "text", "n_chars", "lang", "source", "kind", "bytes")
+    val tA = "a calm voice reads the morning news about local gardens and " +
+      "weekend markets while soft rain taps the studio window"
+    val tB = "drums and brass open the evening show with a quick bright " +
+      "theme the band has played for twenty seasons"
+    val tC = "waves crash against the old pier while children count boats " +
+      "and seagulls argue over a dropped sandwich"
+    val tD = "an engine hums through the long tunnel as the night train " +
+      "carries sleeping travelers toward the northern coast"
+    val tE = "bakers stack warm loaves behind fogged glass while the first " +
+      "customers queue outside in the blue winter dark"
+    val tF = "library lamps glow over open atlases where students trace " +
+      "rivers with pencils and whisper about distant capitals"
+
+    // batch 0: clips from tone groups 0 (id 1) and 1 (id 22)
+    CurateStreamApp.processBatch(spark,
+      adocs((1L, tA, Multimodal.syntheticToneWav(1L, 700L)),
+            (2L, tB, Multimodal.syntheticToneWav(22L, 700L))),
+      stateDir, outDir, conf, batchId = 0L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // batch 1: a gain/length-variant re-rip of group 0 (id 4 — same
+    // waveform as id 1, different amplitude and length → cross-batch
+    // audio dup despite fresh text), a fresh group (id 43, kept), and an
+    // in-batch re-rip of that fresh group (id 46 → greedy first-keeps)
+    CurateStreamApp.processBatch(spark,
+      adocs((10L, tC, Multimodal.syntheticToneWav(4L, 300L)),
+            (11L, tD, Multimodal.syntheticToneWav(43L, 700L)),
+            (12L, tE, Multimodal.syntheticToneWav(46L, 500L))),
+      stateDir, outDir, conf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
+
+    // replay is a no-op; the next batch screens against the folded fp state
+    CurateStreamApp.processBatch(spark,
+      adocs((10L, tC, Multimodal.syntheticToneWav(4L, 300L)),
+            (11L, tD, Multimodal.syntheticToneWav(43L, 700L)),
+            (12L, tE, Multimodal.syntheticToneWav(46L, 500L))),
+      stateDir, outDir, conf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+    CurateStreamApp.processBatch(spark,
+      adocs((20L, tF, Multimodal.syntheticToneWav(43L, 400L))),
+      stateDir, outDir, conf, batchId = 2L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+  }
 }

@@ -34,8 +34,13 @@ import graft.sources.Catalog
   *   4. `near_dup`   — MinHash-LSH candidate pairs → connected
   *                     components → only the canonical (longest) member
   *                     of each component keeps
-  *   5. `contaminated` — ≥ `maxOverlap` of the doc's 3-gram shingles
-  *                     appear in the benchmark set
+  *   5. `contaminated` — the selected gate (`curation.contamGate`:
+  *                     `overlap` = ≥ `maxOverlap` of the doc's 3-gram
+  *                     shingles appear in the benchmark set; `fuzzy` =
+  *                     a MinHash-band candidate pair against a benchmark
+  *                     doc verified at ≥ `curation.fuzzyMinJaccard`
+  *                     exact Jaccard — the precision-leaning near-clone
+  *                     screen)
   *   6. kept         — everything else: written to `<outDir>/curated`
   *
   * Scale shape: ONE DAG end-to-end — per-stage verdicts are columns
@@ -66,7 +71,9 @@ object CurateApp {
       widths = DedupWidths.fromConfig(c),
       qualityGate = c.getString("curation.qualityGate", "score"),
       maxAvgNllE6 = c.getLong("curation.perplexityMaxNllE6",
-        operators.PerplexityGate.DefaultMaxAvgNllE6))
+        operators.PerplexityGate.DefaultMaxAvgNllE6),
+      contamGate = c.getString("curation.contamGate", "overlap"),
+      fuzzyMinJaccard = c.getDouble("curation.fuzzyMinJaccard", 0.5))
     report.orderBy(col("stage")).show(20, truncate = false)
     spark.stop()
   }
@@ -86,9 +93,11 @@ object CurateApp {
           maxOverlap: Double = 0.5,
           widths: DedupWidths = DedupWidths.default,
           qualityGate: String = "score",
-          maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6): DataFrame = {
+          maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
+          contamGate: String = "overlap",
+          fuzzyMinJaccard: Double = 0.5): DataFrame = {
     val (frame, release) = taggedCached(spark, inDir, qualityMin, benchMod,
-      maxOverlap, widths, qualityGate, maxAvgNllE6)
+      maxOverlap, widths, qualityGate, maxAvgNllE6, contamGate, fuzzyMinJaccard)
     try {
       frame.filter(col("stage") === "kept")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
@@ -117,9 +126,12 @@ object CurateApp {
              maxOverlap: Double = 0.5,
              widths: DedupWidths = DedupWidths.default,
              qualityGate: String = "score",
-             maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6): DataFrame =
+             maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
+             contamGate: String = "overlap",
+             fuzzyMinJaccard: Double = 0.5): DataFrame =
     build(spark, inDir, qualityMin, benchMod, maxOverlap, widths,
-      qualityGate, maxAvgNllE6, persistShared = false)._1
+      qualityGate, maxAvgNllE6, contamGate, fuzzyMinJaccard,
+      persistShared = false)._1
 
   /** [[tagged]] with the three stages the DAG reuses — the row-local
     * verdict frame, the fingerprint-joined frame, and the near-dup
@@ -132,14 +144,18 @@ object CurateApp {
                    maxOverlap: Double = 0.5,
                    widths: DedupWidths = DedupWidths.default,
                    qualityGate: String = "score",
-                   maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6): (DataFrame, () => Unit) =
+                   maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
+                   contamGate: String = "overlap",
+                   fuzzyMinJaccard: Double = 0.5): (DataFrame, () => Unit) =
     build(spark, inDir, qualityMin, benchMod, maxOverlap, widths,
-      qualityGate, maxAvgNllE6, persistShared = true)
+      qualityGate, maxAvgNllE6, contamGate, fuzzyMinJaccard,
+      persistShared = true)
 
   private def build(spark: SparkSession, inDir: String,
                     qualityMin: Double, benchMod: Int, maxOverlap: Double,
                     widths: DedupWidths, qualityGate: String,
-                    maxAvgNllE6: Long,
+                    maxAvgNllE6: Long, contamGate: String,
+                    fuzzyMinJaccard: Double,
                     persistShared: Boolean): (DataFrame, () => Unit) = {
     val shared = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // quality scores, tokenization, fingerprints and the LSH+CC near-dup
@@ -207,32 +223,50 @@ object CurateApp {
       .select(col("doc_id"), col("keep").as("near_canonical")))
 
     // stage 5: benchmark contamination among near-dup survivors —
-    // fraction of the doc's distinct 3-gram shingles found in the
-    // benchmark shingle set (same semantics as t10_decontaminate).
+    // SELECTABLE (curation.contamGate):
+    //   overlap — fraction of the doc's distinct 3-gram shingles found
+    //             in the benchmark shingle set (t10 semantics): the
+    //             recall-leaning filter (any shared-fragment mass counts)
+    //   fuzzy   — train×bench MinHash band collisions verified with
+    //             exact Jaccard ≥ fuzzyMinJaccard (t36 semantics /
+    //             operators.Decontaminate): the precision-leaning filter
+    //             (flags near-CLONES of benchmark docs, not docs that
+    //             merely quote common fragments)
     // Survivors come from `resolved` directly (it has one row per s3
     // doc), not via a withFp⋈resolved frame that the attribution join
     // would then rebuild a second time.
     val survivors = s3.join(resolved.filter(col("near_canonical")), Seq("doc_id"))
-    val sh3 = explodedShingles(
-      survivors.select(col("doc_id"), col("text")),
-      "doc_id", "text", 3).distinct()
-    // benchmark side is 1/benchMod of the corpus — small enough that the
-    // row-local (interpreted) shingle HOF beats the window-explode path's
-    // extra exchange; the shingle strings are byte-identical to
-    // explodedShingles' (same n-token windows, space-joined)
-    val benchShingles = tagged0.filter(col("is_bench"))
-      .select(explode(array_distinct(shingles(tokens(col("text")), 3))).as("shingle"))
-      .distinct()
-    // ONE pass over the exploded shingle set (the pipeline's biggest
-    // frame): both sides are distinct, so a left join has multiplicity 1
-    // and per-doc total and benchmark-overlap counts come from a single
-    // aggregate — not two groupBys joined back together
-    val contaminated = sh3
-      .join(benchShingles.withColumn("hit", lit(1)), Seq("shingle"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
-      .withColumn("contaminated", col("n_overlap") >= col("n_sh") * maxOverlap)
-      .select(col("doc_id"), col("contaminated"))
+    val contaminated = contamGate match {
+      case "overlap" =>
+        val sh3 = explodedShingles(
+          survivors.select(col("doc_id"), col("text")),
+          "doc_id", "text", 3).distinct()
+        // benchmark side is 1/benchMod of the corpus — small enough that
+        // the row-local (interpreted) shingle HOF beats the window-explode
+        // path's extra exchange; the shingle strings are byte-identical to
+        // explodedShingles' (same n-token windows, space-joined)
+        val benchShingles = tagged0.filter(col("is_bench"))
+          .select(explode(array_distinct(shingles(tokens(col("text")), 3))).as("shingle"))
+          .distinct()
+        // ONE pass over the exploded shingle set (the pipeline's biggest
+        // frame): both sides are distinct, so a left join has
+        // multiplicity 1 and per-doc total and benchmark-overlap counts
+        // come from a single aggregate — not two groupBys joined back
+        sh3
+          .join(benchShingles.withColumn("hit", lit(1)), Seq("shingle"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
+          .withColumn("contaminated", col("n_overlap") >= col("n_sh") * maxOverlap)
+          .select(col("doc_id"), col("contaminated"))
+      case "fuzzy" =>
+        operators.Decontaminate.fuzzyScores(
+            survivors.select(col("doc_id"), col("text")),
+            tagged0.filter(col("is_bench")).select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            (col("max_jaccard") >= fuzzyMinJaccard).as("contaminated"))
+      case other => sys.error(
+        s"curation.contamGate must be overlap|fuzzy, got '$other'")
+    }
 
     // attribution: FIRST failing stage tags the doc; survivors are kept.
     // Docs absent from `resolved` (rejected before stage 4) read as

@@ -760,6 +760,20 @@ object PipelineQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
     }),
 
+    // C5W: the c5 curation pipeline with the FUZZY contamination gate
+    // (curation.contamGate = fuzzy): stage 5 flags near-CLONES of
+    // benchmark docs (t36 band candidates + exact-Jaccard verify)
+    // instead of shingle-overlap mass. The oracle replays the whole
+    // pipeline with the t36 CTEs banded over the survivor∪bench slice.
+    "c5w_curate_report_fuzzy" -> ((s, dir) => {
+      val (frame, release) = graft.CurateApp.taggedCached(s, dir,
+        contamGate = "fuzzy")
+      val rep = graft.CurateApp.report(frame).orderBy(col("stage"))
+      val rows = rep.collect() // ≤6 rows by construction (the stage enum)
+      release()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
+    }),
+
     // D11: exact duplicated-substring spans (char-24-gram match) — the
     // verbatim-overlap complement to token-shingle near-dup. Runs the
     // production path (xxhash64 gram keys, 8 bytes shuffled vs 24): the
@@ -1318,48 +1332,12 @@ object PipelineQueries {
     // bands), pairs are LSH-bounded, shingle sets computed once per doc
     // appearing in any pair (semi-join prune — the d4 lesson).
     "t36_near_decontaminate" -> ((s, dir) => {
+      // core lives in operators/Decontaminate (shared with the curation
+      // apps' contamGate=fuzzy mode); plan-discipline notes there
       val docs = Catalog.documents(s, dir)
       val bench = docs.filter(col("doc_id") % 50 === 0)
       val train = docs.filter(col("doc_id") % 50 =!= 0)
-      // pairs / shingle sets are each referenced 2-4× downstream, and
-      // Catalyst re-evaluates a subtree per reference — without pinning,
-      // the minhash banding and the shingle explodes re-run per consumer
-      // (first fingerprint: 17 scans / 16 windows; pinned: 1 band join +
-      // 1 explode per side). localCheckpoint + explicit broadcasts on
-      // the LSH-bounded frames, the a17/exactGroupedQuantiles precedent.
-      val pairs = Dedup.lshBands(train)
-        .join(Dedup.lshBands(bench)
-          .select(col("band"), col("sig"), col("doc_id").as("bench_id")),
-          Seq("band", "sig"))
-        .select(col("doc_id"), col("bench_id")).distinct()
-        .localCheckpoint(true)
-      val tSh = graft.functions.TextFunctions.explodedShingles(
-          train.join(broadcast(pairs.select(col("doc_id")).distinct()),
-            Seq("doc_id"), "left_semi"),
-          "doc_id", "text", 3).distinct()
-        .localCheckpoint(true)
-      val bSh = graft.functions.TextFunctions.explodedShingles(
-          bench.join(broadcast(pairs.select(col("bench_id").as("doc_id")).distinct()),
-            Seq("doc_id"), "left_semi"),
-          "doc_id", "text", 3).distinct()
-        .select(col("doc_id").as("bench_id"), col("shingle"))
-        .localCheckpoint(true)
-      val nT = tSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_t"))
-      val nB = bSh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_b"))
-      val shared = broadcast(pairs)
-        .join(tSh, Seq("doc_id"))
-        .join(bSh, Seq("bench_id", "shingle"))
-        .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("sh_n"))
-      val j = pairs
-        .join(shared, Seq("doc_id", "bench_id"), "left")
-        .join(broadcast(nT), Seq("doc_id"))
-        .join(broadcast(nB), Seq("bench_id"))
-        .select(col("doc_id"),
-          round(coalesce(col("sh_n"), lit(0L)) /
-            (col("n_t") + col("n_b") - coalesce(col("sh_n"), lit(0L))).cast("double"), 6)
-            .as("jac"))
-      val agg = j.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bench_candidates"), max(col("jac")).as("max_jaccard"))
+      val agg = graft.operators.Decontaminate.fuzzyScores(train, bench)
       train.select(col("doc_id"))
         .join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1719,18 +1697,22 @@ object PipelineQueries {
     s"[('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.operators.Dedup.HashMod} for s in sh]"
 
   /** bands CTE at an arbitrary (numPerms, numBands) banding (expects a
-    * CTE `sh(doc_id, sh)`); mirrors `Dedup.lshBands`.
+    * CTE `src(doc_id, sh)`, default `sh`; emits `out` + `<out>_mh`, so
+    * two independent bandings can coexist in one oracle — c5w bands the
+    * survivor∪bench slice next to ccSqlOn's corpus banding); mirrors
+    * `Dedup.lshBands`.
     */
-  private def bandsSqlFor(numPerms: Int, numBands: Int): String = {
+  private def bandsSqlFor(numPerms: Int, numBands: Int,
+      src: String = "sh", out: String = "bands"): String = {
     val rows = numPerms / numBands
     val sig = (1 to rows).map(j => s"CAST(mhs[b*$rows+$j] AS VARCHAR)")
       .mkString(" || '|' || ")
-    s"""mh AS (
+    s"""${out}_mh AS (
        |  SELECT doc_id, ${minhashListSqlFor(numPerms)} AS mhs
-       |  FROM (SELECT doc_id, $contentHashSql AS hs FROM sh WHERE len(sh) >= 1)),
-       |bands AS (
+       |  FROM (SELECT doc_id, $contentHashSql AS hs FROM $src WHERE len(sh) >= 1)),
+       |$out AS (
        |  SELECT doc_id, b, $sig AS sig
-       |  FROM mh CROSS JOIN range(0, $numBands) r(b))""".stripMargin
+       |  FROM ${out}_mh CROSS JOIN range(0, $numBands) r(b))""".stripMargin
   }
 
   /** bands CTE shared by d2/d4/st7 (expects a CTE `sh(doc_id, sh)`). */
@@ -2069,6 +2051,92 @@ object PipelineQueries {
         |contam AS (
         |  SELECT nsh.doc_id FROM nsh LEFT JOIN ov USING (doc_id)
         |  WHERE COALESCE(ov.n_overlap, 0) >= nsh.n_sh * 0.5),
+        |tagged AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CASE WHEN b.is_bench THEN 'benchmark'
+        |         WHEN b.low_quality THEN 'quality'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM exact_dups) THEN 'exact_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM near_dups) THEN 'near_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+        |         ELSE 'kept' END AS stage
+        |  FROM base0 b)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM tagged GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // c5w: the c5 pipeline with the t36 fuzzy gate as the contamination
+    // stage — a SECOND banding (fbands, via bandsSqlFor's src/out params)
+    // over the survivor∪bench slice next to ccSqlOn's corpus banding
+    "c5w_curate_report_fuzzy" ->
+      s"""WITH RECURSIVE
+        |$qualityScoredSql,
+        |base0 AS (
+        |  SELECT d.doc_id, d.text, d.n_chars,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |    (d.doc_id % 50 = 0) AS is_bench,
+        |    (s.quality < 0.5) AS low_quality
+        |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id),
+        |s12 AS (SELECT * FROM base0 WHERE NOT is_bench AND NOT low_quality),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |  FROM s12),
+        |fpc AS (SELECT f, MIN(doc_id) AS fp_canon FROM fp GROUP BY f),
+        |exact_dups AS (
+        |  SELECT fp.doc_id FROM fp JOIN fpc USING (f)
+        |  WHERE fp.doc_id <> fpc.fp_canon),
+        |s3 AS (
+        |  SELECT s12.doc_id, s12.text, s12.n_chars FROM s12
+        |  ANTI JOIN exact_dups ON s12.doc_id = exact_dups.doc_id),
+        |${ccSqlOn("s3")},
+        |wc AS (
+        |  SELECT s3.doc_id, COALESCE(cc.component, s3.doc_id) AS component,
+        |    s3.n_chars
+        |  FROM s3 LEFT JOIN cc ON cc.node = s3.doc_id),
+        |sel AS (
+        |  SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS canonical_doc
+        |  FROM wc),
+        |near_dups AS (SELECT doc_id FROM sel WHERE doc_id <> canonical_doc),
+        |s4 AS (
+        |  SELECT s3.doc_id, s3.text FROM s3
+        |  ANTI JOIN near_dups ON s3.doc_id = near_dups.doc_id),
+        |fsh AS (
+        |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh
+        |  FROM (SELECT doc_id, text FROM s4
+        |        UNION ALL
+        |        SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)),
+        |${bandsSqlFor(graft.operators.Dedup.NumPerms,
+                       graft.operators.Dedup.NumBands, src = "fsh", out = "fbands")},
+        |ftb AS (SELECT doc_id, b, sig FROM fbands WHERE doc_id % 50 <> 0),
+        |fbb AS (SELECT doc_id AS bench_id, b, sig FROM fbands WHERE doc_id % 50 = 0),
+        |fpairs AS (
+        |  SELECT DISTINCT ftb.doc_id, fbb.bench_id
+        |  FROM ftb JOIN fbb ON ftb.b = fbb.b AND ftb.sig = fbb.sig),
+        |ftsh AS (
+        |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM fsh
+        |  WHERE doc_id IN (SELECT doc_id FROM fpairs)),
+        |fbsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id, unnest(sh) AS s FROM fsh
+        |  WHERE doc_id IN (SELECT bench_id FROM fpairs)),
+        |fnt AS (SELECT doc_id, count(*) AS n_t FROM ftsh GROUP BY 1),
+        |fnb AS (SELECT bench_id, count(*) AS n_b FROM fbsh GROUP BY 1),
+        |fshared AS (
+        |  SELECT p.doc_id, p.bench_id, count(*) AS sh_n
+        |  FROM fpairs p
+        |  JOIN ftsh ON ftsh.doc_id = p.doc_id
+        |  JOIN fbsh ON fbsh.bench_id = p.bench_id AND fbsh.s = ftsh.s
+        |  GROUP BY 1, 2),
+        |fj AS (
+        |  SELECT p.doc_id,
+        |    ROUND(COALESCE(sh_n, 0) /
+        |          CAST(n_t + n_b - COALESCE(sh_n, 0) AS DOUBLE), 6) AS jac
+        |  FROM fpairs p
+        |  LEFT JOIN fshared USING (doc_id, bench_id)
+        |  JOIN fnt USING (doc_id)
+        |  JOIN fnb USING (bench_id)),
+        |contam AS (SELECT doc_id FROM fj GROUP BY doc_id
+        |           HAVING MAX(jac) >= 0.5),
         |tagged AS (
         |  SELECT b.doc_id, b.n_tokens,
         |    CASE WHEN b.is_bench THEN 'benchmark'

@@ -123,4 +123,33 @@ class CurateAppSpec extends AnyFunSuite {
       CurateApp.tagged(spark, sfDir, qualityGate = "nope").collect()
     }
   }
+
+  test("contamGate switch: fuzzy stage = t36 verdicts restricted to pipeline survivors") {
+    import graft.operators.Decontaminate
+    val docs = graft.sources.Catalog.documents(spark, sfDir)
+
+    def byStage(gate: String) =
+      CurateApp.tagged(spark, sfDir, contamGate = gate)
+        .select(col("doc_id"), col("stage")).collect()
+        .groupBy(_.getString(1)).map { case (k, v) => k -> v.map(_.getLong(0)).toSet }
+
+    val fuzzy = byStage("fuzzy")
+    // a doc's fuzzy candidates depend only on itself and the bench set,
+    // so the stage-5 verdicts must equal the standalone t36 flags
+    // restricted to the docs that reached stage 5
+    val bench = docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text"))
+    val t36Flags = Decontaminate.fuzzyScores(train, bench)
+      .filter(col("max_jaccard") >= 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val reached5 = fuzzy.getOrElse("contaminated", Set.empty) ++
+      fuzzy.getOrElse("kept", Set.empty)
+    assert(fuzzy.getOrElse("contaminated", Set.empty) == (t36Flags & reached5))
+
+    // the stages still partition the corpus, and an unknown gate is loud
+    assert(fuzzy.values.map(_.size).sum == docs.count())
+    intercept[RuntimeException] {
+      CurateApp.tagged(spark, sfDir, contamGate = "nope").collect()
+    }
+  }
 }

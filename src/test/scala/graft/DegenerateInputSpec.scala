@@ -212,4 +212,48 @@ class DegenerateInputSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String, Array[Byte])].toDF("media_id", "kind", "bytes")
     assert(Multimodal.audioFingerprints(empty).count() == 0)
   }
+
+  test("audio dedup/match: empty and singleton fingerprint sets") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val emptyFps = Seq.empty[(Long, Long, Long)].toDF("media_id", "frame_idx", "fp")
+    val oneFps = Seq((1L, 0L, 42L), (1L, 1L, 42L)).toDF("media_id", "frame_idx", "fp")
+    // one clip can't pair with itself; empty corpora yield no pairs
+    assert(Multimodal.audioNearDupPairs(emptyFps).count() == 0)
+    assert(Multimodal.audioNearDupPairs(oneFps).count() == 0)
+    // matching: empty query or empty index yields no matches; an
+    // all-silence index (sentinel-only) never matches anything
+    assert(Multimodal.audioMatches(emptyFps, oneFps).count() == 0)
+    assert(Multimodal.audioMatches(oneFps, emptyFps).count() == 0)
+    val silentIdx = Seq((9L, 0L, -1L)).toDF("media_id", "frame_idx", "fp")
+    val silentQ = Seq((8L, 0L, -1L)).toDF("media_id", "frame_idx", "fp")
+    assert(Multimodal.audioMatches(silentQ, silentIdx).count() == 0)
+  }
+
+  test("perplexity gate: empty corpus, empty reference slice, no-bigram docs") {
+    import graft.operators.PerplexityGate
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(PerplexityGate.nllScores(empty, col("lang") === "en").count() == 0)
+    // empty reference slice: the no-op LM scores every bigram at
+    // logp = ln(1/1) = 0 → keepExpr keeps every doc WITH bigrams
+    val docs = Seq((1L, "two words here", "de"), (2L, "one", "de"))
+      .toDF("doc_id", "text", "lang")
+    val scored = PerplexityGate.nllScores(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scored(1L)._2 == 0L) // zero NLL under the degenerate LM
+    assert(!scored.contains(2L)) // a one-word doc has no bigrams → absent
+  }
+
+  test("fuzzy decontamination: empty train, empty bench, both") {
+    import graft.operators.Decontaminate
+    for ((t, b) <- Seq((emptyDocs, oneDoc), (oneDoc, emptyDocs), (emptyDocs, emptyDocs)))
+      assert(Decontaminate.fuzzyScores(t, b).count() == 0)
+    // a doc IS flagged against an identical bench doc (sanity: the
+    // machinery is live, the empties above aren't vacuous plumbing)
+    val flagged = Decontaminate.fuzzyScores(oneDoc,
+        oneDoc.select((col("doc_id") + 100).as("doc_id"), col("text")))
+      .collect()
+    assert(flagged.length == 1 && flagged.head.getDouble(2) == 1.0)
+  }
 }

@@ -188,9 +188,17 @@ object CurateApp {
             * g("ok_bullets") * g("ok_ellipses") * g("ok_alpha_words")
             * g("ok_stopwords")) === 0)
       case "perplexity" =>
+        // the verdict frame feeds tagged0, which the DAG references from
+        // several consumers (survivor filter, bench shingles, attribution)
+        // and Catalyst re-evaluates a subtree per reference — unpinned,
+        // the two-explode LM ran ~5× even for single-action callers
+        // (fingerprint: 26 scans / 27 windows; pinned: the score-gate
+        // shape plus one join). The scored frame is one row per doc with
+        // ≥1 bigram — cheap to pin (localCheckpoint, the a17 precedent).
         val scored = operators.PerplexityGate.nllScores(
-          docs.select(col("doc_id"), col("text"), col("lang")),
-          col("lang") === "en")
+            docs.select(col("doc_id"), col("text"), col("lang")),
+            col("lang") === "en")
+          .localCheckpoint(true)
         base0.join(scored, Seq("doc_id"), "left")
           .withColumn("low_quality",
             !operators.PerplexityGate.keepExpr(

@@ -385,10 +385,26 @@ object CurateStreamApp {
     val collidingImg = batchImgBands match {
       case None => collidingText
       case Some(ib) =>
+        // megabucket guard (the text screen's maxBucket trade at the
+        // image index): the verify join's fanout per batch image is the
+        // state bucket size, so a band shared by a million near-identical
+        // corpus images would detonate one lookup. The guard counts ONLY
+        // the state rows the batch's own (band, sig) keys touch — a
+        // broadcast semi-join subset, no extra state table, no O(corpus)
+        // pass — pins that subset, and drops oversized buckets before the
+        // fanout (their members still screen via their other 3 bands).
+        val touched = state.imgBands
+          .withColumnRenamed("media_id", "state_id")
+          .withColumnRenamed("phash", "state_ph")
+          .join(broadcast(ib.select(col("band"), col("sig")).distinct()),
+            Seq("band", "sig"), "left_semi")
+          .localCheckpoint(true) // read twice: bucket count + verify join
+        val hot = touched.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+          .select(col("band"), col("sig"))
         val imgCorpusHit = ib
-          .join(state.imgBands
-            .withColumnRenamed("media_id", "state_id")
-            .withColumnRenamed("phash", "state_ph"), Seq("band", "sig"))
+          .join(touched.join(broadcast(hot), Seq("band", "sig"), "left_anti"),
+            Seq("band", "sig"))
           .filter(bit_count(col("__h").bitwiseXOR(col("state_ph"))) <= imgMaxHamming)
           .select(col("media_id").as("doc_id")).distinct()
         val a = ib.select(col("band"), col("sig"),
@@ -423,8 +439,17 @@ object CurateStreamApp {
       case Some(af) =>
         val sigs = af.select(col("media_id"), col("fp")).distinct()
         val nfp = sigs.groupBy(col("media_id")).agg(count(lit(1)).as("nfp"))
+        // same touched-subset megabucket guard as the image screen, on
+        // the fp key (a frame fp shared by a million corpus clips —
+        // boilerplate audio — would fan the verify join out per arrival)
+        val audTouched = state.audioFps.withColumnRenamed("media_id", "state_id")
+          .join(broadcast(sigs.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+          .localCheckpoint(true) // read twice: bucket count + verify join
+        val audHot = audTouched.groupBy(col("fp"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+          .select(col("fp"))
         val audCorpusHit = sigs
-          .join(state.audioFps.withColumnRenamed("media_id", "state_id"), Seq("fp"))
+          .join(audTouched.join(broadcast(audHot), Seq("fp"), "left_anti"), Seq("fp"))
           .groupBy(col("media_id"), col("state_id")).agg(count(lit(1)).as("shared"))
           .join(nfp, Seq("media_id"))
           .filter(col("shared") >= col("nfp") * audMinContainment)

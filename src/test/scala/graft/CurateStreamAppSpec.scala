@@ -222,6 +222,18 @@ class CurateStreamAppSpec extends AnyFunSuite {
     CurateStreamApp.processBatch(spark, docs(30L -> baseText),
       stateDir, outDir, conf, batchId = 3L)
     assert(spark.read.parquet(s"$outDir/curated").count() == 4)
+
+    // megabucket guard: with maxBucket = 0 every touched state bucket is
+    // "hot" and excluded, so a re-rip that WOULD collide passes instead —
+    // the guard's recall trade is observable, proving it is live
+    val confHot = GraftConfig.parse(
+      """curation { imageScreen = "phash"
+        |           maxBucket = "0" }""".stripMargin)
+    CurateStreamApp.processBatch(spark, mdocs((40L, tIsland, imgC)),
+      stateDir, outDir, confHot, batchId = 4L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .contains(40L), "maxBucket=0 should disable the corpus image lookup")
   }
 
   test("audio screen: gain-variant re-rips drop against the fp state; fresh tones pass") {
@@ -282,5 +294,19 @@ class CurateStreamAppSpec extends AnyFunSuite {
       adocs((20L, tF, Multimodal.syntheticToneWav(43L, 400L))),
       stateDir, outDir, conf, batchId = 2L)
     assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+
+    // megabucket guard: maxBucket = 0 marks every touched fp bucket hot,
+    // so a re-rip that WOULD collide passes — the guard is live
+    val tG = "market stalls open under striped awnings while vendors " +
+      "arrange peaches and argue cheerfully about the weather"
+    val confHot = GraftConfig.parse(
+      """curation { audioScreen = "fingerprint"
+        |           maxBucket = "0" }""".stripMargin)
+    CurateStreamApp.processBatch(spark,
+      adocs((30L, tG, Multimodal.syntheticToneWav(43L, 600L))),
+      stateDir, outDir, confHot, batchId = 3L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .contains(30L), "maxBucket=0 should disable the corpus audio lookup")
   }
 }

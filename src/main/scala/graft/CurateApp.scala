@@ -31,9 +31,12 @@ import graft.sources.Catalog
   *                     `curation.perplexityMaxNllE6`)
   *   3. `exact_dup`  — same normalized md5 fingerprint as an earlier doc
   *                     (first occurrence keeps)
-  *   4. `near_dup`   — MinHash-LSH candidate pairs → connected
-  *                     components → only the canonical (longest) member
-  *                     of each component keeps
+  *   4. `near_dup`   — candidate pairs from the configured generator
+  *                     (`curation.nearDupMethod`: MinHash-LSH, SimHash,
+  *                     or SemDeDup cosine clusters over an
+  *                     embedding-bearing corpus) → connected components
+  *                     → only the canonical (longest) member of each
+  *                     component keeps
   *   5. `contaminated` — the selected gate (`curation.contamGate`:
   *                     `overlap` = ≥ `maxOverlap` of the doc's 3-gram
   *                     shingles appear in the benchmark set; `fuzzy` =
@@ -166,6 +169,12 @@ object CurateApp {
       else { val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); shared += p; p }
 
     val docs = Catalog.documents(spark, inDir)
+    // the semantic near-dup method reads embeddings where the text
+    // methods read shingle signatures — demand the column up front, with
+    // a configuration-shaped message, not an analysis error mid-DAG
+    require(widths.method != "semantic" || docs.columns.contains("embedding"),
+      "curation.nearDupMethod=semantic needs an `embedding` column on the " +
+        s"documents table at $inDir (an embedding-bearing corpus)")
 
     // stage 1+2: the quality gate is SELECTABLE (curation.qualityGate):
     //   score      — composite length/punct/stopword score (row-local)
@@ -222,9 +231,14 @@ object CurateApp {
       .withColumn("fp_canon", min(col("doc_id")).over(byFp))
       .withColumn("exact_dup", col("doc_id") =!= col("fp_canon")))
 
-    // stage 4: near-dup resolution among exact-dedup survivors
+    // stage 4: near-dup resolution among exact-dedup survivors. The
+    // semantic method needs the embedding column alongside; the text
+    // methods must NOT carry it (a wide array column riding through the
+    // LSH shuffles for nothing).
+    val s3Cols = Seq(col("doc_id"), col("text"), col("n_chars")) ++
+      (if (widths.method == "semantic") Seq(col("embedding")) else Nil)
     val s3 = withFp.filter(!col("exact_dup"))
-      .select(col("doc_id"), col("text"), col("n_chars"))
+      .select(s3Cols: _*)
     val resolved = sharedStage(Dedup.resolveDuplicates(s3,
         widths.candidatePairs(s3),
         pairsDistinct = true)

@@ -33,11 +33,21 @@ import graft.streaming.StreamingJobs
   *                    (4×16-bit band index + in-join Hamming verify) or
   *                    of an earlier image in the same batch;
   *   4. `audio_dup` — (curation.audioScreen = fingerprint) the clip's
-  *                    distinct constellation fps are ≥
-  *                    `curation.audio.minContainment` contained in one
-  *                    corpus clip's (audio_fps state) or an earlier
-  *                    in-batch clip's;
-  *   5. `near_dup`  — any MinHash band collides with the corpus band
+  *                    shared distinct constellation fps with one corpus
+  *                    clip (audio_fps state) or an earlier in-batch clip
+  *                    clear `curation.audio.minContainment` of the
+  *                    SMALLER side's fp count (the m9 verify — catches
+  *                    truncated re-rips AND arrivals extending a corpus
+  *                    clip); silence sentinels are excluded end-to-end;
+  *   5. `contaminated` — (curation.contamScreen = overlap|fuzzy) the
+  *                    arrival overlaps the [[bootstrapBench]]-indexed
+  *                    benchmark corpus: `overlap` = shared 3-gram
+  *                    fraction ≥ `curation.maxOverlap` (t10 semantics);
+  *                    `fuzzy` = bench band collision verified at ≥
+  *                    `curation.fuzzyMinJaccard` exact Jaccard (t36
+  *                    semantics) — closes the ingest hole the batch
+  *                    app's stage-5 gate covers for the initial corpus;
+  *   6. `near_dup`  — any MinHash band collides with the corpus band
   *                    index (`Dedup.lshBandsLocal` on the stream side —
   *                    one codegen kernel per row, no stream-side
   *                    shuffle; the corpus side carries the same
@@ -46,7 +56,7 @@ import graft.streaming.StreamingJobs
   *                    batch — greedy first-keeps ordering, so two
   *                    near-identical docs arriving together can't both
   *                    enter the corpus;
-  *   6. survivors   — appended under `<outDir>/curated/batch=<id>` and
+  *   7. survivors   — appended under `<outDir>/curated/batch=<id>` and
   *                    merged into the state tables (text fingerprints,
   *                    text band index, and — when the media screens are
   *                    on — the image band / audio fp indices).
@@ -104,6 +114,53 @@ object CurateStreamApp {
       StateSwap.readTableOrElse(spark, root, "lm_bigrams", sys.error("lm_bigrams missing")),
       StateSwap.readTableOrElse(spark, root, "lm_heads", sys.error("lm_heads missing")),
       StateSwap.readTableOrElse(spark, root, "lm_meta", sys.error("lm_meta missing"))))
+  }
+
+  /** Index the benchmark/eval corpus for the streaming contamination
+    * screen and persist it under `<stateDir>/bench_state` (its own swap
+    * root, the [[bootstrapLm]] pattern: the bench set is static between
+    * releases, so the per-batch delta/fold cycle never touches it). Run
+    * once before starting a `curation.contamScreen = overlap|fuzzy`
+    * stream; re-run on a new benchmark release (one atomic swap).
+    *
+    * Tables — everything both screen modes need, precomputed so no batch
+    * ever aggregates over the bench corpus:
+    *   `bench_shingles` (bench_id, shingle)  distinct per-doc 3-grams
+    *                    (fuzzy verify; overlap uses the shingle column)
+    *   `bench_bands`    (band, sig, bench_id) MinHash band index
+    *                    (fuzzy candidates — same layout as the corpus
+    *                    band index, so the stream side reuses its
+    *                    row-local [[Dedup.lshBandsLocal]] signatures)
+    *   `bench_nsh`      (bench_id, n_b) per-doc shingle counts (fuzzy
+    *                    Jaccard denominator)
+    * Input needs (doc_id, text).
+    */
+  def bootstrapBench(spark: SparkSession, bench: DataFrame, stateDir: String,
+      widths: DedupWidths = DedupWidths.default): Unit = {
+    val sh = graft.functions.TextFunctions.explodedShingles(
+        bench.select(col("doc_id").as("bench_id"), col("text")),
+        "bench_id", "text", 3).distinct()
+      .localCheckpoint(true) // feeds two tables below; shingle once
+    StateSwap.swapAll(s"$stateDir/bench_state", Seq(
+      "bench_shingles" -> sh,
+      "bench_bands" -> Dedup.lshBands(
+          bench.select(col("doc_id"), col("text")),
+          widths.numPerms, widths.numBands)
+        .select(col("band"), col("sig"), col("doc_id").as("bench_id")),
+      "bench_nsh" -> sh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_b"))))
+  }
+
+  /** The bootstrapped benchmark index (shingles, bands, counts), or None
+    * if [[bootstrapBench]] has never run for this state dir.
+    */
+  private[graft] def readBenchState(spark: SparkSession, stateDir: String)
+      : Option[(DataFrame, DataFrame, DataFrame)] = {
+    val root = s"$stateDir/bench_state"
+    if (!StateSwap.exists(spark, root)) None
+    else Some((
+      StateSwap.readTableOrElse(spark, root, "bench_shingles", sys.error("bench_shingles missing")),
+      StateSwap.readTableOrElse(spark, root, "bench_bands", sys.error("bench_bands missing")),
+      StateSwap.readTableOrElse(spark, root, "bench_nsh", sys.error("bench_nsh missing"))))
   }
 
   def main(args: Array[String]): Unit = {
@@ -437,7 +494,12 @@ object CurateStreamApp {
     val colliding = batchAudioFps match {
       case None => collidingImg
       case Some(af) =>
-        val sigs = af.select(col("media_id"), col("fp")).distinct()
+        // the all-sentinel fp (silence) is excluded exactly like the m9
+        // batch operator and audioMatches — a mostly-silent arrival must
+        // not reach containment 1.0 against any clip with one silent
+        // frame (the state index is sentinel-free at write time below)
+        val sigs = af.filter(col("fp") =!= lit(-1L))
+          .select(col("media_id"), col("fp")).distinct()
         val nfp = sigs.groupBy(col("media_id")).agg(count(lit(1)).as("nfp"))
         // same touched-subset megabucket guard as the image screen, on
         // the fp key (a frame fp shared by a million corpus clips —
@@ -448,23 +510,115 @@ object CurateStreamApp {
         val audHot = audTouched.groupBy(col("fp"))
           .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
           .select(col("fp"))
+        // containment denominator = least(nfp_arrival, nfp_state), the
+        // m9/audioNearDupPairs verify: an arrival that EXTENDS a corpus
+        // clip is caught too (its superset fp set contains the state
+        // clip's), not just the truncated-re-rip direction. The state
+        // clip's TRUE fp count comes from a second pass over the state
+        // index restricted to the candidate ids (touched-subset counts
+        // would undercount: they only see fps the batch also carries) —
+        // the candidate set is bounded by batch fps × maxBucket, so the
+        // extra pass is a scan plus a candidate-sized aggregate, never a
+        // corpus shuffle.
+        val candIds = audTouched.select(col("state_id")).distinct()
+        val stateNfp = state.audioFps.withColumnRenamed("media_id", "state_id")
+          .join(broadcast(candIds), Seq("state_id"), "left_semi")
+          .groupBy(col("state_id")).agg(count(lit(1)).as("nfp_state"))
         val audCorpusHit = sigs
           .join(audTouched.join(broadcast(audHot), Seq("fp"), "left_anti"), Seq("fp"))
           .groupBy(col("media_id"), col("state_id")).agg(count(lit(1)).as("shared"))
           .join(nfp, Seq("media_id"))
-          .filter(col("shared") >= col("nfp") * audMinContainment)
+          .join(stateNfp, Seq("state_id"))
+          .filter(col("shared") >=
+            least(col("nfp"), col("nfp_state")) * audMinContainment)
           .select(col("media_id").as("doc_id")).distinct()
         val audInBatchHit = operators.Multimodal
           .audioNearDupPairs(af, minContainment = audMinContainment)
           .select(col("id2").as("doc_id")).distinct() // greedy: earlier id keeps
         collidingImg.unionByName(audCorpusHit).unionByName(audInBatchHit).distinct()
     }
+
+    // 4. CONTAMINATION screen (curation.contamScreen = off|overlap|fuzzy)
+    // — the batch app's stage-5 gate on the INGEST path: benchmark text
+    // arriving through the stream must not enter the corpus, or the
+    // one-time batch decontamination guarantee silently decays. The
+    // benchmark index is bootstrap-once state ([[bootstrapBench]], the
+    // lm_state pattern — fail loud if missing); every batch pays shingle
+    // assembly on its own rows plus index scans with the batch side
+    // broadcast, never an aggregation over the bench corpus.
+    val contamScreen = config.getString("curation.contamScreen", "off")
+    val maxOverlap = config.getDouble("curation.maxOverlap", 0.5)
+    val fuzzyMinJaccard = config.getDouble("curation.fuzzyMinJaccard", 0.5)
+    val collidingAll = contamScreen match {
+      case "off" => colliding
+      case mode @ ("overlap" | "fuzzy") =>
+        val (benchSh, benchBands, benchNsh) = readBenchState(spark, stateDir)
+          .getOrElse(sys.error(
+            s"curation.contamScreen=$mode but no bench state under " +
+              s"$stateDir/bench_state — run CurateStreamApp.bootstrapBench " +
+              "over the benchmark corpus first"))
+        val arrSh = graft.functions.TextFunctions.explodedShingles(
+            batchUnique.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+          .distinct().localCheckpoint(true) // read twice: totals + hits/verify
+        val contamHit =
+          if (mode == "overlap") {
+            // t10/CurateApp-overlap semantics against the prebuilt bench
+            // shingle set — the recall-leaning screen (any shared-fragment
+            // mass counts toward the doc's overlap fraction)
+            val hits = benchSh.select(col("shingle")).distinct()
+              .join(broadcast(arrSh), Seq("shingle"))
+              .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+            arrSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+              .join(hits, Seq("doc_id"))
+              .filter(col("n_overlap") >= col("n_sh") * maxOverlap)
+              .select(col("doc_id"))
+          } else {
+            // t36/Decontaminate semantics: band collisions against the
+            // prebuilt bench band index (touched-subset megabucket guard,
+            // the media screens' trade), then exact-Jaccard verify against
+            // the prebuilt per-doc bench shingle sets — precision-leaning
+            // (flags near-clones of benchmark docs, not common fragments)
+            val touched = benchBands
+              .join(broadcast(batchBands.select(col("band"), col("sig")).distinct()),
+                Seq("band", "sig"), "left_semi")
+              .localCheckpoint(true) // read twice: bucket count + candidates
+            val hot = touched.groupBy(col("band"), col("sig"))
+              .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+              .select(col("band"), col("sig"))
+            val pairs = batchBands
+              .join(touched.join(broadcast(hot), Seq("band", "sig"), "left_anti"),
+                Seq("band", "sig"))
+              .select(col("doc_id"), col("bench_id")).distinct()
+              .localCheckpoint(true) // read 3×: verify, nT prune, final join
+            val bshCand = benchSh
+              .join(broadcast(pairs.select(col("bench_id")).distinct()),
+                Seq("bench_id"), "left_semi")
+            val shared = pairs
+              .join(arrSh, Seq("doc_id"))
+              .join(bshCand, Seq("bench_id", "shingle"))
+              .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("sh_n"))
+            val nT = arrSh
+              .join(pairs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+              .groupBy(col("doc_id")).agg(count(lit(1)).as("n_t"))
+            // jac ≥ J as the cross-multiplied inequality (no division)
+            pairs.join(shared, Seq("doc_id", "bench_id"), "left")
+              .join(nT, Seq("doc_id"))
+              .join(benchNsh, Seq("bench_id"))
+              .filter(coalesce(col("sh_n"), lit(0L)).cast("double") >=
+                (col("n_t") + col("n_b") - coalesce(col("sh_n"), lit(0L)))
+                  * fuzzyMinJaccard)
+              .select(col("doc_id")).distinct()
+          }
+        colliding.unionByName(contamHit).distinct()
+      case other => sys.error(
+        s"curation.contamScreen must be off|overlap|fuzzy, got '$other'")
+    }
     // materialized EAGERLY: the survivor plan reads all three state
     // tables and feeds three consumers (curated write, fp merge, band
     // merge) — one localCheckpoint avoids re-running the quality gate and
     // dedup joins per consumer, and keeps the staged state writes from
     // racing the root promotion below
-    val survivors = batchUnique.join(colliding, Seq("doc_id"), "left_anti")
+    val survivors = batchUnique.join(collidingAll, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
     if (batchId >= 0)
@@ -481,6 +635,7 @@ object CurateStreamApp {
       .join(survivors.select(col("doc_id").as("media_id")), Seq("media_id"), "left_semi")
       .select(col("band"), col("sig"), col("media_id"), col("__h").as("phash")))
     val survivorAudioFps = batchAudioFps.map(_
+      .filter(col("fp") =!= lit(-1L)) // index stays sentinel-free (m9 parity)
       .select(col("media_id"), col("fp")).distinct()
       .join(survivors.select(col("doc_id").as("media_id")), Seq("media_id"), "left_semi"))
     if (batchId >= 0) {

@@ -28,21 +28,39 @@ final case class DedupWidths(
     numBands: Int,
     simhashBits: Int,
     simhashBucketBits: Int,
-    simhashMaxHamming: Int) {
+    simhashMaxHamming: Int,
+    semanticTau: Double = 0.95,
+    semanticTargetCluster: Int = 128) {
 
-  require(method == "minhash" || method == "simhash",
-    s"curation.nearDupMethod must be minhash|simhash, got '$method'")
+  require(method == "minhash" || method == "simhash" || method == "semantic",
+    s"curation.nearDupMethod must be minhash|simhash|semantic, got '$method'")
 
   /** Candidate (doc1, doc2) pairs for the configured method — distinct
-    * pairs in both branches (the LSH form aggregates per pair across
-    * bands; the SimHash form keys each doc to exactly one bucket), so
-    * callers may pass `pairsDistinct = true` downstream.
+    * pairs in every branch (the LSH form aggregates per pair across
+    * bands; the SimHash form keys each doc to exactly one bucket; the
+    * semantic form emits each within-cluster pair once), so callers may
+    * pass `pairsDistinct = true` downstream.
+    *
+    * `semantic` (SemDeDup, Abbas et al. 2023) is the embedding-modality
+    * generator: it requires an `embedding` (array<float>) column on the
+    * corpus — text signatures never see paraphrases that share no
+    * shingles, embeddings do — and fails loudly on a text-only corpus
+    * rather than silently degrading to no-op dedup.
     */
   def candidatePairs(docs: DataFrame, maxBucket: Int = 10000): DataFrame =
     method match {
       case "simhash" =>
         Dedup.simhashCandidatePairs(docs, simhashBucketBits, simhashMaxHamming,
           maxBucket, simhashBits).select(col("doc1"), col("doc2"))
+      case "semantic" =>
+        require(docs.columns.contains("embedding"),
+          "curation.nearDupMethod=semantic needs an `embedding` column on " +
+            "the documents table (an embedding-bearing corpus); got only " +
+            docs.columns.mkString("(", ", ", ")"))
+        graft.operators.SimilaritySearch.semanticCandidatePairs(
+            docs.select(col("doc_id").as("vec_id"), col("embedding")),
+            semanticTau, semanticTargetCluster)
+          .select(col("doc1"), col("doc2"))
       case _ =>
         Dedup.lshCandidatePairs(docs, maxBucket, numPerms, numBands)
           .select(col("doc1"), col("doc2"))
@@ -66,5 +84,8 @@ object DedupWidths {
     numBands = c.getInt("curation.minhash.numBands", default.numBands),
     simhashBits = c.getInt("curation.simhash.bits", default.simhashBits),
     simhashBucketBits = c.getInt("curation.simhash.bucketBits", default.simhashBucketBits),
-    simhashMaxHamming = c.getInt("curation.simhash.maxHamming", default.simhashMaxHamming))
+    simhashMaxHamming = c.getInt("curation.simhash.maxHamming", default.simhashMaxHamming),
+    semanticTau = c.getDouble("curation.semantic.tau", default.semanticTau),
+    semanticTargetCluster =
+      c.getInt("curation.semantic.targetCluster", default.semanticTargetCluster))
 }

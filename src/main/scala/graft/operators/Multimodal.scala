@@ -714,7 +714,13 @@ object Multimodal {
   def audioNearDupPairs(fps: DataFrame, minShared: Int = 1,
       minContainment: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = fps.select(col("media_id"), col("fp")).distinct()
+    // the all-sentinel fp (silence) is excluded like audioMatches does:
+    // without the filter a mostly-silent clip (distinct fps ≈ {-1})
+    // reaches containment 1.0 against ANY clip holding one silent frame
+    // and dedups against it. nfp counts non-silent fps only, so both the
+    // numerator and denominator of containment live in signal space.
+    val sigs = fps.filter(col("fp") =!= lit(-1L))
+      .select(col("media_id"), col("fp")).distinct()
     val perMedia = sigs.groupBy(col("media_id")).agg(count(lit(1)).as("nfp"))
     val pairsInBucket = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.PairCombinations(

@@ -462,27 +462,7 @@ object SimilaritySearch {
   def semanticDedup(corpus: DataFrame, tau: Double, k: Int,
       fitSampleCap: Int = 100000, seed: Long = 42L,
       fitMaxIter: Int = 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val vecd = corpus
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("features", array_to_vector(col("embedding")))
-    // Deterministic bounded fit sample: hash-ordered prefix, then the
-    // keyed-repartition + in-partition-sort idiom that makes the other
-    // K-Means fits golden-stable (MlQueries.scala:35) — the fit must see
-    // a machine-independent row layout.
-    val cap = math.max(fitSampleCap, 4 * k)
-    val sample = vecd
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")).limit(cap)
-      .repartition(4, col("vec_id")).sortWithinPartitions("vec_id")
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(sample)
-    val assigned = withNorm(
-      model.transform(vecd)
-        .select(col("vec_id"), col("embedding"), col("cluster")),
-      "embedding", "nrm")
+    val assigned = assignedClusters(corpus, k, fitSampleCap, seed, fitMaxIter)
     // EVERY senior-side column is renamed — in a self-join a shared name
     // resolves both sides to the same attribute and the equi-predicate
     // folds to trivially-true (the join silently degenerates to
@@ -500,6 +480,64 @@ object SimilaritySearch {
     assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
       .join(dropped, Seq("vec_id"), "left")
       .withColumn("kept", coalesce(col("kept"), lit(1)).cast("long"))
+  }
+
+  /** Fit-and-assign head shared by [[semanticDedup]] and
+    * [[semanticCandidatePairs]]: seeded K-Means on a bounded
+    * deterministic sample, every vector assigned to its nearest
+    * centroid. Returns (vec_id, embedding, cluster, nrm).
+    */
+  private def assignedClusters(corpus: DataFrame, k: Int, fitSampleCap: Int,
+      seed: Long, fitMaxIter: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecd = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    // Deterministic bounded fit sample: hash-ordered prefix, then the
+    // keyed-repartition + in-partition-sort idiom that makes the other
+    // K-Means fits golden-stable (MlQueries.scala:35) — the fit must see
+    // a machine-independent row layout.
+    val cap = math.max(fitSampleCap, 4 * k)
+    val sample = vecd
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(cap)
+      .repartition(4, col("vec_id")).sortWithinPartitions("vec_id")
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(sample)
+    withNorm(
+      model.transform(vecd)
+        .select(col("vec_id"), col("embedding"), col("cluster")),
+      "embedding", "nrm")
+  }
+
+  /** SemDeDup as a CANDIDATE-PAIR generator — the embedding-modality
+    * plug-in for the curation apps' `nearDupMethod` dial (the
+    * [[graft.operators.Dedup.lshCandidatePairs]] /
+    * `simhashCandidatePairs` contract: distinct (doc1, doc2), doc1 <
+    * doc2): within-cluster pairs at cosine ≥ `tau`, k adapted to the
+    * corpus size like [[semanticDedupAdaptive]] so expected cluster
+    * population — and therefore per-row join fan-out — stays near
+    * `targetCluster` as the corpus grows. Downstream resolution
+    * (connected components + longest-member canonical pick) is the
+    * caller's, identical to the text methods — method selection changes
+    * only the candidate generator.
+    */
+  def semanticCandidatePairs(corpus: DataFrame, tau: Double,
+      targetCluster: Int = 128, fitSampleCap: Int = 100000,
+      seed: Long = 42L): DataFrame = {
+    val n = corpus.count()
+    val k = math.max(2L, (n + targetCluster - 1) / targetCluster).toInt
+    val cap = math.min(fitSampleCap, math.max(16 * k, 10000))
+    val assigned = assignedClusters(corpus, k, cap, seed, fitMaxIter = 10)
+    val senior = assigned.select(col("cluster").as("scl"), col("vec_id").as("sid"),
+      col("embedding").as("sv"), col("nrm").as("sn"))
+    assigned.join(senior,
+        col("scl") === col("cluster") &&
+          col("sid") < col("vec_id") &&
+          pairSim(col("sv"), col("embedding"), col("sn"), col("nrm")) >= tau)
+      .select(col("sid").as("doc1"), col("vec_id").as("doc2"))
   }
 
   /** [[semanticDedup]] with k chosen from the corpus size so expected

@@ -1328,9 +1328,12 @@ object PipelineQueries {
     // candidate pair is VERIFIED with exact 3-gram Jaccard — precision
     // matters when the verdict deletes training data. Output per train
     // doc: candidate count, max verified Jaccard, contaminated flag.
-    // Shape at 100 TB: the bench side is 2% of the corpus (broadcast
-    // bands), pairs are LSH-bounded, shingle sets computed once per doc
-    // appearing in any pair (semi-join prune — the d4 lesson).
+    // Shape at 100 TB: pairs are LSH-bounded with a per-side megabucket
+    // guard (hot band signatures drop, mirrored in the oracle's QUALIFY),
+    // join strategies are AQE-chosen from checkpointed sizes — never a
+    // forced broadcast of a candidate-bounded frame — and shingle sets
+    // are computed once per doc appearing in any pair (semi-join prune,
+    // the d4 lesson).
     "t36_near_decontaminate" -> ((s, dir) => {
       // core lives in operators/Decontaminate (shared with the curation
       // apps' contamGate=fuzzy mode); plan-discipline notes there
@@ -2108,8 +2111,10 @@ object PipelineQueries {
         |        SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)),
         |${bandsSqlFor(graft.operators.Dedup.NumPerms,
                        graft.operators.Dedup.NumBands, src = "fsh", out = "fbands")},
-        |ftb AS (SELECT doc_id, b, sig FROM fbands WHERE doc_id % 50 <> 0),
-        |fbb AS (SELECT doc_id AS bench_id, b, sig FROM fbands WHERE doc_id % 50 = 0),
+        |ftb AS (SELECT doc_id, b, sig FROM fbands WHERE doc_id % 50 <> 0
+        |        QUALIFY count(*) OVER (PARTITION BY b, sig) <= ${graft.operators.Decontaminate.MaxBucket}),
+        |fbb AS (SELECT doc_id AS bench_id, b, sig FROM fbands WHERE doc_id % 50 = 0
+        |        QUALIFY count(*) OVER (PARTITION BY b, sig) <= ${graft.operators.Decontaminate.MaxBucket}),
         |fpairs AS (
         |  SELECT DISTINCT ftb.doc_id, fbb.bench_id
         |  FROM ftb JOIN fbb ON ftb.b = fbb.b AND ftb.sig = fbb.sig),
@@ -3408,8 +3413,10 @@ object PipelineQueries {
     "t36_near_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM documents),
         |$bandsSql,
-        |tb AS (SELECT doc_id, b, sig FROM bands WHERE doc_id % 50 <> 0),
-        |bb AS (SELECT doc_id AS bench_id, b, sig FROM bands WHERE doc_id % 50 = 0),
+        |tb AS (SELECT doc_id, b, sig FROM bands WHERE doc_id % 50 <> 0
+        |       QUALIFY count(*) OVER (PARTITION BY b, sig) <= ${graft.operators.Decontaminate.MaxBucket}),
+        |bb AS (SELECT doc_id AS bench_id, b, sig FROM bands WHERE doc_id % 50 = 0
+        |       QUALIFY count(*) OVER (PARTITION BY b, sig) <= ${graft.operators.Decontaminate.MaxBucket}),
         |pairs AS (
         |  SELECT DISTINCT tb.doc_id, bb.bench_id
         |  FROM tb JOIN bb ON tb.b = bb.b AND tb.sig = bb.sig),
@@ -3475,10 +3482,11 @@ object PipelineQueries {
       """WITH RECURSIVE f AS (
         |  SELECT DISTINCT media_id, fp
         |  FROM read_parquet('/root/repo/goldens/m9f_tone_fingerprint.parquet')),
-        |pm AS (SELECT media_id, count(*) AS nfp FROM f GROUP BY media_id),
-        |buckets AS (SELECT fp FROM f GROUP BY fp
+        |fnz AS (SELECT media_id, fp FROM f WHERE fp <> -1),
+        |pm AS (SELECT media_id, count(*) AS nfp FROM fnz GROUP BY media_id),
+        |buckets AS (SELECT fp FROM fnz GROUP BY fp
         |            HAVING count(*) BETWEEN 2 AND 10000),
-        |bk AS (SELECT f.media_id, f.fp FROM f JOIN buckets USING (fp)),
+        |bk AS (SELECT fnz.media_id, fnz.fp FROM fnz JOIN buckets USING (fp)),
         |shared AS (
         |  SELECT a.media_id AS id1, b.media_id AS id2, count(*) AS shared_fps
         |  FROM bk a JOIN bk b ON a.fp = b.fp AND a.media_id < b.media_id

@@ -152,4 +152,53 @@ class CurateAppSpec extends AnyFunSuite {
       CurateApp.tagged(spark, sfDir, contamGate = "nope").collect()
     }
   }
+
+  test("nearDupMethod=semantic: embedding near-dups drop across DISTINCT texts; text methods keep them; fail-loud without embeddings") {
+    import spark.implicits._
+    def unit(v: Seq[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    // three GOOD-quality docs with pairwise-disjoint vocabulary (no text
+    // signature can pair them); docs 1 and 2 are semantic paraphrases
+    // (cosine ≈ 0.99995 ≥ tau), doc 3 points elsewhere. Doc 1 is longer
+    // → the resolution's longest-member canonical pick keeps 1, drops 2.
+    val tA = ("the committee reviewed harbor safety rules and approved " +
+      "new lighting for the winter piers after a short debate ") * 3
+    val tB = ("volunteers cleaned the riverbank saturday sorting bottles " +
+      "cans paper into labeled bins before lunch ") * 2
+    val tC = ("the bakery introduced a rye loaf that sells out before " +
+      "noon almost every single market day this season ") * 3
+    val tD = ("night trains carry timber north across the frozen plateau " +
+      "while dispatchers trade weather notes by radio ") * 2
+    val in = java.nio.file.Files.createTempDirectory("curate_sem_").toString
+    Seq(
+        (1L, tA, unit(Seq(1, 0.01, 0, 0, 0, 0, 0, 0))),
+        (2L, tB, unit(Seq(1, 0, 0, 0, 0, 0, 0, 0))),
+        (3L, tC, unit(Seq(0, 1, 0, 0, 0, 0, 0, 0))),
+        // cos(e3, e4) = 1/sqrt(1.23) ≈ 0.902: same K-Means cell as doc 3
+        // but below the 0.95 default tau
+        (4L, tD, unit(Seq(0, 1, 0.48, 0, 0, 0, 0, 0))))
+      .map { case (id, t, e) => (id, t, t.length.toLong, "en", "test", e) }
+      .toDF("doc_id", "text", "n_chars", "lang", "source", "embedding")
+      .write.mode("overwrite").parquet(s"$in/documents.parquet")
+
+    val sem = DedupWidths.default.copy(method = "semantic")
+    def stages(w: DedupWidths) =
+      CurateApp.tagged(spark, in, widths = w)
+        .select(col("doc_id"), col("stage")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stages(sem) == Map(1L -> "kept", 2L -> "near_dup",
+      3L -> "kept", 4L -> "kept"))
+    // the text generator sees four unrelated docs — the dial is live
+    assert(stages(DedupWidths.default).values.forall(_ == "kept"))
+    // a looser tau pulls the 0.9-cosine neighbor pair in too (the
+    // threshold is live; doc 4 is shorter than doc 3, so 3 keeps)
+    assert(stages(sem.copy(semanticTau = 0.85)) == Map(1L -> "kept",
+      2L -> "near_dup", 3L -> "kept", 4L -> "near_dup"))
+
+    // semantic over a text-only corpus fails loudly, not no-op dedup
+    intercept[IllegalArgumentException] {
+      CurateApp.tagged(spark, sfDir, widths = sem).collect()
+    }
+  }
 }

@@ -236,6 +236,75 @@ class CurateStreamAppSpec extends AnyFunSuite {
       .contains(40L), "maxBucket=0 should disable the corpus image lookup")
   }
 
+  test("contamination screen: exact and paraphrased bench text drop cross-batch; fuzzy spares fragment-quoters; replay a no-op") {
+    val benchA = ("the annual report lists every coastal station with its " +
+      "measured tide height and the month of the highest recorded flood ") * 3
+    // benchB is long and NON-repetitive: a fragment of it then has a
+    // small Jaccard against the whole (a ×3-repeated text would collapse
+    // the distinct-shingle union and make even an 18-word quote a
+    // near-clone by Jaccard)
+    val benchB = "participants answered forty questions about planetary " +
+      "orbits gravitational pull and the speed of light in a vacuum " +
+      "then rated their confidence on a seven point scale before the " +
+      "interviewer recorded age education and prior physics coursework " +
+      "finally each person estimated how long a signal needs to travel " +
+      "from the sun to the earth and explained the reasoning aloud"
+    val fresh = ("gardeners planted tomato seedlings along the sunny wall " +
+      "and watered them every second evening through the dry summer ") * 3
+    // a pure fragment of benchB: every one of its shingles appears in the
+    // bench set (overlap fraction 1.0) but its Jaccard vs benchB is low
+    // and its own MinHash signature differs -> the fuzzy screen keeps it
+    val quoter = benchB.split(" ").take(18).mkString(" ")
+
+    for (mode <- Seq("overlap", "fuzzy")) {
+      val root = Files.createTempDirectory(s"curatestream_contam_$mode")
+        .toFile.getAbsolutePath
+      val stateDir = s"$root/state"; val outDir = s"$root/out"
+      new java.io.File(stateDir).mkdirs()
+      val conf = GraftConfig.parse(
+        s"""curation { contamScreen = "$mode" }""")
+
+      // screen on but bench index never bootstrapped → fail loud, not keep-all
+      intercept[RuntimeException] {
+        CurateStreamApp.processBatch(spark, docs(1L -> fresh),
+          stateDir, outDir, conf, batchId = 0L)
+      }
+      CurateStreamApp.bootstrapBench(spark,
+        docs(900L -> benchA, 901L -> benchB), stateDir)
+
+      // batch 0: a fresh doc (kept) and an EXACT copy of benchA (dropped —
+      // note benchA is bench_state only, so neither the corpus fp nor the
+      // band state could have caught it: the contamination screen is
+      // load-bearing here)
+      CurateStreamApp.processBatch(spark, docs(1L -> fresh, 2L -> benchA),
+        stateDir, outDir, conf, batchId = 0L)
+      assert(spark.read.parquet(s"$outDir/curated")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
+        s"mode=$mode: exact bench copy must drop")
+
+      // batch 1: a PARAPHRASED near-clone of benchB (trailing append keeps
+      // nearly all shingles shared → band collision + Jaccard ≥ 0.5 →
+      // both modes drop it) and the fragment-quoter (overlap drops it —
+      // every quoter shingle is a bench shingle; fuzzy keeps it — low
+      // Jaccard, different signature)
+      CurateStreamApp.processBatch(spark,
+        docs(10L -> (benchB + "with one extra closing word appended"),
+             11L -> quoter),
+        stateDir, outDir, conf, batchId = 1L)
+      val after1 = spark.read.parquet(s"$outDir/curated")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expect1 = if (mode == "overlap") Set(1L) else Set(1L, 11L)
+      assert(after1 == expect1, s"mode=$mode: got $after1")
+
+      // replay of batch 1 is a no-op with the screen on
+      CurateStreamApp.processBatch(spark,
+        docs(10L -> (benchB + "with one extra closing word appended"),
+             11L -> quoter),
+        stateDir, outDir, conf, batchId = 1L)
+      assert(spark.read.parquet(s"$outDir/curated").count() == expect1.size)
+    }
+  }
+
   test("audio screen: gain-variant re-rips drop against the fp state; fresh tones pass") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -308,5 +377,71 @@ class CurateStreamAppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet
       .contains(30L), "maxBucket=0 should disable the corpus audio lookup")
+  }
+
+  test("audio screen: an arrival EXTENDING a corpus clip drops (min-side containment, m9 parity)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val root = Files.createTempDirectory("curatestream_aud_ext").toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    val conf = GraftConfig.parse(
+      """curation { audioScreen = "fingerprint" }""")
+
+    def adocs(rows: (Long, String, Array[Byte])*) =
+      rows.toSeq.map { case (id, t3, wav) =>
+        val t = (t3 + " ") * 3
+        (id, t, t.length.toLong, "en", "test", "audio", wav)
+      }.toDF("doc_id", "text", "n_chars", "lang", "source", "kind", "bytes")
+    def wavOf(pcm: Array[Int], sr: Int): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+      val out = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        out(2 * i) = (pcm(i) & 0xff).toByte
+        out(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(out),
+        fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val tA = "a calm voice reads the morning news about local gardens and " +
+      "weekend markets while soft rain taps the studio window"
+    val tB = "drums and brass open the evening show with a quick bright " +
+      "theme the band has played for twenty seasons"
+    val tC = "waves crash against the old pier while children count boats " +
+      "and seagulls argue over a dropped sandwich"
+
+    // batch 0: the short source clip (tone group 0) enters the corpus
+    val clipA = Multimodal.syntheticToneWav(1L, 700L)
+    CurateStreamApp.processBatch(spark, adocs((1L, tA, clipA)),
+      stateDir, outDir, conf, batchId = 0L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 1)
+
+    // batch 1: an arrival whose FIRST HALF is clip A's waveform and whose
+    // second half is a fresh tone group — the superset/extension re-rip.
+    // shared = all of the state clip's fps, so min-side containment = 1.0
+    // (drops); the arrival-sided rule the screen used pre-r12 would have
+    // scored shared/nfp(arrival) ≈ 0.5 < 0.8 and admitted it.
+    val (srA, pcmA) = Multimodal.decodePcmMono(clipA)
+    val (_, pcmB) = Multimodal.decodePcmMono(Multimodal.syntheticToneWav(106L, 700L))
+    val extension = wavOf(pcmA ++ pcmB, srA)
+    CurateStreamApp.processBatch(spark, adocs((10L, tB, extension)),
+      stateDir, outDir, conf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
+      "an arrival extending a corpus clip must drop")
+
+    // the fresh second-half group never entered the corpus (the extension
+    // was dropped whole), so a pure clip of it is admitted
+    CurateStreamApp.processBatch(spark,
+      adocs((20L, tC, Multimodal.syntheticToneWav(106L, 500L))),
+      stateDir, outDir, conf, batchId = 2L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 20L))
   }
 }

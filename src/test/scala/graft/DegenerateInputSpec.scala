@@ -256,4 +256,26 @@ class DegenerateInputSpec extends AnyFunSuite {
       .collect()
     assert(flagged.length == 1 && flagged.head.getDouble(2) == 1.0)
   }
+
+  test("fuzzy decontamination: megabucket guard drops hot band signatures") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    // boilerplate corpus: 6 identical train docs and 2 identical bench
+    // docs all land in the SAME (band, sig) buckets — the saturated
+    // regime where an unguarded pair fanout is |train|×|bench|
+    val text = "the same boilerplate sentence repeated across every single document here"
+    val train = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val bench = Seq((100L, text), (101L, text)).toDF("doc_id", "text")
+    // default cap: all 12 pairs verify at jaccard 1.0
+    val open = Decontaminate.fuzzyScores(train, bench).collect()
+    assert(open.length == 6 && open.forall(r =>
+      r.getLong(1) == 2L && r.getDouble(2) == 1.0))
+    // cap below the bucket sizes: every bucket is hot on the train side
+    // (6 > 5) → zero candidates, zero rows — the guard's recall trade is
+    // observable and the pair fanout is bounded BY CONSTRUCTION
+    assert(Decontaminate.fuzzyScores(train, bench, maxBucket = 5).count() == 0)
+    // cap between the two sides (2 ≤ 3 < 6): the bench side survives,
+    // the train side's hot buckets still drop → still zero candidates
+    assert(Decontaminate.fuzzyScores(train, bench, maxBucket = 3).count() == 0)
+  }
 }

@@ -339,4 +339,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(100L)._1 == 22L)
     assert(got(100L)._2 >= 1L, s"expected a positive time offset, got ${got(100L)}")
   }
+
+  test("audioNearDupPairs excludes the silence sentinel: silent clips never dedup against unrelated audio") {
+    import spark.implicits._
+    def wavOf(pcm: Array[Int], sr: Int): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+      val out = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        out(2 * i) = (pcm(i) & 0xff).toByte
+        out(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(out),
+        fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // clip 1: ALL silence (distinct fps = {-1} only); clips 2 and 30:
+    // unrelated tone groups, each padded with trailing silence so they
+    // also carry a -1 frame. Pre-sentinel-filter, clip 1 reached
+    // containment 1.0 against BOTH (shared {-1} over min nfp 1) and
+    // bridged them into one component; with the filter it pairs with
+    // nothing, and the two tone clips stay apart (their non-silent fps
+    // differ). Clip 23 is clip 2's group at another gain/length — real
+    // recall must survive the filter, silence padding and all.
+    val (sr2, pcm2) = Multimodal.decodePcmMono(Multimodal.syntheticToneWav(2L, 500L))
+    val (_, pcm23) = Multimodal.decodePcmMono(Multimodal.syntheticToneWav(2L, 100L))
+    val (_, pcm30) = Multimodal.decodePcmMono(Multimodal.syntheticToneWav(30L, 500L))
+    val fps = Multimodal.audioFingerprints(Seq(
+        (1L, "audio", wavOf(new Array[Int](512), sr2)),
+        (2L, "audio", wavOf(pcm2 ++ new Array[Int](512), sr2)),
+        (23L, "audio", wavOf(pcm23 ++ new Array[Int](512), sr2)),
+        (30L, "audio", wavOf(pcm30 ++ new Array[Int](512), sr2)))
+      .toDF("media_id", "kind", "bytes"))
+    // the fixture really does put the sentinel in every clip's fp set
+    assert(fps.filter(col("fp") === lit(-1L)).select("media_id").distinct().count() == 4)
+    // 0.6: the tone→silence boundary frames fingerprint slightly apart at
+    // the two lengths (2 of 3 non-silent fps shared); the unrelated pair
+    // (2, 30) shares only 1 of 3 (a decay-frame artifact) and stays apart
+    val pairs = Multimodal.audioNearDupPairs(fps, minContainment = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs == Seq((2L, 23L)), s"got $pairs")
+  }
 }

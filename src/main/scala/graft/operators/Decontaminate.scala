@@ -17,18 +17,32 @@ import org.apache.spark.sql.functions._
   * by 2+ consumers, and Catalyst re-evaluates a subtree per reference —
   * unpinned, the band join and the two shingle explodes re-ran per
   * consumer (measured 17 scans / 16 windows). localCheckpoint pins each
-  * after one evaluation AND gives AQE exact sizes, so the join strategy
-  * is chosen at runtime from real statistics. No explicit broadcast
-  * hints: the pair set and per-doc shingle counts are CANDIDATE-bounded,
-  * not domain-bounded — in a saturated-contamination corpus (the sf1n
-  * fixture's regime: >90% of docs carry candidates) they are O(train),
-  * and a forced broadcast would bypass AQE's size checks and detonate
-  * the driver. AQE broadcasts them when they are actually small (the
-  * sf0.01/sf0.1 case) and falls back to a shuffled hash/sort-merge join
-  * when they are not — all joins here are equi-joins on
+  * after one evaluation.
+  *
+  * Join strategies are gated on MEASURED row counts, not hints or
+  * optimizer estimates. The pair set and per-doc shingle counts are
+  * CANDIDATE-bounded, not domain-bounded — in a template-heavy corpus
+  * (exact clone groups sharing band signatures) they are O(train), and
+  * the pre-r12 unconditional `broadcast(pairs)`/`broadcast(nT)` hints
+  * detonate the driver there. Estimates don't save you either: a
+  * measured 7.4M-row checkpointed shingle frame carried a 3.2 MB
+  * optimizer estimate (LogicalRDD stats derive from upstream
+  * distinct-shrink guesses, not from the materialized blocks), so
+  * Catalyst statically broadcast it and OOM'd a small driver. Since
+  * every frame here is eagerly checkpointed, exact counts are one cheap
+  * job each — frames at or under [[BroadcastRowCap]] are explicitly
+  * broadcast (the sf0.01/sf0.1 regime, and the t36 plan golden), frames
+  * above it carry a merge hint so no mis-estimated side can ever be
+  * planned as a build side. All joins are equi-joins on
   * `doc_id`/`bench_id`, so nothing requires a broadcast to be correct.
   */
 object Decontaminate {
+
+  /** Measured-rows threshold between "provably broadcastable" and
+    * "force a shuffled join": the [[Dedup.BroadcastIndexRowCap]] trade
+    * (2^18 rows of ids/counts ≈ a few MB serialized).
+    */
+  val BroadcastRowCap: Long = 1L << 18
 
   /** Degenerate-band-bucket guard, same trade as
     * [[Dedup.lshCandidatePairs]]'s `maxBucket`: a (band, sig) bucket
@@ -61,27 +75,40 @@ object Decontaminate {
         Seq("band", "sig"))
       .select(col("doc_id"), col("bench_id")).distinct()
       .localCheckpoint(true)
+    // one aggregate over the materialized pair RDD measures every gate
+    // input: pair count + per-side candidate-doc counts (also the nT/nB
+    // row counts — one row per candidate doc)
+    val m = pairs.agg(count(lit(1)), count_distinct(col("doc_id")),
+      count_distinct(col("bench_id"))).head
+    val (nPairs, nDocT, nDocB) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    // measured gate: provably-small frames broadcast, everything else is
+    // pinned to a shuffled merge join so a mis-ESTIMATED frame can never
+    // be chosen as a broadcast/build side (see the object doc)
+    def gate(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= BroadcastRowCap) broadcast(df) else df.hint("merge")
     val tSh = graft.functions.TextFunctions.explodedShingles(
-        train.join(pairs.select(col("doc_id")).distinct(),
+        train.join(gate(pairs.select(col("doc_id")).distinct(), nDocT),
           Seq("doc_id"), "left_semi"),
         "doc_id", "text", 3).distinct()
       .localCheckpoint(true)
     val bSh = graft.functions.TextFunctions.explodedShingles(
-        bench.join(pairs.select(col("bench_id").as("doc_id")).distinct(),
+        bench.join(gate(pairs.select(col("bench_id").as("doc_id")).distinct(), nDocB),
           Seq("doc_id"), "left_semi"),
         "doc_id", "text", 3).distinct()
       .select(col("doc_id").as("bench_id"), col("shingle"))
       .localCheckpoint(true)
     val nT = tSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_t"))
     val nB = bSh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_b"))
-    val shared = pairs
-      .join(tSh, Seq("doc_id"))
-      .join(bSh, Seq("bench_id", "shingle"))
+    // the shingle frames' measured sizes gate the verify join the same
+    // way (their counts are one cheap job each on the pinned blocks)
+    val shared = gate(pairs, nPairs)
+      .join(gate(tSh, tSh.count()), Seq("doc_id"))
+      .join(gate(bSh, bSh.count()), Seq("bench_id", "shingle"))
       .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("sh_n"))
-    pairs
+    gate(pairs, nPairs)
       .join(shared, Seq("doc_id", "bench_id"), "left")
-      .join(nT, Seq("doc_id"))
-      .join(nB, Seq("bench_id"))
+      .join(gate(nT, nDocT), Seq("doc_id"))
+      .join(gate(nB, nDocB), Seq("bench_id"))
       .select(col("doc_id"),
         round(coalesce(col("sh_n"), lit(0L)) /
           (col("n_t") + col("n_b") - coalesce(col("sh_n"), lit(0L))).cast("double"), 6)

@@ -150,6 +150,33 @@ object CurateStreamApp {
       "bench_nsh" -> sh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_b"))))
   }
 
+  /** Periodic state refresh for a long-running stream (the
+    * `rebalanceIvfIndex` pattern at the curation state): the perplexity
+    * gate's LM is bootstrap-once, so a corpus that drifts — new domains
+    * admitted through the score/gopher gates, or a register shift in the
+    * source — keeps being scored against the ORIGINAL reference slice's
+    * register. This entry point folds any live corpus deltas (so the
+    * refreshed state is compact) and retrains the LM from the
+    * ACCUMULATED curated corpus's `lang = "en"` slice (CurateApp's
+    * reference rule), in one atomic `lm_state` swap. Replay idempotence
+    * is untouched: batch-applied markers ride the delta log, not the LM.
+    *
+    * The media/band indices need no refresh — they are exact incremental
+    * state (every admitted row indexed at admit time), not a model.
+    * Run out-of-band on whatever cadence the drift budget allows:
+    *
+    *   spark-submit --class graft.CurateStreamApp ... # stream keeps running
+    *   // elsewhere, periodically:
+    *   CurateStreamApp.refreshState(spark, stateDir, outDir)
+    */
+  def refreshState(spark: SparkSession, stateDir: String, outDir: String): Unit = {
+    foldDeltas(spark, stateDir)
+    val curated = spark.read.parquet(s"$outDir/curated")
+    bootstrapLm(spark,
+      curated.filter(col("lang") === "en").select(col("doc_id"), col("text")),
+      stateDir)
+  }
+
   /** The bootstrapped benchmark index (shingles, bands, counts), or None
     * if [[bootstrapBench]] has never run for this state dir.
     */

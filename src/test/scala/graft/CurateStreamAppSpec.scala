@@ -236,6 +236,63 @@ class CurateStreamAppSpec extends AnyFunSuite {
       .contains(40L), "maxBucket=0 should disable the corpus image lookup")
   }
 
+  test("refreshState retrains the LM from the drifted corpus: verdicts change, replay stays a no-op") {
+    val root = Files.createTempDirectory("curatestream_refresh").toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    val pplConf = GraftConfig.parse("""curation { qualityGate = "perplexity" }""")
+    val scoreConf = GraftConfig.empty
+
+    // register B: ordinary English from a DIFFERENT domain than the LM's
+    // bootstrap register — every bigram unseen by LM-A, so pre-refresh
+    // NLL = ln(V) per bigram > 3.45 nats
+    val driftB = ("winter storms closed the mountain pass for three days " +
+      "while plows worked the drifts and crews salted the long grade ") * 3
+    // the probe REORDERS driftB's clauses: ~65% of its bigrams are in the
+    // drifted corpus (LM-familiar after refresh) but only ~35% of its
+    // TRIGRAMS match driftB, so the near-dup band screen — which would
+    // eat a 3-word-edit variant and mask the LM verdict — stays quiet
+    val driftB2 = ("crews salted the drifts while plows worked the long " +
+      "mountain grade and winter storms closed the pass for three days ") * 3
+
+    CurateStreamApp.bootstrapLm(spark, docs(100L -> baseText, 101L -> shipText), stateDir)
+    // batch 0 (perplexity gate): register A passes, register B fails
+    CurateStreamApp.processBatch(spark, docs(1L -> baseText, 2L -> driftB),
+      stateDir, outDir, pplConf, batchId = 0L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // drift: register-B text enters the corpus through the score gate
+    // (the LM gate was never the only admission path)
+    CurateStreamApp.processBatch(spark, docs(10L -> driftB),
+      stateDir, outDir, scoreConf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 2)
+
+    // pre-refresh, a register-B variant still fails the perplexity gate
+    CurateStreamApp.processBatch(spark, docs(20L -> driftB2),
+      stateDir, outDir, pplConf, batchId = 2L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 2,
+      "register-B text must fail against the stale LM")
+
+    // refresh: LM retrained on the accumulated curated corpus (A + B);
+    // the same register-B variant now passes
+    CurateStreamApp.refreshState(spark, stateDir, outDir)
+    CurateStreamApp.processBatch(spark, docs(30L -> driftB2),
+      stateDir, outDir, pplConf, batchId = 3L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 10L, 30L))
+
+    // replays of pre- and post-refresh batches are still no-ops, and the
+    // refresh folded the delta log into a compact base
+    CurateStreamApp.processBatch(spark, docs(10L -> driftB),
+      stateDir, outDir, scoreConf, batchId = 1L)
+    CurateStreamApp.processBatch(spark, docs(30L -> driftB2),
+      stateDir, outDir, pplConf, batchId = 3L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 3)
+    val st = CurateStreamApp.readCorpusState(spark, stateDir)
+    assert(st.appliedThrough >= 2L && st.fps.count() == 3)
+  }
+
   test("contamination screen: exact and paraphrased bench text drop cross-batch; fuzzy spares fragment-quoters; replay a no-op") {
     val benchA = ("the annual report lists every coastal station with its " +
       "measured tide height and the month of the highest recorded flood ") * 3

@@ -73,17 +73,15 @@ object E2eSf1n {
     }
     val nAlerts = spark.read.parquet(s"$work/graft/out/alerts").count()
 
-    // The sf1n contamination count is dominated by FIXTURE saturation,
-    // not engine behavior: the synthetic docs draw from a ~31-word
-    // vocabulary (27k possible 3-grams), so the 10x-bigger benchmark
-    // split (1000 docs x ~52 distinct shingles) covers ~86% of the
-    // whole 3-gram space and nearly every doc crosses the 0.5-overlap
-    // threshold. At sf0.1 (100 bench docs, ~18% coverage) the same code
-    // reports contaminated=13/5000, kept=4394 (graft.tmp.CurateDist).
-    val contamNote = "sf1n contamination rate is fixture-vocab saturation " +
-      "(31-word vocab => 27k possible 3-grams; 1000 bench docs cover ~86% " +
-      "of that space vs ~18% at sf0.1 where the same code keeps 4394/5000); " +
-      "engine semantics oracle-checked via c5_curate_report"
+    // r12: the fixture draws from a ~4k-word Zipf vocabulary (trigram
+    // space ~7e10), so the contamination and near-dup rates measure GATE
+    // behavior — planted clone/near-dup docs and true bench overlaps —
+    // not trigram-space saturation (the pre-r12 31-word vocab covered
+    // ~86% of 3-gram space and flagged ~93% of docs as contaminated).
+    val contamNote = "natural-vocab fixture (r12): ~4k-word Zipf draw, " +
+      "trigram space ~7e10 — contamination/near-dup rates reflect planted " +
+      "dups and real bench overlap, not vocab saturation; engine semantics " +
+      "oracle-checked via c5_curate_report"
     val json =
       s"""{"curateapp":{"input_docs":$nDocs,"cold_run_sec":${f"$curateCold%.1f"},""" +
       s""""second_run_sec":${f"$curateWarm%.1f"},""" +

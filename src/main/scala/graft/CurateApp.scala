@@ -132,9 +132,9 @@ object CurateApp {
              maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
              contamGate: String = "overlap",
              fuzzyMinJaccard: Double = 0.5): DataFrame =
-    build(spark, inDir, qualityMin, benchMod, maxOverlap, widths,
-      qualityGate, maxAvgNllE6, contamGate, fuzzyMinJaccard,
-      persistShared = false)._1
+    build(spark, Catalog.documents(spark, inDir), qualityMin, benchMod,
+      maxOverlap, widths, qualityGate, maxAvgNllE6, contamGate,
+      fuzzyMinJaccard, persistShared = false)._1
 
   /** [[tagged]] with the three stages the DAG reuses — the row-local
     * verdict frame, the fingerprint-joined frame, and the near-dup
@@ -150,11 +150,29 @@ object CurateApp {
                    maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
                    contamGate: String = "overlap",
                    fuzzyMinJaccard: Double = 0.5): (DataFrame, () => Unit) =
-    build(spark, inDir, qualityMin, benchMod, maxOverlap, widths,
+    build(spark, Catalog.documents(spark, inDir), qualityMin, benchMod,
+      maxOverlap, widths, qualityGate, maxAvgNllE6, contamGate,
+      fuzzyMinJaccard, persistShared = true)
+
+  /** [[taggedCached]] over an in-memory corpus frame (the documents-table
+    * columns, plus `embedding` for the semantic near-dup method) — what
+    * lets an embedding-bearing corpus (documents ⋈ embeddings) run the
+    * pipeline without a staging write. A distinct name, not an overload:
+    * two overloads cannot both carry this default-argument list.
+    */
+  def taggedCachedOn(spark: SparkSession, docs: DataFrame,
+                     qualityMin: Double = 0.5, benchMod: Int = 50,
+                     maxOverlap: Double = 0.5,
+                     widths: DedupWidths = DedupWidths.default,
+                     qualityGate: String = "score",
+                     maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
+                     contamGate: String = "overlap",
+                     fuzzyMinJaccard: Double = 0.5): (DataFrame, () => Unit) =
+    build(spark, docs, qualityMin, benchMod, maxOverlap, widths,
       qualityGate, maxAvgNllE6, contamGate, fuzzyMinJaccard,
       persistShared = true)
 
-  private def build(spark: SparkSession, inDir: String,
+  private def build(spark: SparkSession, docs: DataFrame,
                     qualityMin: Double, benchMod: Int, maxOverlap: Double,
                     widths: DedupWidths, qualityGate: String,
                     maxAvgNllE6: Long, contamGate: String,
@@ -168,13 +186,13 @@ object CurateApp {
       if (!persistShared) df
       else { val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); shared += p; p }
 
-    val docs = Catalog.documents(spark, inDir)
     // the semantic near-dup method reads embeddings where the text
     // methods read shingle signatures — demand the column up front, with
     // a configuration-shaped message, not an analysis error mid-DAG
     require(widths.method != "semantic" || docs.columns.contains("embedding"),
       "curation.nearDupMethod=semantic needs an `embedding` column on the " +
-        s"documents table at $inDir (an embedding-bearing corpus)")
+        "input corpus (an embedding-bearing documents frame, e.g. " +
+        "documents ⋈ embeddings)")
 
     // stage 1+2: the quality gate is SELECTABLE (curation.qualityGate):
     //   score      — composite length/punct/stopword score (row-local)

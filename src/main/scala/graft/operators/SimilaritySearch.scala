@@ -377,27 +377,55 @@ object SimilaritySearch {
         .join(broadcast(b), col("id1") < col("id2")))
     else {
       // bucket join is quadratic per bucket — same degenerate-bucket
-      // guard as the text-LSH pipelines (Dedup.lshCandidatePairs)
-      import org.apache.spark.sql.expressions.Window
+      // guard as the text-LSH pipelines (Dedup.lshCandidatePairs), in
+      // the m4 count-agg + broadcast-anti shape: bucket sizes aggregate
+      // over narrow (bucket) keys and the oversized set is a tiny
+      // broadcast, so the wide embedding rows never pay a window sort
       val planes = hyperplaneSigns(nPlanes * nTables, dim)
+      // signatures once for the corpus — both join sides and the gate
+      // project off this pinned frame (the lazy form re-ran the
+      // nPlanes·nTables-plane projection per consumer); ~n·300 B pinned
+      val sigged = normed
+        .withColumn("sig", lshBucket(col("embedding"), planes))
+        .localCheckpoint(true)
+      def side(sfx: String) = sigged.select(
+        col("vec_id").as(s"id$sfx"), col("embedding").as(s"v$sfx"),
+        col("nrm").as(s"n$sfx"), col("sig").as(s"sig$sfx"))
       val tables = array((0 until nTables).map(lit): _*)
-      def bucketed(df: DataFrame, vCol: String) = df
-        .withColumn("sig", lshBucket(col(vCol), planes))
+      val ab = side("1")
         .withColumn("t", explode(tables))
         .withColumn("bucket",
           concat(col("t").cast("string"), lit(":"),
-            col("sig").substr(col("t") * nPlanes + 1, lit(nPlanes))))
-        .drop("sig")
-      val ab = bucketed(a, "v1")
-        .repartition(col("bucket"))
-        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-        .filter(col("bsz") <= maxBucket)
-        .drop("bsz")
-      val bb = bucketed(b, "v2")
-      // a pair colliding in several tables is scored in each and deduped
-      // after the threshold — sim is deterministic, so distinct is exact
-      scored(ab.join(bb, Seq("bucket")).filter(col("id1") < col("id2")))
-        .distinct()
+            col("sig1").substr(col("t") * nPlanes + 1, lit(nPlanes))))
+      val bb = side("2")
+        .withColumn("t2", explode(tables))
+        .withColumn("bucket",
+          concat(col("t2").cast("string"), lit(":"),
+            col("sig2").substr(col("t2") * nPlanes + 1, lit(nPlanes))))
+        .drop("t2")
+      val oversized = ab.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket).select(col("bucket"))
+      // each colliding pair is emitted from the FIRST table where it
+      // collides — the j12 canonical-cell idiom at the OR-amplification
+      // layer: later-table collisions are suppressed by the sig-prefix
+      // inequality (both sides carry the full multi-table signature, a
+      // ~nPlanes·nTables-char string — noise next to the vectors), so
+      // the pair set needs NO distinct and each pair pays pairSim ONCE
+      // instead of once per colliding table. Gate interaction (changed
+      // vs the pre-r12 window form, observable only when maxBucket
+      // fires): a pair whose first collision sits in a dropped
+      // megabucket is dropped with it, not recovered via a later table
+      // — a degenerate signature is evidence against the pair, and
+      // recovering it cost the distinct shuffle on every healthy run.
+      val noEarlier = (0 until nTables - 1).map { tp =>
+        (col("t") <= tp) ||
+          (col("sig1").substr(tp * nPlanes + 1, nPlanes) =!=
+            col("sig2").substr(tp * nPlanes + 1, nPlanes))
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      scored(
+        ab.join(broadcast(oversized), Seq("bucket"), "left_anti")
+          .join(bb, Seq("bucket"))
+          .filter(col("id1") < col("id2") && noEarlier))
     }
   }
 
@@ -503,13 +531,29 @@ object SimilaritySearch {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(cap)
       .repartition(4, col("vec_id")).sortWithinPartitions("vec_id")
+    // random init, not the kmeans|| default: the k-means|| finishing step
+    // is a DRIVER-LOCAL single-threaded k-means++ over ~2·k·initSteps
+    // candidates — measured 12.3 s of serial driver time at k=1563 on the
+    // 100× fixture, over half the whole fit — while after the same 10
+    // Lloyd iterations the random-init model lands at the same training
+    // cost to 0.05% (18301 vs 18309; a coarse dedup quantizer does not
+    // need a polished init). Seeded sampling over the pinned sample
+    // layout keeps it machine-independent (golden-stable).
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(sample)
+    // pinned: every consumer (the dedup self-join references this frame
+    // 2-3×) would otherwise re-run the O(n·k·dim) nearest-centroid
+    // transform per reference — at the 100× fixture (n=200k, k=1563)
+    // that is ~2·10¹⁰ re-multiplied per extra consumer, the dominant
+    // cost of d17/d20/c5x. The pinned rows are narrow (id, vec, cluster,
+    // norm ≈ 300 B) — ~60 MB at 100×, spread across executors at scale.
     withNorm(
       model.transform(vecd)
         .select(col("vec_id"), col("embedding"), col("cluster")),
       "embedding", "nrm")
+      .localCheckpoint(true)
   }
 
   /** SemDeDup as a CANDIDATE-PAIR generator — the embedding-modality
@@ -527,9 +571,7 @@ object SimilaritySearch {
   def semanticCandidatePairs(corpus: DataFrame, tau: Double,
       targetCluster: Int = 128, fitSampleCap: Int = 100000,
       seed: Long = 42L): DataFrame = {
-    val n = corpus.count()
-    val k = math.max(2L, (n + targetCluster - 1) / targetCluster).toInt
-    val cap = math.min(fitSampleCap, math.max(16 * k, 10000))
+    val (k, cap) = adaptiveKCap(corpus.count(), targetCluster, fitSampleCap)
     val assigned = assignedClusters(corpus, k, cap, seed, fitMaxIter = 10)
     val senior = assigned.select(col("cluster").as("scl"), col("vec_id").as("sid"),
       col("embedding").as("sv"), col("nrm").as("sn"))
@@ -538,6 +580,36 @@ object SimilaritySearch {
           col("sid") < col("vec_id") &&
           pairSim(col("sv"), col("embedding"), col("sn"), col("nrm")) >= tau)
       .select(col("sid").as("doc1"), col("vec_id").as("doc2"))
+  }
+
+  /** The fit/assign head of [[semanticCandidatePairs]] as a standalone
+    * (vec_id, cluster) frame — same adaptive k, fit-sample rule, seed and
+    * iteration budget, so a second run over the same corpus reproduces
+    * the candidate generator's cluster ids exactly. This is what pins
+    * the `c5x_curate_report_semantic` oracle: the K-Means fit is the one
+    * stage DuckDB cannot replay, so it is checked in as a golden parquet
+    * and the oracle recomputes everything downstream of it — the
+    * within-cluster cosine gate, connected components, canonical
+    * resolution and the attrition report — independently from the raw
+    * embeddings.
+    */
+  def semanticAssignments(corpus: DataFrame, targetCluster: Int = 128,
+      fitSampleCap: Int = 100000, seed: Long = 42L): DataFrame = {
+    val (k, cap) = adaptiveKCap(corpus.count(), targetCluster, fitSampleCap)
+    assignedClusters(corpus, k, cap, seed, fitMaxIter = 10)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** Adaptive (k, fit-sample cap): k = ceil(n / targetCluster) keeps
+    * expected cluster population — and so per-row join fan-out — flat as
+    * the corpus grows; the fit budget scales with k, not with n (see
+    * [[semanticDedupAdaptive]]'s scaladoc for the measured numbers).
+    * Exact integer arithmetic so every caller derives the same pair.
+    */
+  private def adaptiveKCap(n: Long, targetCluster: Int,
+      fitSampleCap: Int): (Int, Int) = {
+    val k = math.max(2L, (n + targetCluster - 1) / targetCluster).toInt
+    (k, math.min(fitSampleCap, math.max(16 * k, 10000)))
   }
 
   /** [[semanticDedup]] with k chosen from the corpus size so expected
@@ -557,9 +629,7 @@ object SimilaritySearch {
   def semanticDedupAdaptive(corpus: DataFrame, tau: Double,
       targetCluster: Int = 128, fitSampleCap: Int = 100000,
       seed: Long = 42L): DataFrame = {
-    val n = corpus.count()
-    val k = math.max(2L, (n + targetCluster - 1) / targetCluster).toInt
-    val cap = math.min(fitSampleCap, math.max(16 * k, 10000))
+    val (k, cap) = adaptiveKCap(corpus.count(), targetCluster, fitSampleCap)
     semanticDedup(corpus, tau, k, cap, seed, fitMaxIter = 10)
   }
 

@@ -774,6 +774,35 @@ object PipelineQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
     }),
 
+    // C5X: the c5 curation pipeline with the SEMANTIC near-dup method
+    // (curation.nearDupMethod = semantic — SemDeDup, Abbas et al. 2023):
+    // the corpus is documents ⋈ embeddings and stage 4's candidate
+    // generator is within-K-Means-cluster cosine ≥ tau instead of
+    // MinHash bands, so paraphrases that share no shingles still pair.
+    // The oracle replays the whole pipeline from the raw embeddings with
+    // ONLY the K-Means fit pinned as a golden (vec_id, cluster) parquet
+    // (goldens/c5x_clusters.parquet, regenerated by
+    // graft.tmp.GenC5xGolden) — the within-cluster cosine gate, the
+    // connected components, the longest-member resolution and the
+    // attrition report are all recomputed independently in DuckDB.
+    // tau = 0.35, the d17/d20 threshold: the driver's synthetic
+    // embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so
+    // the production 0.95 default would make the semantic stage silent
+    // on this fixture; 0.35 keeps the near-dup stage live-signaled.
+    "c5x_curate_report_semantic" -> ((s, dir) => {
+      val corpus = Catalog.documents(s, dir).join(
+        Catalog.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      val (frame, release) = graft.CurateApp.taggedCachedOn(s, corpus,
+        widths = graft.DedupWidths.default.copy(
+          method = "semantic", semanticTau = 0.35))
+      val rep = graft.CurateApp.report(frame).orderBy(col("stage"))
+      val rows = rep.collect() // ≤6 rows by construction (the stage enum)
+      release()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
+    }),
+
     // D11: exact duplicated-substring spans (char-24-gram match) — the
     // verbatim-overlap complement to token-shingle near-dup. Runs the
     // production path (xxhash64 gram keys, 8 bytes shuffled vs 24): the
@@ -2047,6 +2076,99 @@ object PipelineQueries {
         |bsh AS (
         |  SELECT DISTINCT unnest(${shinglesSql(toksSql)}) AS shingle
         |  FROM documents WHERE doc_id % 50 = 0),
+        |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+        |ov AS (
+        |  SELECT dsh.doc_id, COUNT(*) AS n_overlap
+        |  FROM dsh JOIN bsh USING (shingle) GROUP BY 1),
+        |contam AS (
+        |  SELECT nsh.doc_id FROM nsh LEFT JOIN ov USING (doc_id)
+        |  WHERE COALESCE(ov.n_overlap, 0) >= nsh.n_sh * 0.5),
+        |tagged AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CASE WHEN b.is_bench THEN 'benchmark'
+        |         WHEN b.low_quality THEN 'quality'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM exact_dups) THEN 'exact_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM near_dups) THEN 'near_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+        |         ELSE 'kept' END AS stage
+        |  FROM base0 b)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM tagged GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // c5x: the c5 pipeline over documents ⋈ embeddings with SemDeDup as
+    // the near-dup candidate generator. Only the K-Means fit/assign head
+    // is golden-pinned (clusters CTE); the within-cluster cosine ≥ 0.35
+    // gate (the v1 oracle's list_transform dot product, ROUND 6 — the
+    // engine's pairSim; 0.35 is the d17/d20 fixture threshold), the
+    // recursive-CTE connected components, the longest-member canonical
+    // pick, the overlap contamination gate and the report are recomputed
+    // from the raw tables.
+    "c5x_curate_report_semantic" ->
+      s"""WITH RECURSIVE
+        |$qualityScoredSql,
+        |emb AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |base0 AS (
+        |  SELECT d.doc_id, d.text, d.n_chars,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |    (d.doc_id % 50 = 0) AS is_bench,
+        |    (s.quality < 0.5) AS low_quality
+        |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+        |  JOIN emb ON emb.doc_id = d.doc_id),
+        |s12 AS (SELECT * FROM base0 WHERE NOT is_bench AND NOT low_quality),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |  FROM s12),
+        |fpc AS (SELECT f, MIN(doc_id) AS fp_canon FROM fp GROUP BY f),
+        |exact_dups AS (
+        |  SELECT fp.doc_id FROM fp JOIN fpc USING (f)
+        |  WHERE fp.doc_id <> fpc.fp_canon),
+        |s3 AS (
+        |  SELECT s12.doc_id, s12.text, s12.n_chars FROM s12
+        |  ANTI JOIN exact_dups ON s12.doc_id = exact_dups.doc_id),
+        |clusters AS (
+        |  SELECT vec_id AS doc_id, cluster
+        |  FROM read_parquet('/root/repo/goldens/c5x_clusters.parquet')),
+        |nv AS (
+        |  SELECT s3.doc_id, clusters.cluster, emb.v,
+        |    sqrt(list_sum(list_transform(emb.v, x -> x*x))) AS nrm
+        |  FROM s3 JOIN emb USING (doc_id) JOIN clusters USING (doc_id)),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc1, y.doc_id AS doc2
+        |  FROM nv x JOIN nv y
+        |    ON x.cluster = y.cluster AND x.doc_id < y.doc_id
+        |  WHERE ROUND(CASE WHEN x.nrm * y.nrm > 0
+        |    THEN list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        |         / (x.nrm * y.nrm)
+        |    ELSE 0 END, 6) >= 0.35),
+        |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+        |reach(n, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+        |cc AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n),
+        |wc AS (
+        |  SELECT s3.doc_id, COALESCE(cc.component, s3.doc_id) AS component,
+        |    s3.n_chars
+        |  FROM s3 LEFT JOIN cc ON cc.node = s3.doc_id),
+        |sel AS (
+        |  SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS canonical_doc
+        |  FROM wc),
+        |near_dups AS (SELECT doc_id FROM sel WHERE doc_id <> canonical_doc),
+        |s4 AS (
+        |  SELECT s3.doc_id, s3.text FROM s3
+        |  ANTI JOIN near_dups ON s3.doc_id = near_dups.doc_id),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(${shinglesSql(toksSql)}) AS shingle
+        |  FROM (SELECT doc_id, text FROM s4) d),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(${shinglesSql(toksSql)}) AS shingle
+        |  FROM (SELECT text FROM base0 WHERE is_bench) d),
         |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
         |ov AS (
         |  SELECT dsh.doc_id, COUNT(*) AS n_overlap

@@ -201,4 +201,44 @@ class CurateAppSpec extends AnyFunSuite {
       CurateApp.tagged(spark, sfDir, widths = sem).collect()
     }
   }
+
+  test("semanticAssignments reproduces the candidate generator's fit/assign head") {
+    val corpus = graft.sources.Catalog.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // the d17 fixture threshold — the synthetic embeddings are
+    // near-orthogonal (max pairwise cosine < 0.5), so 0.35 has live pairs
+    val tau = 0.35
+    val pairs = graft.operators.SimilaritySearch
+      .semanticCandidatePairs(corpus, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs derived from the standalone assignment head + the same
+    // rounded-cosine gate must be the SAME SET — this is the property
+    // that lets the c5x oracle pin only the fit as a golden and
+    // recompute the pair gate in DuckDB
+    val withCl = corpus.join(
+      graft.operators.SimilaritySearch.semanticAssignments(corpus),
+      Seq("vec_id"))
+    val a = withCl.select(col("cluster"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = withCl.select(col("cluster"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    val derived = a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2") &&
+        round(graft.functions.VectorFunctions.cosine(col("v1"), col("v2")), 6) >= tau)
+      .select(col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == derived)
+    assert(pairs.nonEmpty) // tau sits below the fixture's max pairwise cosine
+  }
+
+  test("c5x_curate_report_semantic: stages partition the embedded corpus") {
+    val rep = SparkEntry.queries("c5x_curate_report_semantic")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = graft.sources.Catalog.documents(spark, sfDir).join(
+      graft.sources.Catalog.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id")),
+      Seq("doc_id")).count()
+    assert(rep.values.sum == n)
+    assert(rep("kept") > 0)
+    // the semantic stage is live on this fixture at tau = 0.35
+    assert(rep.getOrElse("near_dup", 0L) > 0)
+  }
 }

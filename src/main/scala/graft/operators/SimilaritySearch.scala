@@ -515,6 +515,17 @@ object SimilaritySearch {
     * deterministic sample, every vector assigned to its nearest
     * centroid. Returns (vec_id, embedding, cluster, nrm).
     */
+  /** Above this k the flat fit/assign regime-gates to the two-level
+    * quantizer (the a21/AdaptiveWidth pattern): flat k-means is
+    * O(iter·k·sample·dim) to fit and O(n·k·dim) to assign, and with the
+    * SemDeDup contract's k = n/targetCluster BOTH grow with the corpus —
+    * measured 18 s at 100× (k=1563) but 260 s at 400× (k=6250, the
+    * quadratic window in full swing). The fixture scales (k ≤ 16 at
+    * sf0.1) and the 100× campaign point stay below the gate only where
+    * flat is still the faster shape.
+    */
+  private val FlatKMax = 1024
+
   private def assignedClusters(corpus: DataFrame, k: Int, fitSampleCap: Int,
       seed: Long, fitMaxIter: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -539,20 +550,46 @@ object SimilaritySearch {
     // cost to 0.05% (18301 vs 18309; a coarse dedup quantizer does not
     // need a polished init). Seeded sampling over the pinned sample
     // layout keeps it machine-independent (golden-stable).
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
-      .setInitMode("random")
+    def kmeans(kk: Int) = new KMeans().setK(kk).setSeed(seed)
+      .setMaxIter(fitMaxIter).setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(sample)
+    val assigned =
+      if (k <= FlatKMax) {
+        val model = kmeans(k)
+        model.transform(vecd)
+          .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
+      } else {
+        // Two-level quantizer for the large-k regime: a data-adaptive
+        // COARSE k-means over kc = ⌈√k⌉ cells (fit O(iter·√k·sample·dim)
+        // — flat in the window where flat k-means is quadratic), then a
+        // DETERMINISTIC in-cell hyperplane split (the d14 LSH mechanism:
+        // md5-sign planes, zero fit cost) into 2^p2 sub-cells, p2 the
+        // smallest with 2^p2·kc ≥ k, so expected population still lands
+        // at ~n/k = targetCluster. Assignment is O(n·(√k + log k)·dim)
+        // instead of O(n·k·dim). The trade (documented, inherent): the
+        // fine split is oblivious — a near-dup pair straddling a
+        // hyperplane inside its cell is missed, the same per-plane
+        // recall trade the d14 family already carries at its top level.
+        // At the 100 TB tier the coarse level is the persisted IVF
+        // quantizer table (buildIvfIndex) instead of an in-memory model.
+        val kc = (2 to 46341).find(c => c.toLong * c >= k).getOrElse(46341)
+        val p2 = (1 to 30).find(p => (1L << p) * kc >= k).getOrElse(30)
+        val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+        val planes = hyperplaneSigns(p2, dim)
+        val model = kmeans(kc)
+        model.transform(vecd)
+          .withColumn("sub", conv(lshBucket(col("embedding"), planes), 2, 10).cast("long"))
+          .select(col("vec_id"), col("embedding"),
+            ((col("cluster").cast("long") * (1L << p2)) + col("sub")).as("cluster"))
+      }
     // pinned: every consumer (the dedup self-join references this frame
     // 2-3×) would otherwise re-run the O(n·k·dim) nearest-centroid
     // transform per reference — at the 100× fixture (n=200k, k=1563)
     // that is ~2·10¹⁰ re-multiplied per extra consumer, the dominant
     // cost of d17/d20/c5x. The pinned rows are narrow (id, vec, cluster,
     // norm ≈ 300 B) — ~60 MB at 100×, spread across executors at scale.
-    withNorm(
-      model.transform(vecd)
-        .select(col("vec_id"), col("embedding"), col("cluster")),
-      "embedding", "nrm")
+    withNorm(assigned, "embedding", "nrm")
       .localCheckpoint(true)
   }
 

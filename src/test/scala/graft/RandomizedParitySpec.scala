@@ -202,6 +202,42 @@ class RandomizedParitySpec extends AnyFunSuite {
     assert(recalledBig >= 40, s"planted recall $recalledBig/50 below 40")
   }
 
+  test("semantic two-level quantizer (k > FlatKMax): planted exact dups pair, head stays generator-identical") {
+    import spark.implicits._
+    import graft.operators.SimilaritySearch
+    val rnd = new Random(11)
+    val dim = 8
+    // targetCluster=2 over 3000 vectors → k=1500 > FlatKMax=1024: the
+    // two-level (coarse k-means + in-cell hyperplane) regime
+    val base = Seq.tabulate(3000)(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    // exact duplicates: θ=0, so NO hyperplane can separate them and the
+    // coarse assignment is identical — the hybrid must always pair them
+    val planted = base.take(5).map { case (i, v) => (10000L + i, v) }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = SimilaritySearch
+      .semanticCandidatePairs(corpus, 0.95, targetCluster = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, 10000L + i)), s"planted dup $i lost")
+    }
+    // the standalone assignment head reproduces the generator's pair set
+    // in the hybrid regime too (the c5x-oracle property), and the
+    // assignment is deterministic across runs
+    val asg = SimilaritySearch.semanticAssignments(corpus, targetCluster = 2)
+    val asg2 = SimilaritySearch.semanticAssignments(corpus, targetCluster = 2)
+    assert(asg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      asg2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val withCl = corpus.join(asg, Seq("vec_id"))
+    val a = withCl.select(col("cluster"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = withCl.select(col("cluster"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    val derived = a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2") &&
+        round(graft.functions.VectorFunctions.cosine(col("v1"), col("v2")), 6) >= 0.95)
+      .select(col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == derived)
+  }
+
   test("window-interpolated percentiles match Spark's exact percentile aggregate") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -610,6 +610,76 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T37: contamination ATTRIBUTION — t10 tells you a training doc
+    // overlaps the benchmark union; the first operational question after
+    // that is WHICH benchmark suite leaked (deletion scope, provenance,
+    // whether a whole suite must rotate). Per-suite distinct shingle
+    // dictionaries (suite = the bench doc's source), one pass of the
+    // exploded train stream for per-(doc, suite) overlap, the t10
+    // total-overlap flag computed against the suite-agnostic union
+    // (a shingle shared by two suites counts once toward the flag), and
+    // the top suite per doc via the rank-1 window (WindowGroupLimit —
+    // bounded, never a per-doc sort spill). Emits only docs with ≥1
+    // overlapping shingle; counts are integers and the fraction is the
+    // t10 ROUND(·, 6) form, so both engines hash-agree.
+    "t37_contam_attribution" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val train = graft.functions.TextFunctions
+        .explodedShingles(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 3)
+        .distinct()
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val suiteShingles = graft.functions.TextFunctions
+        .explodedShingles(bench, "doc_id", "text", 3)
+        .join(bench.select(col("doc_id"), col("source").as("suite")), Seq("doc_id"))
+        .select(col("suite"), col("shingle")).distinct()
+      val benchUnion = suiteShingles.select(col("shingle")).distinct()
+      val totals = train
+        .join(benchUnion.withColumn("hit", lit(1)), Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("total_overlap"))
+      val perSuite = train.join(suiteShingles, Seq("shingle"))
+        .groupBy(col("doc_id"), col("suite"))
+        .agg(count(lit(1)).as("suite_overlap"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("suite_overlap").desc, col("suite").asc)
+      perSuite
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("suite").as("top_suite"),
+          col("suite_overlap").as("top_suite_overlap"))
+        .join(totals, Seq("doc_id"))
+        .select(col("doc_id"), col("n_sh"), col("total_overlap"),
+          when(col("n_sh") > 0,
+            round(col("total_overlap") / col("n_sh"), 6)).otherwise(lit(0.0))
+            .as("overlap_frac"),
+          (round(col("total_overlap") / col("n_sh"), 6) >= 0.5).cast("long")
+            .as("contaminated"),
+          col("top_suite"), col("top_suite_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T38: mixture weights at sampling temperature α = 0.5 (the
+    // Pile/LLaMA pretraining recipe: upweight small sources by
+    // share^α / Σ share^α so no single crawl dominates). Integer token
+    // counts per source, then weight RATIOS against the largest source —
+    // sqrt(n_tokens/max_tokens) needs only correctly-rounded IEEE ops on
+    // identical integer inputs, so the doubles hash-match DuckDB without
+    // the summation-order trap a normalized Σ share^α would carry.
+    // One narrow aggregate + a one-row broadcast max: linear, no window
+    // over data-sized frames.
+    "t38_mix_temperature" -> ((s, dir) => {
+      val perSource = Catalog.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+            .as("n_tokens"))
+      perSource
+        .crossJoin(broadcast(perSource.agg(max(col("n_tokens")).as("max_tokens"))))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(sqrt(col("n_tokens") / col("max_tokens")), 6).as("weight_ratio"))
+        .orderBy(col("source"))
+    }),
+
     // T11: PII detection + redaction — the scrub pass every training-data
     // pipeline runs before release. Deterministic PII is planted from
     // doc_id (the corpus itself is synthetic), then counted and redacted
@@ -2561,6 +2631,53 @@ object PipelineQueries {
         |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM train t LEFT JOIN ov ON t.doc_id = ov.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "t37_contam_attribution" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(${shinglesSql(toksSql)}) AS shd
+        |  FROM documents),
+        |suite_sh AS (
+        |  SELECT DISTINCT d.source AS suite, s
+        |  FROM (SELECT doc_id, unnest(shd) AS s FROM sh WHERE doc_id % 50 = 0) b
+        |  JOIN documents d ON d.doc_id = b.doc_id),
+        |bu AS (SELECT DISTINCT s FROM suite_sh),
+        |train AS (
+        |  SELECT doc_id, CAST(len(shd) AS BIGINT) AS n_sh, shd FROM sh
+        |  WHERE doc_id % 50 <> 0),
+        |tx AS (SELECT doc_id, unnest(shd) AS s FROM train),
+        |tot AS (
+        |  SELECT tx.doc_id, COUNT(*) AS total_overlap
+        |  FROM tx JOIN bu USING (s) GROUP BY 1),
+        |ps AS (
+        |  SELECT tx.doc_id, suite_sh.suite, COUNT(*) AS suite_overlap
+        |  FROM tx JOIN suite_sh ON tx.s = suite_sh.s GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, suite AS top_suite, suite_overlap AS top_suite_overlap
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY suite_overlap DESC, suite) AS rk
+        |        FROM ps) t
+        |  WHERE rk = 1)
+        |SELECT top.doc_id, train.n_sh,
+        |  CAST(tot.total_overlap AS BIGINT) AS total_overlap,
+        |  CASE WHEN train.n_sh > 0
+        |    THEN ROUND(CAST(tot.total_overlap AS DOUBLE) / train.n_sh, 6)
+        |    ELSE 0.0 END AS overlap_frac,
+        |  CAST(CASE WHEN ROUND(CAST(tot.total_overlap AS DOUBLE) / train.n_sh, 6) >= 0.5
+        |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+        |  top.top_suite, CAST(top.top_suite_overlap AS BIGINT) AS top_suite_overlap
+        |FROM top JOIN tot ON tot.doc_id = top.doc_id
+        |JOIN train ON train.doc_id = top.doc_id
+        |ORDER BY top.doc_id""".stripMargin,
+
+    "t38_mix_temperature" ->
+      s"""WITH t AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT MAX(n_tokens) AS mx FROM t)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(sqrt(CAST(n_tokens AS DOUBLE) / mx), 6) AS weight_ratio
+        |FROM t, m ORDER BY source""".stripMargin,
 
     "t9_token_budget_mix" ->
       s"""WITH t AS (

@@ -49,6 +49,9 @@ class PlanDisciplineSpec extends AnyFunSuite {
     *  - a30_decay_profile: crossJoin of the ONE-ROW max-timestamp anchor
     *    (an aggregate with no grouping keys) onto the event stream — the
     *    a9 one-row-stats shape.
+    *  - t38_mix_temperature: crossJoin of the ONE-ROW max-source-tokens
+    *    anchor onto the per-source aggregate (≤ |sources| rows) — the a9
+    *    one-row-stats shape on an already-tiny frame.
     */
   private val allowedBnlj = Set(
     "a9_znorm", "h4_kl_divergence", "t12_bm25", "t13_lm_score",
@@ -57,7 +60,7 @@ class PlanDisciplineSpec extends AnyFunSuite {
     "v1_knn_brute", "v4_ivf_topk", "v10_ivf_persisted", "v5_int8_knn",
     "v9_coarse_rerank", "t23_kmv_overlap", "v11_recall_eval",
     "t31_bpe_learn", "t33_lang_classifier", "t34_lang_holdout",
-    "t35_perplexity_filter", "a30_decay_profile")
+    "t35_perplexity_filter", "a30_decay_profile", "t38_mix_temperature")
 
   test("no cartesian products; BNLJ only on the allowlisted tiny-broadcast queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

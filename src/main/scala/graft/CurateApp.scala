@@ -43,8 +43,21 @@ import graft.sources.Catalog
   *                     a MinHash-band candidate pair against a benchmark
   *                     doc verified at ≥ `curation.fuzzyMinJaccard`
   *                     exact Jaccard — the precision-leaning near-clone
-  *                     screen)
+  *                     screen; `surgery` = span-surgery salvage
+  *                     ([[operators.Decontaminate.surgerySpans]], the
+  *                     GPT-3 appendix-C treatment): a ±`surgeryPad`
+  *                     window around every benchmark `surgeryNGram`-gram
+  *                     is EXCISED and the doc is kept with the cleaned
+  *                     text unless less than `surgeryMinKeepFrac` of it
+  *                     survives — at 100 TB, dropping a 50k-token doc
+  *                     over a 100-token quote wastes 99.8% clean text)
   *   6. kept         — everything else: written to `<outDir>/curated`
+  *                     (under `surgery`, kept docs that were excised
+  *                     carry their cleaned text and recomputed n_chars;
+  *                     the report's `n_tokens` stays the ORIGINAL count
+  *                     so the report still partitions the input corpus —
+  *                     excised mass is surfaced separately via the
+  *                     frame's `surgery_removed_tokens` column)
   *
   * Scale shape: ONE DAG end-to-end — per-stage verdicts are columns
   * and joins (fingerprint canonical pick, LSH bucket pairs, shingle
@@ -76,7 +89,10 @@ object CurateApp {
       maxAvgNllE6 = c.getLong("curation.perplexityMaxNllE6",
         operators.PerplexityGate.DefaultMaxAvgNllE6),
       contamGate = c.getString("curation.contamGate", "overlap"),
-      fuzzyMinJaccard = c.getDouble("curation.fuzzyMinJaccard", 0.5))
+      fuzzyMinJaccard = c.getDouble("curation.fuzzyMinJaccard", 0.5),
+      surgeryMinKeepFrac = c.getDouble("curation.surgeryMinKeepFrac", 0.5),
+      surgeryNGram = c.getInt("curation.surgeryNGram", 5),
+      surgeryPad = c.getInt("curation.surgeryPad", 5))
     report.orderBy(col("stage")).show(20, truncate = false)
     spark.stop()
   }
@@ -98,9 +114,12 @@ object CurateApp {
           qualityGate: String = "score",
           maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
           contamGate: String = "overlap",
-          fuzzyMinJaccard: Double = 0.5): DataFrame = {
+          fuzzyMinJaccard: Double = 0.5,
+          surgeryMinKeepFrac: Double = 0.5,
+          surgeryNGram: Int = 5, surgeryPad: Int = 5): DataFrame = {
     val (frame, release) = taggedCached(spark, inDir, qualityMin, benchMod,
-      maxOverlap, widths, qualityGate, maxAvgNllE6, contamGate, fuzzyMinJaccard)
+      maxOverlap, widths, qualityGate, maxAvgNllE6, contamGate, fuzzyMinJaccard,
+      surgeryMinKeepFrac, surgeryNGram, surgeryPad)
     try {
       frame.filter(col("stage") === "kept")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
@@ -131,10 +150,13 @@ object CurateApp {
              qualityGate: String = "score",
              maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
              contamGate: String = "overlap",
-             fuzzyMinJaccard: Double = 0.5): DataFrame =
+             fuzzyMinJaccard: Double = 0.5,
+             surgeryMinKeepFrac: Double = 0.5,
+             surgeryNGram: Int = 5, surgeryPad: Int = 5): DataFrame =
     build(spark, Catalog.documents(spark, inDir), qualityMin, benchMod,
       maxOverlap, widths, qualityGate, maxAvgNllE6, contamGate,
-      fuzzyMinJaccard, persistShared = false)._1
+      fuzzyMinJaccard, surgeryMinKeepFrac, surgeryNGram, surgeryPad,
+      persistShared = false)._1
 
   /** [[tagged]] with the three stages the DAG reuses — the row-local
     * verdict frame, the fingerprint-joined frame, and the near-dup
@@ -149,10 +171,13 @@ object CurateApp {
                    qualityGate: String = "score",
                    maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
                    contamGate: String = "overlap",
-                   fuzzyMinJaccard: Double = 0.5): (DataFrame, () => Unit) =
+                   fuzzyMinJaccard: Double = 0.5,
+                   surgeryMinKeepFrac: Double = 0.5,
+                   surgeryNGram: Int = 5, surgeryPad: Int = 5): (DataFrame, () => Unit) =
     build(spark, Catalog.documents(spark, inDir), qualityMin, benchMod,
       maxOverlap, widths, qualityGate, maxAvgNllE6, contamGate,
-      fuzzyMinJaccard, persistShared = true)
+      fuzzyMinJaccard, surgeryMinKeepFrac, surgeryNGram, surgeryPad,
+      persistShared = true)
 
   /** [[taggedCached]] over an in-memory corpus frame (the documents-table
     * columns, plus `embedding` for the semantic near-dup method) — what
@@ -167,9 +192,12 @@ object CurateApp {
                      qualityGate: String = "score",
                      maxAvgNllE6: Long = operators.PerplexityGate.DefaultMaxAvgNllE6,
                      contamGate: String = "overlap",
-                     fuzzyMinJaccard: Double = 0.5): (DataFrame, () => Unit) =
+                     fuzzyMinJaccard: Double = 0.5,
+                     surgeryMinKeepFrac: Double = 0.5,
+                     surgeryNGram: Int = 5, surgeryPad: Int = 5): (DataFrame, () => Unit) =
     build(spark, docs, qualityMin, benchMod, maxOverlap, widths,
       qualityGate, maxAvgNllE6, contamGate, fuzzyMinJaccard,
+      surgeryMinKeepFrac, surgeryNGram, surgeryPad,
       persistShared = true)
 
   private def build(spark: SparkSession, docs: DataFrame,
@@ -177,6 +205,8 @@ object CurateApp {
                     widths: DedupWidths, qualityGate: String,
                     maxAvgNllE6: Long, contamGate: String,
                     fuzzyMinJaccard: Double,
+                    surgeryMinKeepFrac: Double,
+                    surgeryNGram: Int, surgeryPad: Int,
                     persistShared: Boolean): (DataFrame, () => Unit) = {
     val shared = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // quality scores, tokenization, fingerprints and the LSH+CC near-dup
@@ -304,14 +334,28 @@ object CurateApp {
             tagged0.filter(col("is_bench")).select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             (col("max_jaccard") >= fuzzyMinJaccard).as("contaminated"))
+      case "surgery" =>
+        // salvage, not flag-and-drop: excise the matched spans and keep
+        // the doc unless too little of it survives. `contaminated` here
+        // means "kept_frac below the salvage floor"; the cleaned text and
+        // excised-token count ride along for the post-attribution rewrite.
+        operators.Decontaminate.surgerySpans(
+            survivors.select(col("doc_id"), col("text")),
+            tagged0.filter(col("is_bench")).select(col("doc_id"), col("text")),
+            nGram = surgeryNGram, pad = surgeryPad)
+          .select(col("doc_id"),
+            (col("kept_frac") < surgeryMinKeepFrac).as("contaminated"),
+            when(col("n_hits") > 0 && col("kept_frac") >= surgeryMinKeepFrac,
+              col("cleaned_text")).as("surgery_text"),
+            when(col("n_hits") > 0, col("removed_tokens")).as("surgery_removed"))
       case other => sys.error(
-        s"curation.contamGate must be overlap|fuzzy, got '$other'")
+        s"curation.contamGate must be overlap|fuzzy|surgery, got '$other'")
     }
 
     // attribution: FIRST failing stage tags the doc; survivors are kept.
     // Docs absent from `resolved` (rejected before stage 4) read as
     // near_dup=false — the when-chain has already tagged them anyway.
-    val frame = tagged0
+    val frame0 = tagged0
       .join(withFp.select(col("doc_id"), col("exact_dup")), Seq("doc_id"), "left")
       .join(resolved, Seq("doc_id"), "left")
       .withColumn("near_dup", !coalesce(col("near_canonical"), lit(true)))
@@ -323,6 +367,22 @@ object CurateApp {
           .when(col("near_dup"), "near_dup")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
           .otherwise("kept"))
+    // surgery rewrite: kept docs that were excised carry the cleaned text
+    // (and recomputed n_chars) into the curated output; n_tokens stays
+    // the ORIGINAL count so report() still partitions the input corpus —
+    // the excised mass is its own column.
+    val frame = if (contamGate == "surgery") frame0
+      .withColumn("surgered",
+        col("stage") === "kept" && col("surgery_text").isNotNull)
+      .withColumn("surgery_removed_tokens",
+        when(col("surgered"), col("surgery_removed")).otherwise(lit(0L)))
+      .withColumn("text",
+        when(col("surgered"), col("surgery_text")).otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("surgered"), length(col("text")).cast("long"))
+          .otherwise(col("n_chars")))
+      .drop("surgery_text", "surgery_removed")
+    else frame0
     (frame, () => shared.foreach(_.unpersist()))
   }
 }

@@ -55,6 +55,93 @@ object Decontaminate {
     */
   val MaxBucket = 10000
 
+  /** Span-surgery decontamination — the salvage alternative to the
+    * flag-and-drop gates (t10 exact overlap, [[fuzzyScores]]): instead
+    * of deleting a whole training document because one benchmark
+    * passage leaked into it, excise a `pad`-token window around every
+    * matched `nGram`-gram and KEEP the rest (the GPT-3 appendix-C
+    * treatment). At 100 TB the difference is material: a contaminated
+    * 50k-token document usually carries a ≤100-token quote, and
+    * flag-and-drop throws away 99.8% clean text.
+    *
+    * Shape, stage by stage — nothing here is pairwise:
+    *  1. bench n-gram fingerprint set: row-local HOF (`transform` over
+    *     `sequence`) — every position's md5 inside the row, one
+    *     `distinct` exchange. DOMAIN-bounded (the benchmark corpus), so
+    *     AQE broadcasts it at any realistic bench size; no explicit
+    *     hint (the [[fuzzyScores]] lesson — hints bypass size checks).
+    *  2. train hit positions: the same row-local fingerprint explode,
+    *     LEFT SEMI against the bench set — linear in train tokens.
+    *  3. span union: classic gaps-and-islands over a doc-keyed window
+    *     (running max of interval end; partition size is bounded by the
+    *     doc's own hit count, so no skew beyond document length).
+    *  4. cleaned text: row-local `filter`/`exists`/`transform` over the
+    *     merged span array — no shuffle; docs with no hits never enter
+    *     the window or the HOF rebuild.
+    * Token grain is [[graft.functions.TextFunctions.tokens]]; the
+    * cleaned text is the kept tokens re-joined by single spaces (the
+    * t29 normalization).
+    *
+    * Returns one row per `train` doc: (doc_id, n_tokens, n_hits,
+    * n_spans_removed, removed_tokens, kept_frac, cleaned_text).
+    */
+  def surgerySpans(train: DataFrame, bench: DataFrame,
+      nGram: Int = 5, pad: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    def posFps(docs: DataFrame): DataFrame = docs
+      .filter(size(col("toks")) >= nGram)
+      .select(col("doc_id"), col("n"),
+        explode(transform(sequence(lit(0), size(col("toks")) - nGram),
+          p => struct(p.cast("long").as("p"),
+            md5(concat_ws(" ", slice(col("toks"), p + 1, lit(nGram)))).as("fp"))))
+          .as("h"))
+      .select(col("doc_id"), col("n"), col("h.p").as("p"), col("h.fp").as("fp"))
+    val toksT = train
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val benchFps = posFps(bench
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long")))
+      .select(col("fp")).distinct()
+    val hits = posFps(toksT).join(benchFps, Seq("fp"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s0"), col("e0"))
+    val prevMax = max(col("e0")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      .select(col("doc_id"),
+        greatest(col("p") - pad, lit(0L)).as("s0"),
+        least(col("p") + nGram + pad, col("n")).as("e0"))
+      .withColumn("ni", when(prevMax.isNull || col("s0") > prevMax, 1L).otherwise(0L))
+      .withColumn("isl",
+        sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s0")).as("s"), max(col("e0")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_removed"),
+        sum(col("e") - col("s")).as("removed_tokens"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val nHits = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    // kept tokens by index, inside the row; `when` keeps the HOF off the
+    // (common) no-hit path entirely
+    val keptIdx = filter(sequence(lit(0L), col("n") - 1),
+      i => !exists(col("spans"),
+        sp => i >= sp.getField("s") && i < sp.getField("e")))
+    val rebuilt = concat_ws(" ",
+      transform(keptIdx, i => element_at(col("toks"), (i + 1).cast("int"))))
+    toksT
+      .join(nHits, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        when(col("n") > 0,
+          round((col("n") - coalesce(col("removed_tokens"), lit(0L)))
+            / col("n").cast("double"), 6)).otherwise(lit(1.0)).as("kept_frac"),
+        when(col("n_hits").isNull || col("n") === 0,
+            concat_ws(" ", col("toks")))
+          .otherwise(rebuilt).as("cleaned_text"))
+  }
+
   /** (doc_id, n_bench_candidates, max_jaccard) for every `train` doc
     * with ≥1 band-collision candidate against `bench`; docs with no
     * candidate are absent (callers default them to (0, 0.0)). Both

@@ -680,6 +680,29 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // T39: span-SURGERY decontamination — the salvage alternative to
+    // t10/t36's flag-and-drop (GPT-3 appendix C): excise a ±5-token
+    // window around every benchmark 3-gram hit, merge overlapping
+    // windows (gaps-and-islands over a doc-keyed window), and keep the
+    // rest of the document. 3-gram grain is the fixture-proportional
+    // analog of GPT-3's 13-grams (docs here average ~54 tokens); the
+    // operator's production default stays at 5. The oracle recomputes
+    // positions, the interval union, AND the cleaned text (position
+    // anti-join + ordered string_agg) independently of the engine's
+    // row-local HOF rebuild; cleaned_fp hashing the kept tokens pins
+    // both to the same surviving text, not just the same counts.
+    "t39_decontaminate_surgery" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      graft.operators.Decontaminate.surgerySpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          nGram = 3, pad = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+          col("n_spans_removed"), col("removed_tokens"), col("kept_frac"),
+          md5(col("cleaned_text")).as("cleaned_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T11: PII detection + redaction — the scrub pass every training-data
     // pipeline runs before release. Deterministic PII is planted from
     // doc_id (the corpus itself is synthetic), then counted and redacted
@@ -868,6 +891,30 @@ object PipelineQueries {
         widths = graft.DedupWidths.default.copy(
           method = "semantic", semanticTau = 0.35))
       val rep = graft.CurateApp.report(frame).orderBy(col("stage"))
+      val rows = rep.collect() // ≤6 rows by construction (the stage enum)
+      release()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
+    }),
+
+    // C5Y: the c5 pipeline under the SPAN-SURGERY contamination gate
+    // (curation.contamGate = surgery, t39's salvage semantics at the
+    // same fixture-proportional 3-gram grain): docs quoting benchmark
+    // text get the quote EXCISED and stay in the corpus unless less
+    // than half their tokens survive. The report gains two columns —
+    // kept docs that were operated on, and the token mass excised from
+    // them; n_tokens stays the original count so the rows still
+    // partition the corpus. The oracle replays the whole pipeline with
+    // the t39 CTEs over the stage-4 survivor set; the per-doc cleaned
+    // TEXT equality is t39's own oracle contract, so counts here pin
+    // which docs were cut, dropped, and kept.
+    "c5y_curate_report_surgery" -> ((s, dir) => {
+      val (frame, release) = graft.CurateApp.taggedCached(s, dir,
+        contamGate = "surgery", surgeryNGram = 3, surgeryPad = 5)
+      val rep = frame.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("surgered").cast("long")).as("n_surgered"),
+          sum(col("surgery_removed_tokens")).as("surgery_removed_tokens"))
+        .orderBy(col("stage"))
       val rows = rep.collect() // ≤6 rows by construction (the stage enum)
       release()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
@@ -2166,6 +2213,105 @@ object PipelineQueries {
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM tagged GROUP BY stage ORDER BY stage""".stripMargin,
 
+    // c5y: the c5 pipeline with stage 5 replaced by the t39 span-surgery
+    // CTEs over the stage-4 survivors (3-gram grain, ±5 pad, keep-floor
+    // 0.5). `contam` = survivors with kept_frac < 0.5; `srgk` = kept
+    // docs that were excised, carrying the removed-token mass.
+    "c5y_curate_report_surgery" ->
+      s"""WITH RECURSIVE
+        |$qualityScoredSql,
+        |base0 AS (
+        |  SELECT d.doc_id, d.text, d.n_chars,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |    (d.doc_id % 50 = 0) AS is_bench,
+        |    (s.quality < 0.5) AS low_quality
+        |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id),
+        |s12 AS (SELECT * FROM base0 WHERE NOT is_bench AND NOT low_quality),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |  FROM s12),
+        |fpc AS (SELECT f, MIN(doc_id) AS fp_canon FROM fp GROUP BY f),
+        |exact_dups AS (
+        |  SELECT fp.doc_id FROM fp JOIN fpc USING (f)
+        |  WHERE fp.doc_id <> fpc.fp_canon),
+        |s3 AS (
+        |  SELECT s12.doc_id, s12.text, s12.n_chars FROM s12
+        |  ANTI JOIN exact_dups ON s12.doc_id = exact_dups.doc_id),
+        |${ccSqlOn("s3")},
+        |wc AS (
+        |  SELECT s3.doc_id, COALESCE(cc.component, s3.doc_id) AS component,
+        |    s3.n_chars
+        |  FROM s3 LEFT JOIN cc ON cc.node = s3.doc_id),
+        |sel AS (
+        |  SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS canonical_doc
+        |  FROM wc),
+        |near_dups AS (SELECT doc_id FROM sel WHERE doc_id <> canonical_doc),
+        |s4 AS (
+        |  SELECT s3.doc_id, s3.text FROM s3
+        |  ANTI JOIN near_dups ON s3.doc_id = near_dups.doc_id),
+        |s4n AS (SELECT doc_id, $toksSql AS toks,
+        |          CAST(len($toksSql) AS BIGINT) AS n FROM s4),
+        |bfp AS (
+        |  SELECT DISTINCT md5(array_to_string(
+        |    toks[CAST(p + 1 AS INT) : CAST(p + 3 AS INT)], ' ')) AS fp
+        |  FROM (SELECT toks, unnest(range(len(toks) - 2)) AS p
+        |        FROM (SELECT $toksSql AS toks FROM documents
+        |              WHERE doc_id % 50 = 0) b
+        |        WHERE len(toks) >= 3) z),
+        |hp AS (SELECT doc_id, n, toks, unnest(range(n - 2)) AS p FROM s4n
+        |       WHERE n >= 3),
+        |hits AS (
+        |  SELECT doc_id, n, p FROM (
+        |    SELECT doc_id, n, p, md5(array_to_string(
+        |      toks[CAST(p + 1 AS INT) : CAST(p + 3 AS INT)], ' ')) AS fp
+        |    FROM hp) h
+        |  WHERE fp IN (SELECT fp FROM bfp)),
+        |iv AS (SELECT doc_id, GREATEST(p - 5, 0) AS s0, LEAST(p + 8, n) AS e0
+        |       FROM hits),
+        |ni AS (
+        |  SELECT doc_id, s0, e0,
+        |    CASE WHEN s0 > COALESCE(MAX(e0) OVER (
+        |      PARTITION BY doc_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS f
+        |  FROM iv),
+        |sp AS (
+        |  SELECT doc_id, isl, MIN(s0) AS s, MAX(e0) AS e
+        |  FROM (SELECT doc_id, s0, e0, SUM(f) OVER (
+        |          PARTITION BY doc_id ORDER BY s0, e0
+        |          ROWS UNBOUNDED PRECEDING) AS isl FROM ni) z
+        |  GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS rem
+        |       FROM sp GROUP BY 1),
+        |srg AS (
+        |  SELECT s4n.doc_id, COALESCE(ag.rem, 0) AS rem,
+        |    CASE WHEN s4n.n > 0
+        |      THEN ROUND((s4n.n - COALESCE(ag.rem, 0))
+        |             / CAST(s4n.n AS DOUBLE), 6)
+        |      ELSE 1.0 END AS kept_frac
+        |  FROM s4n LEFT JOIN ag ON ag.doc_id = s4n.doc_id),
+        |contam AS (SELECT doc_id FROM srg WHERE kept_frac < 0.5),
+        |tagged AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CASE WHEN b.is_bench THEN 'benchmark'
+        |         WHEN b.low_quality THEN 'quality'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM exact_dups) THEN 'exact_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM near_dups) THEN 'near_dup'
+        |         WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+        |         ELSE 'kept' END AS stage
+        |  FROM base0 b),
+        |srgk AS (
+        |  SELECT doc_id, rem FROM srg
+        |  WHERE rem > 0 AND doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT t.stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(srgk.doc_id) AS BIGINT) AS n_surgered,
+        |  CAST(COALESCE(SUM(srgk.rem), 0) AS BIGINT) AS surgery_removed_tokens
+        |FROM tagged t LEFT JOIN srgk ON srgk.doc_id = t.doc_id
+        |GROUP BY t.stage ORDER BY t.stage""".stripMargin,
+
     // c5x: the c5 pipeline over documents ⋈ embeddings with SemDeDup as
     // the near-dup candidate generator. Only the K-Means fit/assign head
     // is golden-pinned (clusters CTE); the within-cluster cosine ≥ 0.35
@@ -2678,6 +2824,67 @@ object PipelineQueries {
         |SELECT source, n_docs, n_tokens,
         |  ROUND(sqrt(CAST(n_tokens AS DOUBLE) / mx), 6) AS weight_ratio
         |FROM t, m ORDER BY source""".stripMargin,
+
+    "t39_decontaminate_surgery" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |tr AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+        |       WHERE doc_id % 50 <> 0),
+        |bfp AS (
+        |  SELECT DISTINCT md5(array_to_string(
+        |    toks[CAST(p + 1 AS INT) : CAST(p + 3 AS INT)], ' ')) AS fp
+        |  FROM (SELECT toks, unnest(range(len(toks) - 2)) AS p FROM t
+        |        WHERE doc_id % 50 = 0 AND len(toks) >= 3) z),
+        |hp AS (SELECT doc_id, n, toks, unnest(range(n - 2)) AS p FROM tr
+        |       WHERE n >= 3),
+        |hits AS (
+        |  SELECT doc_id, n, p FROM (
+        |    SELECT doc_id, n, p, md5(array_to_string(
+        |      toks[CAST(p + 1 AS INT) : CAST(p + 3 AS INT)], ' ')) AS fp
+        |    FROM hp) h
+        |  WHERE fp IN (SELECT fp FROM bfp)),
+        |iv AS (SELECT doc_id, GREATEST(p - 5, 0) AS s0, LEAST(p + 8, n) AS e0
+        |       FROM hits),
+        |ni AS (
+        |  SELECT doc_id, s0, e0,
+        |    CASE WHEN s0 > COALESCE(MAX(e0) OVER (
+        |      PARTITION BY doc_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS f
+        |  FROM iv),
+        |sp AS (
+        |  SELECT doc_id, isl, MIN(s0) AS s, MAX(e0) AS e
+        |  FROM (SELECT doc_id, s0, e0, SUM(f) OVER (
+        |          PARTITION BY doc_id ORDER BY s0, e0
+        |          ROWS UNBOUNDED PRECEDING) AS isl FROM ni) z
+        |  GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_removed,
+        |         CAST(SUM(e - s) AS BIGINT) AS removed_tokens
+        |       FROM sp GROUP BY 1),
+        |nh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |       FROM hits GROUP BY 1),
+        |pos AS (SELECT tr.doc_id, tr.toks, unnest(range(tr.n)) AS i
+        |        FROM tr JOIN nh ON nh.doc_id = tr.doc_id),
+        |kept AS (
+        |  SELECT pos.doc_id, pos.i, pos.toks[CAST(pos.i + 1 AS INT)] AS tok
+        |  FROM pos
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = pos.doc_id AND pos.i >= sp.s AND pos.i < sp.e)),
+        |cf AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS cfp
+        |       FROM kept GROUP BY doc_id)
+        |SELECT tr.doc_id, tr.n AS n_tokens,
+        |  COALESCE(nh.n_hits, 0) AS n_hits,
+        |  COALESCE(ag.n_spans_removed, 0) AS n_spans_removed,
+        |  COALESCE(ag.removed_tokens, 0) AS removed_tokens,
+        |  CASE WHEN tr.n > 0
+        |    THEN ROUND((tr.n - COALESCE(ag.removed_tokens, 0))
+        |           / CAST(tr.n AS DOUBLE), 6)
+        |    ELSE 1.0 END AS kept_frac,
+        |  CASE WHEN nh.doc_id IS NULL THEN md5(array_to_string(tr.toks, ' '))
+        |       ELSE COALESCE(cf.cfp, md5('')) END AS cleaned_fp
+        |FROM tr LEFT JOIN nh ON nh.doc_id = tr.doc_id
+        |LEFT JOIN ag ON ag.doc_id = tr.doc_id
+        |LEFT JOIN cf ON cf.doc_id = tr.doc_id
+        |ORDER BY tr.doc_id""".stripMargin,
 
     "t9_token_budget_mix" ->
       s"""WITH t AS (

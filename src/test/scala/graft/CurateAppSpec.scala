@@ -153,6 +153,61 @@ class CurateAppSpec extends AnyFunSuite {
     }
   }
 
+  test("contamGate=surgery: benchmark quotes are EXCISED and the doc kept; mostly-benchmark docs still drop; overlap mode keeps the quote intact") {
+    import spark.implicits._
+    val benchText = "secret bench passage alpha beta gamma"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"x$i").mkString(" ")
+    val quoter = s"$filler secret bench passage $tail" // one bench 3-gram
+    val nearClone = s"$benchText z1"                   // ~all bench text
+    val clean = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+        (0L, benchText), (1L, quoter), (2L, nearClone), (3L, clean))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    def frame(gate: String) = {
+      val (f, release) = CurateApp.taggedCachedOn(spark, docs,
+        qualityMin = 0.0, contamGate = gate,
+        surgeryNGram = 3, surgeryPad = 2, surgeryMinKeepFrac = 0.5)
+      val rows = f.select(col("doc_id"), col("stage"), col("text"),
+          col("n_chars")).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+        .toMap
+      release(); rows
+    }
+
+    val surg = frame("surgery")
+    // doc 1 quotes ONE benchmark 3-gram at position 40: the ±2-pad span
+    // [38, 45) is excised (w39 w40 secret bench passage x1 x2) and the
+    // doc is KEPT with exactly the surviving tokens
+    val expected = ((1 to 38).map(i => s"w$i") ++ (3 to 10).map(i => s"x$i"))
+      .mkString(" ")
+    assert(surg(1L)._1 == "kept")
+    assert(surg(1L)._2 == expected, surg(1L)._2)
+    assert(surg(1L)._3 == expected.length.toLong)
+    // doc 2 is the benchmark plus one token: every position hits, the
+    // span union covers the doc, kept_frac 0 < 0.5 → still dropped
+    assert(surg(2L)._1 == "contaminated")
+    // doc 3 is untouched text-wise and kept
+    assert(surg(3L)._1 == "kept" && surg(3L)._2 == clean)
+
+    // the excised-mass column: only doc 1 carries removed tokens
+    val (f2, release2) = CurateApp.taggedCachedOn(spark, docs,
+      qualityMin = 0.0, contamGate = "surgery",
+      surgeryNGram = 3, surgeryPad = 2, surgeryMinKeepFrac = 0.5)
+    val removed = f2.select(col("doc_id"), col("surgery_removed_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    release2()
+    assert(removed(1L) == 7L && removed(3L) == 0L, removed.toString)
+
+    // overlap mode: doc 1's single shared 3-gram is far below the 0.5
+    // overlap floor — kept VERBATIM (no rewrite); doc 2 still drops
+    val ov = frame("overlap")
+    assert(ov(1L)._1 == "kept" && ov(1L)._2 == quoter)
+    assert(ov(2L)._1 == "contaminated")
+  }
+
   test("nearDupMethod=semantic: embedding near-dups drop across DISTINCT texts; text methods keep them; fail-loud without embeddings") {
     import spark.implicits._
     def unit(v: Seq[Double]): Seq[Float] = {

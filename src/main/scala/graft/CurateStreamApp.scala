@@ -39,14 +39,24 @@ import graft.streaming.StreamingJobs
   *                    SMALLER side's fp count (the m9 verify — catches
   *                    truncated re-rips AND arrivals extending a corpus
   *                    clip); silence sentinels are excluded end-to-end;
-  *   5. `contaminated` — (curation.contamScreen = overlap|fuzzy) the
-  *                    arrival overlaps the [[bootstrapBench]]-indexed
+  *   5. `contaminated` — (curation.contamScreen = overlap|fuzzy|surgery)
+  *                    the arrival overlaps the [[bootstrapBench]]-indexed
   *                    benchmark corpus: `overlap` = shared 3-gram
   *                    fraction ≥ `curation.maxOverlap` (t10 semantics);
   *                    `fuzzy` = bench band collision verified at ≥
   *                    `curation.fuzzyMinJaccard` exact Jaccard (t36
-  *                    semantics) — closes the ingest hole the batch
-  *                    app's stage-5 gate covers for the initial corpus;
+  *                    semantics); `surgery` = the t39 salvage screen at
+  *                    the index's 3-gram grain (the bench_state shingle
+  *                    set IS the positional 3-gram vocabulary): matched
+  *                    spans ±`curation.surgeryPad` are EXCISED from the
+  *                    arrival before commit — rewriting the ARRIVAL, not
+  *                    state — and only arrivals keeping less than
+  *                    `curation.surgeryMinKeepFrac` of their tokens drop;
+  *                    rewritten survivors re-fingerprint and re-check
+  *                    the fp state so a replay (same batch → same
+  *                    excision → same fingerprint) stays a no-op — closes
+  *                    the ingest hole the batch app's stage-5 gate covers
+  *                    for the initial corpus;
   *   6. `near_dup`  — any MinHash band collides with the corpus band
   *                    index (`Dedup.lshBandsLocal` on the stream side —
   *                    one codegen kernel per row, no stream-side
@@ -576,8 +586,35 @@ object CurateStreamApp {
     val contamScreen = config.getString("curation.contamScreen", "off")
     val maxOverlap = config.getDouble("curation.maxOverlap", 0.5)
     val fuzzyMinJaccard = config.getDouble("curation.fuzzyMinJaccard", 0.5)
-    val collidingAll = contamScreen match {
-      case "off" => colliding
+    val (collidingAll, surgeryRewrite) = contamScreen match {
+      case "off" => (colliding, None)
+      case "surgery" =>
+        // the t39 salvage screen on the INGEST path, pinned to the
+        // index's 3-gram grain: bench_state's shingle set is exactly the
+        // positional 3-gram vocabulary, so the bootstrap-once index is
+        // reused verbatim (no per-batch benchmark re-explode) and the
+        // match runs on literal grams (hashFps = false — the index
+        // stores strings). Excision rewrites the ARRIVAL before commit;
+        // state is never rewritten.
+        val (benchSh, _, _) = readBenchState(spark, stateDir)
+          .getOrElse(sys.error(
+            s"curation.contamScreen=surgery but no bench state under " +
+              s"$stateDir/bench_state — run CurateStreamApp.bootstrapBench " +
+              "over the benchmark corpus first"))
+        val surg = operators.Decontaminate.surgerySpansAgainst(
+            batchUnique.select(col("doc_id"), col("text")),
+            benchSh.select(col("shingle").as("fp")).distinct(),
+            nGram = 3,
+            pad = config.getInt("curation.surgeryPad", 5),
+            hashFps = false)
+          .filter(col("n_hits") > 0) // untouched arrivals never join back
+          .localCheckpoint(true)     // feeds the drop set AND the rewrite
+        val minKeep = config.getDouble("curation.surgeryMinKeepFrac", 0.5)
+        val dropped = surg.filter(col("kept_frac") < minKeep)
+          .select(col("doc_id"))
+        (colliding.unionByName(dropped).distinct(),
+          Some(surg.filter(col("kept_frac") >= minKeep)
+            .select(col("doc_id"), col("cleaned_text"))))
       case mode @ ("overlap" | "fuzzy") =>
         val (benchSh, benchBands, benchNsh) = readBenchState(spark, stateDir)
           .getOrElse(sys.error(
@@ -636,17 +673,46 @@ object CurateStreamApp {
                   * fuzzyMinJaccard)
               .select(col("doc_id")).distinct()
           }
-        colliding.unionByName(contamHit).distinct()
+        (colliding.unionByName(contamHit).distinct(), None)
       case other => sys.error(
-        s"curation.contamScreen must be off|overlap|fuzzy, got '$other'")
+        s"curation.contamScreen must be off|overlap|fuzzy|surgery, got '$other'")
     }
     // materialized EAGERLY: the survivor plan reads all three state
     // tables and feeds three consumers (curated write, fp merge, band
     // merge) — one localCheckpoint avoids re-running the quality gate and
     // dedup joins per consumer, and keeps the staged state writes from
     // racing the root promotion below
-    val survivors = batchUnique.join(collidingAll, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val survivors0 = batchUnique.join(collidingAll, Seq("doc_id"), "left_anti")
+    val survivors = (surgeryRewrite match {
+      case None => survivors0
+      case Some(rw) =>
+        // surgery commit: excised arrivals enter the corpus under their
+        // CLEANED text — fingerprint and n_chars recompute to track the
+        // committed bytes, and the new fingerprint re-checks the fp
+        // state (one extra anti scan, surgery batches only) so a replay
+        // of an already-committed excised doc is still an exact-dup no-op
+        val rewritten0 = survivors0.join(rw, Seq("doc_id"), "left")
+          .withColumn("text", coalesce(col("cleaned_text"), col("text")))
+          .withColumn("fp",
+            when(col("cleaned_text").isNotNull, exactFingerprint(col("text")))
+              .otherwise(col("fp")))
+        val rewritten =
+          (if (survivors0.columns.contains("n_chars"))
+            rewritten0.withColumn("n_chars",
+              when(col("cleaned_text").isNotNull, length(col("text")).cast("long"))
+                .otherwise(col("n_chars")))
+          else rewritten0)
+          .drop("cleaned_text")
+        // two arrivals whose texts differ only inside excised spans
+        // converge on one cleaned fingerprint — first-keeps again on the
+        // REWRITTEN fp (batch-sized window), then the state re-check
+        val byNewFp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))
+        rewritten
+          .withColumn("fp_canon", min(col("doc_id")).over(byNewFp))
+          .filter(col("doc_id") === col("fp_canon")).drop("fp_canon")
+          .join(stateFps.select(col("fp")), Seq("fp"), "left_anti")
+    }).localCheckpoint(true)
 
     if (batchId >= 0)
       survivors.drop("fp").write.mode(SaveMode.Overwrite)

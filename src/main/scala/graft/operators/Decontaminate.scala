@@ -84,26 +84,52 @@ object Decontaminate {
     *
     * Returns one row per `train` doc: (doc_id, n_tokens, n_hits,
     * n_spans_removed, removed_tokens, kept_frac, cleaned_text).
+    *
+    * `hashFps` keys the match on xxhash64 of each n-gram (8 bytes
+    * hashed, shuffled and probed) instead of the literal string — the
+    * [[Dedup.exactSubstringSpans]] `hashGrams` trade: a cross-set
+    * 64-bit collision (p ≈ n²/2⁶⁵, ~10⁻⁷ at 10⁷ distinct grams) would
+    * excise one spurious span; the literal path exists for the parity
+    * spec and for callers that cannot tolerate that epsilon.
     */
   def surgerySpans(train: DataFrame, bench: DataFrame,
-      nGram: Int = 5, pad: Int = 5): DataFrame = {
-    import graft.functions.TextFunctions.tokens
-    def posFps(docs: DataFrame): DataFrame = docs
+      nGram: Int = 5, pad: Int = 5, hashFps: Boolean = true): DataFrame =
+    surgerySpansAgainst(train,
+      posFps(withToks(bench), nGram, hashFps).select(col("fp")).distinct(),
+      nGram, pad, hashFps)
+
+  private def withToks(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    .withColumn("n", size(col("toks")).cast("long"))
+
+  private def posFps(docs: DataFrame, nGram: Int, hashFps: Boolean): DataFrame =
+    docs
       .filter(size(col("toks")) >= nGram)
       .select(col("doc_id"), col("n"),
         explode(transform(sequence(lit(0), size(col("toks")) - nGram),
-          p => struct(p.cast("long").as("p"),
-            md5(concat_ws(" ", slice(col("toks"), p + 1, lit(nGram)))).as("fp"))))
-          .as("h"))
+          p => {
+            val gram = concat_ws(" ", slice(col("toks"), p + 1, lit(nGram)))
+            struct(p.cast("long").as("p"),
+              (if (hashFps) xxhash64(gram) else gram).as("fp"))
+          })).as("h"))
       .select(col("doc_id"), col("n"), col("h.p").as("p"), col("h.fp").as("fp"))
-    val toksT = train
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-    val benchFps = posFps(bench
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")).cast("long")))
-      .select(col("fp")).distinct()
-    val hits = posFps(toksT).join(benchFps, Seq("fp"), "left_semi")
+
+  /** [[surgerySpans]] against a PREBUILT benchmark n-gram set (one `fp`
+    * column — literal grams when `hashFps = false`, xxhash64 keys when
+    * true): what lets the streaming ingest screen reuse the
+    * bootstrap-once `bench_state` 3-gram shingle index instead of
+    * re-exploding the benchmark corpus every 10-second batch.
+    */
+  def surgerySpansAgainst(train: DataFrame, benchFps: DataFrame,
+      nGram: Int, pad: Int, hashFps: Boolean = true): DataFrame = {
+    val toksT = withToks(train)
+    // pinned: `hits` feeds both the per-doc count and the span union, and
+    // Catalyst re-evaluates the subtree per consumer — unpinned, the
+    // bench-fp distinct and the train position explode each ran twice
+    // (5 parquet scans; the t36 lesson). Hit positions are three longs a
+    // row and match-bounded — cheap to materialize.
+    val hits = posFps(toksT, nGram, hashFps).join(benchFps, Seq("fp"), "left_semi")
+      .localCheckpoint(true)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s0"), col("e0"))
     val prevMax = max(col("e0")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     val spans = hits

@@ -206,6 +206,17 @@ class CurateAppSpec extends AnyFunSuite {
     val ov = frame("overlap")
     assert(ov(1L)._1 == "kept" && ov(1L)._2 == quoter)
     assert(ov(2L)._1 == "contaminated")
+
+    // the production xxhash64 match key and the literal-string key give
+    // byte-identical results (the d11 hashGrams parity contract)
+    import graft.operators.Decontaminate
+    val bench = docs.filter(col("doc_id") === 0L).select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") =!= 0L).select(col("doc_id"), col("text"))
+    def surgAll(hashed: Boolean) =
+      Decontaminate.surgerySpans(train, bench, nGram = 3, pad = 2,
+          hashFps = hashed)
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(surgAll(true) == surgAll(false))
   }
 
   test("nearDupMethod=semantic: embedding near-dups drop across DISTINCT texts; text methods keep them; fail-loud without embeddings") {

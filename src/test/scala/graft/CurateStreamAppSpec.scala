@@ -362,6 +362,61 @@ class CurateStreamAppSpec extends AnyFunSuite {
     }
   }
 
+  test("contamScreen=surgery: bench quotes are excised on ingest; heavy contamination drops; a re-arrival of the cleaned doc is an exact-dup no-op") {
+    val benchB = "participants answered forty questions about planetary " +
+      "orbits gravitational pull and the speed of light in a vacuum " +
+      "then rated their confidence on a seven point scale before the " +
+      "interviewer recorded age education and prior physics coursework"
+    val quote = benchB.split(" ").take(10).mkString(" ")
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"x$i").mkString(" ")
+    val quoter = s"$filler $quote $tail" // 60 tokens, quote at 40..49
+    val fresh = (1 to 20).map(i => s"c$i").mkString(" ")
+    val heavy = s"$benchB zzz" // nearly every position hits
+
+    val root = Files.createTempDirectory("curatestream_surg")
+      .toFile.getAbsolutePath
+    val stateDir = s"$root/state"; val outDir = s"$root/out"
+    new java.io.File(stateDir).mkdirs()
+    val conf = GraftConfig.parse(
+      """curation {
+        |  contamScreen = "surgery"
+        |  qualityMin = "0.0"
+        |}""".stripMargin)
+    CurateStreamApp.bootstrapBench(spark, docs(900L -> benchB), stateDir)
+
+    CurateStreamApp.processBatch(spark,
+      docs(1L -> fresh, 2L -> quoter, 3L -> heavy),
+      stateDir, outDir, conf, batchId = 0L)
+    val cur0 = spark.read.parquet(s"$outDir/curated")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // hits at 40..47 → span [35, 55): w36..w40, the quote, x1..x5 excised
+    val expected = ((1 to 35).map(i => s"w$i") ++ (6 to 10).map(i => s"x$i"))
+      .mkString(" ")
+    assert(cur0.keySet == Set(1L, 2L), cur0.keySet.toString)
+    assert(cur0(1L)._1 == fresh)
+    assert(cur0(2L)._1 == expected, cur0(2L)._1)
+    assert(cur0(2L)._2 == expected.length.toLong)
+
+    // the state fingerprints the CLEANED text: a later arrival of the
+    // same quoting doc (new id, same original text — the original fp is
+    // NOT in state) re-surgers to the same cleaned text and drops on the
+    // rewritten-fp state re-check
+    CurateStreamApp.processBatch(spark, docs(20L -> quoter),
+      stateDir, outDir, conf, batchId = 1L)
+    assert(spark.read.parquet(s"$outDir/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // replay of batch 0 is a no-op (delta marker) and state holds the
+    // two survivors only
+    CurateStreamApp.processBatch(spark,
+      docs(1L -> fresh, 2L -> quoter, 3L -> heavy),
+      stateDir, outDir, conf, batchId = 0L)
+    assert(spark.read.parquet(s"$outDir/curated").count() == 2)
+    assert(CurateStreamApp.readCorpusState(spark, stateDir).fps.count() == 2)
+  }
+
   test("audio screen: gain-variant re-rips drop against the fp state; fresh tones pass") {
     import spark.implicits._
     import graft.operators.Multimodal

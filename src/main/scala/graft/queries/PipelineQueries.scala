@@ -59,6 +59,66 @@ object PipelineQueries {
         .orderBy(col("doc1"), col("doc2"))
     }),
 
+    // D24: LSH recall/precision AUDIT — the measurement that tunes the
+    // dedup dials (numPerms/numBands) before anyone trusts a candidate
+    // generator on 100 TB: on a deterministic 30% hash stratum, exact
+    // discriminative-shingle Jaccard pairs (the d4 shared-shingle shape
+    // — never all-pairs; shingles with sample doc-frequency > 1000 are
+    // excluded from BOTH counts and intersections, the standard hot-key
+    // trade) are compared against the banding's candidate set at three
+    // tau rungs. One row per tau: how many true pairs exist, how many
+    // candidates the bands emitted, how many true pairs they caught.
+    // The audit is SAMPLE-bounded by contract (the v11 recall-eval
+    // precedent): production sizes the stratum by count, not fraction.
+    "d24_lsh_recall" -> ((s, dir) => {
+      val sample = Catalog.documents(s, dir)
+        .filter(sampleBucket(col("doc_id")) < 30)
+      val sh0 = explodedShingles(
+        sample.select(col("doc_id"), col("text")), "doc_id", "text", 3).distinct()
+      // pinned: the shingle frame feeds df, counts and the pair join
+      val sh = sh0.join(
+          sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 1000).select(col("shingle")),
+          Seq("shingle"), "left_semi")
+        .localCheckpoint(true)
+      val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val exact = sh.select(col("doc_id").as("doc1"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc2"), col("shingle")), Seq("shingle"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("i"))
+        .join(nsh.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+        .join(nsh.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          round(col("i") / (col("n1") + col("n2") - col("i")).cast("double"), 6)
+            .as("jac"))
+        .localCheckpoint(true) // feeds the per-tau counts and the candidate join
+      val candJac = Dedup.lshCandidatePairs(sample)
+        .select(col("doc1"), col("doc2"))
+        .join(exact, Seq("doc1", "doc2"), "left")
+        .select(coalesce(col("jac"), lit(0.0)).as("jac"))
+      def tauCols(df: DataFrame, prefix: String) = df.agg(
+        count(lit(1)).as(s"${prefix}_all"),
+        sum(when(col("jac") >= 0.3, 1L).otherwise(0L)).as(s"${prefix}03"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as(s"${prefix}05"),
+        sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as(s"${prefix}07"))
+      // two one-row aggregates; the crossJoin is the a9 one-row-stats shape
+      val one = tauCols(exact, "t").crossJoin(tauCols(candJac, "h"))
+      def rung(tau: Double, t: String, h: String) = one.select(
+        lit(tau).as("tau"), col(t).as("n_true"),
+        col("h_all").as("n_candidates"), col(h).as("n_hit"))
+      rung(0.3, "t03", "h03")
+        .unionByName(rung(0.5, "t05", "h05"))
+        .unionByName(rung(0.7, "t07", "h07"))
+        .select(col("tau"), col("n_true"), col("n_candidates"), col("n_hit"),
+          when(col("n_true") > 0,
+            round(col("n_hit") / col("n_true").cast("double"), 6))
+            .otherwise(lit(1.0)).as("recall"),
+          when(col("n_candidates") > 0,
+            round(col("n_hit") / col("n_candidates").cast("double"), 6))
+            .otherwise(lit(1.0)).as("precision"))
+        .orderBy(col("tau"))
+    }),
+
     // D3: 32-bit SimHash signature per document (codegen'd explode+vote
     // aggregation; the row-local HOF form is Dedup.simhash).
     "d3_simhash" -> ((s, dir) => {
@@ -3063,6 +3123,67 @@ object PipelineQueries {
         |SELECT x.doc_id AS doc1, y.doc_id AS doc2, COUNT(*) AS n_bands
         |FROM bk x JOIN bk y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+
+    "d24_lsh_recall" ->
+      s"""WITH samp AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100 < 30),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(${shinglesSql(toksSql)}) AS shingle
+        |  FROM samp),
+        |df AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 1000),
+        |ksh AS (SELECT sh0.* FROM sh0 JOIN df USING (shingle)),
+        |nsh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM ksh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS doc1, y.doc_id AS doc2, COUNT(*) AS i
+        |  FROM ksh x JOIN ksh y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT doc1, doc2,
+        |    ROUND(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jac
+        |  FROM inter JOIN nsh n1 ON n1.doc_id = inter.doc1
+        |  JOIN nsh n2 ON n2.doc_id = inter.doc2),
+        |sh AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM samp),
+        |$bandsSql,
+        |kept AS (
+        |  SELECT b, sig FROM bands GROUP BY b, sig
+        |  HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |bk AS (SELECT bands.* FROM bands JOIN kept USING (b, sig)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+        |  FROM bk x JOIN bk y
+        |    ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |cj AS (
+        |  SELECT COALESCE(exact.jac, 0.0) AS jac
+        |  FROM cand LEFT JOIN exact USING (doc1, doc2)),
+        |ex1 AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t03,
+        |    CAST(COALESCE(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t05,
+        |    CAST(COALESCE(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t07
+        |  FROM exact),
+        |cd1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |    CAST(COALESCE(SUM(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS h03,
+        |    CAST(COALESCE(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS h05,
+        |    CAST(COALESCE(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS h07
+        |  FROM cj),
+        |rungs AS (
+        |  SELECT 0.3 AS tau, t03 AS n_true, nc AS n_candidates, h03 AS n_hit
+        |  FROM ex1, cd1
+        |  UNION ALL
+        |  SELECT 0.5, t05, nc, h05 FROM ex1, cd1
+        |  UNION ALL
+        |  SELECT 0.7, t07, nc, h07 FROM ex1, cd1)
+        |SELECT CAST(tau AS DOUBLE) AS tau, n_true, n_candidates, n_hit,
+        |  CASE WHEN n_true > 0
+        |    THEN ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) ELSE 1.0 END AS recall,
+        |  CASE WHEN n_candidates > 0
+        |    THEN ROUND(CAST(n_hit AS DOUBLE) / n_candidates, 6)
+        |    ELSE 1.0 END AS "precision"
+        |FROM rungs ORDER BY tau""".stripMargin,
 
     "c6_split_leakage" ->
       s"""WITH sh AS (

@@ -35,6 +35,12 @@ class CuratePlanSpec extends AnyFunSuite {
     // the pre-r12 hinted shape; past the cap the same joins pin to merge
     // (FuzzyStress proves the 8M-pair regime on a 3g driver).
     ("score", "fuzzy") -> "bhj=6 smj=3 shj=0 bnlj=0 cart=0 bcastx=6 shufflex=11 scans=3 pushed=2 agg=10 objagg=0 sortagg=0 window=3 wgl=0",
+    // surgery joins the checkpointed t39 hit frame (scans=5 pins the
+    // one-evaluation contract: the bench-fp distinct and the position
+    // explode run once — unpinned they re-ran per consumer) and adds
+    // the span-union window (window 7→8) plus the collect_list span
+    // assembly (objagg=2)
+    ("score", "surgery") -> "bhj=4 smj=4 shj=0 bnlj=0 cart=0 bcastx=4 shufflex=13 scans=5 pushed=4 agg=8 objagg=2 sortagg=0 window=8 wgl=0",
   )
 
   goldens.toSeq.sortBy(_.toString).foreach { case ((q, c), want) =>

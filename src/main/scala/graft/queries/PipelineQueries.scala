@@ -1630,6 +1630,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T40: CCNet head/middle/tail corpus partitioning (Wenzek LREC'20
+    // §4.3) — the step AFTER t35's keep/drop gate in the real pipeline:
+    // per-language perplexity TERTILES, so a training run can take the
+    // head slice, mix head+middle, or mine the tail for diversity.
+    // avg NLL is the integer floor-division of the t35 fixed-point sums
+    // (both engines divide identical positive longs — no float trap);
+    // ntile(3) over (avg, doc_id) is a total order, so the split is
+    // deterministic. The per-lang window is an exact global sort — the
+    // oracle-checkable form; at 100 TB the same split comes from the
+    // a22 binned-selection quantile machinery with these semantics as
+    // its parity target. Unscoreable docs (no bigrams) get no bucket,
+    // exactly as CCNet leaves unscored text out of the split.
+    // No final ORDER BY (the d6/d11 convention): the range partitioner's
+    // sampling pass re-executes the LM+window subtree just to order rows
+    // the hash compare ignores — measured 18.7 → 15.3 s at 100×. The residual over t35's
+    // ~10 s is the ntile window itself: partitionBy(lang) caps sort
+    // parallelism at the language count — the exact-form cost the a22
+    // binned-selection path exists to avoid.
+    "t40_ppl_buckets" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val scored = graft.operators.PerplexityGate
+        .nllScores(docs, col("lang") === "en")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("avg_nll_e6"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"))
+        .filter(col("n_bigrams") > 0)
+        .withColumn("avg_nll_e6",
+          expr("(-sum_logp_e6) div n_bigrams"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll_e6"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            ntile(3).over(w)).as("bucket"))
+    }),
+
     // M7: spectral peak fingerprint (Shazam-style constellation frame
     // signature) over the real WAV decode — per 256-sample frame, the
     // argmax DFT bin of each of 8 bands packed into one long. Gain-
@@ -4106,6 +4140,33 @@ object PipelineQueries {
         |       AS INT) AS keep
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "t40_ppl_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, lang, s, string_split(s, ' ')[1] AS w1
+        |  FROM (SELECT doc_id, lang,
+        |          unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS s
+        |        FROM toks)),
+        |cb AS (SELECT s, count(*) AS cb FROM bi WHERE lang = 'en' GROUP BY s),
+        |cu AS (SELECT string_split(s, ' ')[1] AS w1, sum(cb) AS cu FROM cb GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM cu),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(ROUND(ln((COALESCE(cb, 0) + 1) /
+        |          CAST(COALESCE(cu, 0) + GREATEST((SELECT v FROM v), 1) AS DOUBLE)) * 1e6)
+        |        AS BIGINT)) AS sum_logp_e6
+        |  FROM bi LEFT JOIN cb USING (s) LEFT JOIN cu USING (w1)
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id, d.lang, CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+        |    CAST((-s.sum_logp_e6) // s.n_bigrams AS BIGINT) AS avg_nll_e6
+        |  FROM documents d JOIN scored s USING (doc_id)
+        |  WHERE s.n_bigrams > 0)
+        |SELECT doc_id, lang, n_bigrams, avg_nll_e6,
+        |  ['head', 'middle', 'tail'][ntile(3) OVER (
+        |    PARTITION BY lang ORDER BY avg_nll_e6, doc_id)] AS bucket
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     // golden parquet (K-Means cluster assignment is not expressible in
     // DuckDB — ml1–ml5 precedent); regenerate with the same recipe as m3/m4

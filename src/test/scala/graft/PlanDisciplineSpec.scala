@@ -61,7 +61,7 @@ class PlanDisciplineSpec extends AnyFunSuite {
     "v9_coarse_rerank", "t23_kmv_overlap", "v11_recall_eval",
     "t31_bpe_learn", "t33_lang_classifier", "t34_lang_holdout",
     "t35_perplexity_filter", "a30_decay_profile", "t38_mix_temperature",
-    "d24_lsh_recall")
+    "d24_lsh_recall", "t40_ppl_buckets")
 
   test("no cartesian products; BNLJ only on the allowlisted tiny-broadcast queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -684,14 +684,18 @@ object PipelineQueries {
     // t10 ROUND(·, 6) form, so both engines hash-agree.
     "t37_contam_attribution" -> ((s, dir) => {
       val docs = Catalog.documents(s, dir)
+      // both shingle frames feed two consumers (totals + per-suite /
+      // per-suite + union) — pinned, or Catalyst re-runs the explode
+      // window per reference (6 scans / 7 windows → 3 / 3, the t36
+      // lesson)
       val train = graft.functions.TextFunctions
         .explodedShingles(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 3)
-        .distinct()
+        .distinct().localCheckpoint(true)
       val bench = docs.filter(col("doc_id") % 50 === 0)
       val suiteShingles = graft.functions.TextFunctions
         .explodedShingles(bench, "doc_id", "text", 3)
         .join(bench.select(col("doc_id"), col("source").as("suite")), Seq("doc_id"))
-        .select(col("suite"), col("shingle")).distinct()
+        .select(col("suite"), col("shingle")).distinct().localCheckpoint(true)
       val benchUnion = suiteShingles.select(col("shingle")).distinct()
       val totals = train
         .join(benchUnion.withColumn("hit", lit(1)), Seq("shingle"), "left")

@@ -257,6 +257,41 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(flagged.length == 1 && flagged.head.getDouble(2) == 1.0)
   }
 
+  test("span surgery: empty train, empty bench, short/empty/verbatim docs") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    // empty train → empty frame; empty bench → every doc untouched
+    assert(Decontaminate.surgerySpans(emptyDocs, oneDoc).count() == 0)
+    val untouched = Decontaminate.surgerySpans(oneDoc, emptyDocs).collect()
+    assert(untouched.length == 1)
+    assert(untouched.head.getAs[Long]("n_hits") == 0L)
+    assert(untouched.head.getAs[Double]("kept_frac") == 1.0)
+
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val train = Seq(
+        (1L, "xx"),                      // shorter than nGram → no positions
+        (2L, "   "),                     // all-whitespace → zero tokens
+        (3L, benchText),                 // verbatim bench → fully excised
+        (4L, s"safe words here $benchText trailing tail words end"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val out = Decontaminate.surgerySpans(train, bench, nGram = 3, pad = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 4)
+    assert(out(1L).getAs[Long]("n_hits") == 0L &&
+      out(1L).getAs[String]("cleaned_text") == "xx")
+    assert(out(2L).getAs[Long]("n_tokens") == 0L &&
+      out(2L).getAs[Double]("kept_frac") == 1.0 &&
+      out(2L).getAs[String]("cleaned_text") == "")
+    assert(out(3L).getAs[Double]("kept_frac") == 0.0 &&
+      out(3L).getAs[String]("cleaned_text") == "")
+    // doc 4: bench 3-grams at positions 3..6 → ±1-pad span [2, 10) —
+    // "here", the quote, "trailing" excised; the flanks survive
+    assert(out(4L).getAs[String]("cleaned_text") == "safe words tail words end")
+    assert(out(4L).getAs[Long]("n_spans_removed") == 1L &&
+      out(4L).getAs[Long]("removed_tokens") == 8L)
+  }
+
   test("fuzzy decontamination: megabucket guard drops hot band signatures") {
     import spark.implicits._
     import graft.operators.Decontaminate

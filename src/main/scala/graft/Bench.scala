@@ -79,24 +79,68 @@ object Bench {
     // set grows — but a fixed cap silently stops covering the surface as
     // queries are added (at 167 queries a 150s cap left 47 un-warmed, and
     // a ≥2.5s query timed cold skips the retime pass, reading as a
-    // phantom regression). Scale the budget with the query count
-    // (~1.5 s/query at sf0.001 covers the slowest streaming warmups),
-    // floored at the old 150s.
+    // phantom regression). Scale the budget with the query count,
+    // floored at the old 150s. r12 recalibration: at 226 queries the
+    // 1.5 s/query budget stopped short at 171/226 and the 55 cold
+    // queries read 3-10× their warm time (m9_audio_dedup 0.94 s warm vs
+    // 10.0 s cold in back-to-back runs of the same code) — the heavy
+    // composite queries added in r11/r12 average ~2 s of sf0.001 warmup
+    // each, so the budget is now 3 s/query. The warmup loop still visits
+    // each query exactly once; the budget is a cap, not a target, so
+    // fully-warmed runs pay only the true warmup cost.
+    // Warmup runs CONCURRENTLY from a small thread pool (guide §2.6 —
+    // actions are only sequential because driver code calls them
+    // sequentially): each sf0.001 warmup is latency-bound on job
+    // scheduling (30-50 tiny jobs for the composite pipelines), not on
+    // data, so sequential warmup costs ~3.2 s/query wall while using a
+    // core or two — at 226 queries that is 12 minutes and it outgrew two
+    // successive budget bumps (171/226 then 212/226 warmed; every
+    // un-warmed ≥2.5 s query reads 2-10× its warm time, e.g.
+    // m9_audio_dedup 10.0 s cold vs 0.94 s warm in back-to-back runs of
+    // identical code). A handful of concurrent warmups back-fill each
+    // other's scheduling gaps; Janino/JIT warm-compilation is process-
+    // global, so WHICH thread first runs a query is irrelevant. Queries
+    // that fail concurrently (e.g. two queries racing to create the same
+    // one-time bucketed-layout table) are retried sequentially, so a
+    // race cannot silently leave a query cold.
     val warmStart = System.nanoTime()
-    val warmBudgetSec = math.max(150L, (selected.size * 3L) / 2)
+    val warmBudgetSec = math.max(150L, selected.size * 3L)
     val warmDeadline = warmStart + warmBudgetSec * 1000000000L
-    var warmed = 0
-    selected.foreach { case (_, fn) =>
-      if (System.nanoTime() < warmDeadline) {
+    def warmOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      if (System.nanoTime() >= warmDeadline) false
+      else {
         // warm with the same noop-sink action the timed runs use so the
         // Janino classes compiled here are the ones the timed plan hits
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        warmed += 1
+        try { fn(spark, warmDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
       }
+    val warmQueue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    selected.foreach(q => warmQueue.add(q))
+    val warmedOk = new java.util.concurrent.atomic.AtomicInteger
+    val warmFailed = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    val warmThreads = math.max(2, math.min(8, cpus.toInt / 4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
+    (1 to warmThreads).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var q = warmQueue.poll()
+          while (q != null) {
+            if (warmOne(q._2)) warmedOk.incrementAndGet() else warmFailed.add(q)
+            q = warmQueue.poll()
+          }
+        }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(warmBudgetSec + 120, java.util.concurrent.TimeUnit.SECONDS)
+    // heal races: anything that failed under concurrency gets one quiet
+    // sequential attempt inside the same budget
+    warmFailed.forEach { q => if (warmOne(q._2)) warmedOk.incrementAndGet() }
+    val warmed = warmedOk.get
     System.err.println(s"[bench] warmed $warmed/${selected.size} queries in " +
-      f"${(System.nanoTime() - warmStart) / 1e9}%.1f s")
+      f"${(System.nanoTime() - warmStart) / 1e9}%.1f s ($warmThreads threads)")
     try {
       spark.catalog.clearCache()
       spark.catalog.listTables().collect()

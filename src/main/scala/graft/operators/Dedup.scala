@@ -671,49 +671,66 @@ object Dedup {
     require(blockBits >= 1 && blockBits <= 16, s"blockBits=$blockBits")
     require(bits % 4 == 0 && bits >= 8 && bits <= 64, s"bits=$bits")
     val nibbles = bits / 4
-    // materialize the signature table ONCE: every rotation branch
-    // re-shuffles it on a different key, so without the checkpoint the
-    // tokenize+md5+vote aggregation would run once per rotation (the d4
-    // pattern — executor-local blocks, freed by the ContextCleaner when
-    // the result frame is dropped). O(n) rows of (doc_id, sh).
-    val sh = simhashOf(df, "doc_id", "text", bits).localCheckpoint(true)
-    val rotated = (0 until nibbles).map { t =>
-      // nibble-gather permutation of the `bits`-wide signature: output
-      // nibble j takes input nibble (j + t) mod nibbles. Shifts are
-      // LOGICAL (shiftrightunsigned) so a 64-bit signature's sign bit
-      // gathers like any other nibble; at widths < 64 the signature is
-      // non-negative and unsigned == arithmetic, so the 32-bit path is
-      // bit-identical to its pinned oracle. Nibble (not byte)
-      // granularity: a pair differing in k bits dirties ≤ k nibbles,
-      // and some rotation pushes them low, keeping the pair's key
-      // distance — and hence the number of interposing docs in the
-      // sort — small. (At bits=64 the rotated key itself can be
-      // negative; the sort and the block split below are then over the
-      // SIGNED order — one extra block boundary at the sign flip, the
-      // same bounded recall effect as any other block edge.)
-      val key = (0 until nibbles).map { j =>
+    // ONE window pass for ALL rotations (r12): the per-rotation union
+    // form ran `nibbles` separate Exchange+WindowExec branches (each
+    // rescanning a localCheckpoint of the signature table — 16 exchanges
+    // / 16 window sorts / 16 checkpoint scans at bits=64); the rotation
+    // id is data, not plan structure, so all rotation keys explode
+    // row-locally into (doc_id, sh, t, k) and ONE exchange on the
+    // compound (t, blk) key sorts every rotation's blocks in a single
+    // stage. Per-(t) slices of the compound window are exactly the old
+    // per-branch windows (same partition boundaries, same (k, doc_id)
+    // order, same `window` leads), so the emitted pair set is identical
+    // — sf0.1: 5.0 → 2.6 s (d13v), plan 18 Exchange → 3. The signature
+    // table now has exactly one consumer, so the d4-pattern
+    // localCheckpoint that kept the tokenize+md5+vote aggregation from
+    // re-running per branch is no longer load-bearing and its extra
+    // materialization pass is dropped with the branches.
+    //
+    // Rotation key semantics (unchanged): output nibble j of rotation t
+    // takes input nibble (j + t) mod nibbles. Shifts are LOGICAL
+    // (shiftrightunsigned) so a 64-bit signature's sign bit gathers like
+    // any other nibble; at widths < 64 the signature is non-negative and
+    // unsigned == arithmetic, so the 32-bit path is bit-identical to its
+    // pinned oracle. Nibble (not byte) granularity: a pair differing in
+    // k bits dirties ≤ k nibbles, and some rotation pushes them low,
+    // keeping the pair's key distance — and hence the number of
+    // interposing docs in the sort — small. (At bits=64 the rotated key
+    // itself can be negative; the sort and the block split below are
+    // then over the SIGNED order — one extra block boundary at the sign
+    // flip, the same bounded recall effect as any other block edge.)
+    val sh = simhashOf(df, "doc_id", "text", bits)
+    val rotKeys = (0 until nibbles).map { t =>
+      (0 until nibbles).map { j =>
         shiftleft(
           shiftrightunsigned(col("sh"), 4 * ((j + t) % nibbles)).bitwiseAND(lit(15L)),
           4 * j)
       }.reduce(_ bitwiseOR _)
-      val keyed = sh.select(col("doc_id"), col("sh"), key.as("k"))
-        .withColumn("blk", shiftright(col("k"), bits - blockBits))
-      val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
-      // all `window` leads ride ONE window pass, unpivoted by a single
-      // explode in a follow-up projection (per-lead union branches would
-      // re-run the WindowExec once per branch; a generator can't host
-      // window expressions directly)
-      val leads = keyed.select(
-        col("doc_id") +: col("sh") +:
-          (1 to window).flatMap(i => Seq(
-            lead(col("doc_id"), i).over(w).as(s"d$i"),
-            lead(col("sh"), i).over(w).as(s"s$i"))): _*)
-      leads.select(col("doc_id").as("da"), col("sh").as("sa"),
-          explode(array((1 to window).map(i =>
-            struct(col(s"d$i").as("db"), col(s"s$i").as("sb"))): _*)).as("p"))
-        .select(col("da"), col("sa"), col("p.db").as("db"), col("p.sb").as("sb"))
-        .filter(col("db").isNotNull)
-    }.reduce(_ unionByName _)
+    }
+    // the rotation index rides the partition key: two DIFFERENT rotations
+    // t1≠t2 can produce the SAME k for different docs, and the old form
+    // kept those in separate windows — (t, blk) preserves that exactly
+    val keyedT = sh
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until nibbles).map(t =>
+          struct(lit(t).as("t"), rotKeys(t).as("k"))): _*)).as("r"))
+      .select(col("doc_id"), col("sh"), col("r.t").as("t"), col("r.k").as("k"))
+      .withColumn("blk", shiftright(col("k"), bits - blockBits))
+    val w = Window.partitionBy(col("t"), col("blk")).orderBy(col("k"), col("doc_id"))
+    // all `window` leads ride the ONE window pass, unpivoted by a single
+    // explode in a follow-up projection (per-lead union branches would
+    // re-run the WindowExec once per branch; a generator can't host
+    // window expressions directly)
+    val leads = keyedT.select(
+      col("doc_id") +: col("sh") +:
+        (1 to window).flatMap(i => Seq(
+          lead(col("doc_id"), i).over(w).as(s"d$i"),
+          lead(col("sh"), i).over(w).as(s"s$i"))): _*)
+    val rotated = leads.select(col("doc_id").as("da"), col("sh").as("sa"),
+        explode(array((1 to window).map(i =>
+          struct(col(s"d$i").as("db"), col(s"s$i").as("sb"))): _*)).as("p"))
+      .select(col("da"), col("sa"), col("p.db").as("db"), col("p.sb").as("sb"))
+      .filter(col("db").isNotNull)
     rotated
       .select(least(col("da"), col("db")).as("doc1"),
         greatest(col("da"), col("db")).as("doc2"),

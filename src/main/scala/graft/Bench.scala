@@ -183,18 +183,24 @@ object Bench {
       spillMb += name -> (s1 - s0) / 1048576.0
       name -> dt
     }
-    // Fast queries are dominated by stage-scheduling + GC jitter in a
-    // 150+-query single-JVM run (round-over-round "regressions" in
-    // sub-second queries turned out to be exactly this), so re-time them
-    // once and keep the min; long queries amortize the jitter and aren't
-    // worth doubling the wall-clock for.
+    // Stage-scheduling + GC jitter dominates small queries and is NOT
+    // amortized by the big ones either: back-to-back identical runs of
+    // the heavy composites swing 2-5× in this single-JVM 226-query run
+    // (c5w_curate_report_fuzzy 11.5 vs 24.0 s, d24_lsh_recall 3.4 vs
+    // 17.2 s — same code, same data, adjacent windows), so since r12
+    // EVERY query is re-timed once and the min kept. The pre-r12 run
+    // retimed only queries under 2.5 s on the theory that long queries
+    // amortize jitter; the r11 spread campaign and this round's
+    // back-to-back runs measured that theory wrong — the ≥2.5 s set held
+    // 57 queries carrying 285/435 s of the headline, each a single draw
+    // from a distribution with >2× spread. Both series stay in the
+    // artifact ("queries" = min-of-2, "queries_first" = single-pass), so
+    // cross-round ratios never mix methodologies.
     // gc=false on the retime pass: a full System.gc() per query costs
     // more wall-clock than the jitter it removes on the SECOND sample
     // (the first pass already swept)
-    val RetimeBelow = 2.5
     val results = firstPass.map { case (name, dt) =>
-      if (dt >= RetimeBelow) name -> dt
-      else name -> math.min(dt, timeOnce(selected(name), gc = false))
+      name -> math.min(dt, timeOnce(selected(name), gc = false))
     }
     def fmt(m: Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }.mkString("{", ",", "}")

@@ -199,24 +199,42 @@ object Decontaminate {
     // be chosen as a broadcast/build side (see the object doc)
     def gate(df: DataFrame, rows: Long): DataFrame =
       if (rows <= BroadcastRowCap) broadcast(df) else df.hint("merge")
-    val tSh = graft.functions.TextFunctions.explodedShingles(
-        train.join(gate(pairs.select(col("doc_id")).distinct(), nDocT),
-          Seq("doc_id"), "left_semi"),
-        "doc_id", "text", 3).distinct()
+    // BOTH sides' candidate shingle sets in ONE explode+distinct pass
+    // (r12): the per-side form paid two window exchanges, two distinct
+    // exchanges, two eager checkpoints and two count jobs over frames
+    // that differ only in which docs they prune to; a side-tagged union
+    // shares all of it, and the per-side row counts the verify gates
+    // need come from one grouped aggregate over the pinned blocks
+    // instead of two count() jobs. The shingle window partitions on a
+    // (side, doc_id) STRUCT key, not doc_id — the operator contract
+    // does not promise the two inputs' id spaces are disjoint, and a
+    // collision would interleave two documents' tokens in one window.
+    val sides = train
+      .join(gate(pairs.select(col("doc_id")).distinct(), nDocT),
+        Seq("doc_id"), "left_semi")
+      .select(struct(lit(true).as("is_train"), col("doc_id").as("id")).as("sid"),
+        col("text"))
+      .unionByName(bench
+        .join(gate(pairs.select(col("bench_id").as("doc_id")).distinct(), nDocB),
+          Seq("doc_id"), "left_semi")
+        .select(struct(lit(false).as("is_train"), col("doc_id").as("id")).as("sid"),
+          col("text")))
+    val allSh = graft.functions.TextFunctions.explodedShingles(
+        sides, "sid", "text", 3).distinct()
       .localCheckpoint(true)
-    val bSh = graft.functions.TextFunctions.explodedShingles(
-        bench.join(gate(pairs.select(col("bench_id").as("doc_id")).distinct(), nDocB),
-          Seq("doc_id"), "left_semi"),
-        "doc_id", "text", 3).distinct()
-      .select(col("doc_id").as("bench_id"), col("shingle"))
-      .localCheckpoint(true)
+    val shCounts = allSh.groupBy(col("sid.is_train")).agg(count(lit(1)))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val tSh = allSh.filter(col("sid.is_train"))
+      .select(col("sid.id").as("doc_id"), col("shingle"))
+    val bSh = allSh.filter(!col("sid.is_train"))
+      .select(col("sid.id").as("bench_id"), col("shingle"))
     val nT = tSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_t"))
     val nB = bSh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_b"))
     // the shingle frames' measured sizes gate the verify join the same
-    // way (their counts are one cheap job each on the pinned blocks)
+    // way (per-side rows of the one pinned frame, measured above)
     val shared = gate(pairs, nPairs)
-      .join(gate(tSh, tSh.count()), Seq("doc_id"))
-      .join(gate(bSh, bSh.count()), Seq("bench_id", "shingle"))
+      .join(gate(tSh, shCounts.getOrElse(true, 0L)), Seq("doc_id"))
+      .join(gate(bSh, shCounts.getOrElse(false, 0L)), Seq("bench_id", "shingle"))
       .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("sh_n"))
     gate(pairs, nPairs)
       .join(shared, Seq("doc_id", "bench_id"), "left")

@@ -74,49 +74,31 @@ object Dedup {
   /** (doc_id, band, sig): one row per LSH band; docs sharing (band, sig)
     * are near-dup candidates. Input df must have (doc_id, text).
     *
-    * Shape notes — two measured wins over the "obvious" row-local form:
-    *  - shingles assemble AFTER a token posexplode via window `lead`
-    *    (concat of t, lead(t,1), lead(t,2) in position order) — 4× faster
-    *    than `transform`+`slice` array HOFs, whose lambdas evaluate
-    *    interpreted per shingle; the window's doc_id exchange is then
-    *    REUSED by the minhash groupBy (same key → no second shuffle);
-    *  - the 12 permutation minimums are plain `min()` hash aggregates —
-    *    codegen'd, with map-side partial aggregation.
-    * Docs shorter than the shingle size drop out naturally (lead null).
+    * Since r12 this IS [[lshBandsLocal]] — the compiled row-local
+    * [[graft.expressions.MinhashSig]] kernel, zero shuffles. The batch
+    * form it replaces (token posexplode → window-lead shingle assembly →
+    * 12 codegen `min()` aggregates) paid a full doc_id exchange of every
+    * token row plus the aggregate's own exchange; its docstring defended
+    * that against the INTERPRETED `transform`+`slice` HOF pipeline (4×
+    * slower per row), but the compiled kernel is neither — it folds
+    * shingle assembly, md5, and every permutation minimum into one
+    * codegen expression per row (~0.5 s per 5k docs vs 6-8 s for the
+    * interpreted HOFs), so the exchange bought nothing. Bit-identical
+    * output is spec-pinned (PipelineSpec "lshBandsLocal … bit-identical
+    * to batch lshBands"), and every LSH consumer (candidate pairs, fuzzy
+    * decontamination, incremental screens) drops two exchanges — at
+    * sf0.1: d2_minhash_lsh 1.35 → 0.9 s, d2v_minhash128 3.7 → 1.3 s,
+    * the full c5 curation pipeline 7.0 → 5.7 s. At 100 TB the win is
+    * the removed corpus-wide token exchange, which dwarfs these.
     */
   def lshBands(df: DataFrame, numPerms: Int = NumPerms,
-      numBands: Int = NumBands): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(numBands >= 1 && numPerms % numBands == 0,
-      s"numPerms=$numPerms must divide into numBands=$numBands")
-    val rows = numPerms / numBands
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tails = (1 until ShingleSize).map(j => lead(col("t"), j).over(w).as(s"t$j"))
-    val exploded = df
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      .select(col("doc_id") +: col("t") +: tails: _*)
-      .filter(col(s"t${ShingleSize - 1}").isNotNull)
-      .withColumn("s", concat_ws(" ", col("t") +: (1 until ShingleSize).map(j => col(s"t$j")): _*))
-      .withColumn("h", contentHash(col("s")))
-    val minAggs = permsFor(numPerms).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % HashMod).as(s"mh$i")
-    }
-    val mh = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bands = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*).as("sig"))
-    }
-    mh.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-  }
+      numBands: Int = NumBands): DataFrame =
+    lshBandsLocal(df, numPerms, numBands)
 
-  /** Streaming-safe (row-local) form of [[lshBands]]: identical
-    * (doc_id, band, sig) output, computed entirely with array HOFs — no
-    * window, no groupBy — so it runs as a per-row projection inside a
-    * Structured Streaming query (the stream side of a stream-static
-    * candidate join). [[lshBands]] remains the batch corpus-side form:
-    * its codegen min-aggregates beat interpreted array lambdas at corpus
-    * scale, but need shuffles a stream projection can't have.
+  /** Row-local [[lshBands]] implementation: identical (doc_id, band, sig)
+    * output, computed entirely inside each row — no window, no groupBy —
+    * which also lets it run as a per-row projection inside a Structured
+    * Streaming query (the stream side of a stream-static candidate join).
     */
   def lshBandsLocal(df: DataFrame, numPerms: Int = NumPerms,
       numBands: Int = NumBands): DataFrame = {

@@ -1476,8 +1476,16 @@ object PipelineQueries {
     // reachability from the m6 hash golden independently (xor/bit_count
     // agree with the JVM on 64-bit two's complement).
     "m8_image_dedup" -> ((s, dir) => {
+      // pinned (r12): the hash frame feeds the bucket-size aggregate,
+      // BOTH sides of the band self-join and the final canonical-pick
+      // join, and Catalyst re-evaluates the subtree per reference — the
+      // subtree is the PNG-synth + imageio-decode + DCT codec UDF, the
+      // single most expensive per-row kernel in the query (measured 4.2 s
+      // with 3-4 codec evaluations; pinned 2.3 s). One (media_id, phash)
+      // row per image — cheap to materialize, the d4/t36 precedent.
       val hashes = Multimodal.imagePHashes(
         Multimodal.gradientImagesFromDocuments(Catalog.documents(s, dir)))
+        .localCheckpoint(true)
       val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 12,
           hashCol = "phash")
         .select(col("id1").as("doc1"), col("id2").as("doc2"))
@@ -1514,8 +1522,13 @@ object PipelineQueries {
     // output golden: DuckDB recomputes buckets, containment, and CC
     // reachability from the m9f fingerprint golden independently.
     "m9_audio_dedup" -> ((s, dir) => {
+      // pinned (r12): same re-evaluation hazard as m8 — the WAV-synth +
+      // FFT-constellation kernel feeds the bucket gate, both self-join
+      // sides and the final distinct, so unpinned it decodes every clip
+      // 3-4×. One (media_id, frame_idx, fp) row per peak — bounded.
       val fps = Multimodal.audioFingerprints(
         Multimodal.toneAudioFromDocuments(Catalog.documents(s, dir)))
+        .localCheckpoint(true)
       val pairs = Multimodal.audioNearDupPairs(fps,
           minShared = 1, minContainment = 0.8)
         .select(col("id1").as("doc1"), col("id2").as("doc2"))

@@ -40,7 +40,12 @@ class PlanGoldenSpec extends AnyFunSuite {
     "e2_sessionize" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=2 objagg=0 sortagg=0 window=2 wgl=0",
     "e3_scd2" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 objagg=0 sortagg=0 window=2 wgl=0",
     "a29_gap_fill" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=1 pushed=0 agg=0 objagg=0 sortagg=0 window=1 wgl=0",
-    "d2_minhash_lsh" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=4 scans=1 pushed=0 agg=4 objagg=2 sortagg=0 window=2 wgl=0",
+    // d2 regenerated in r12: lshBands now computes signatures with the
+    // compiled row-local MinhashSig kernel (shared with the streaming
+    // form, bit-identical by spec), so the token-explode window exchange
+    // and the 12-column min aggregate disappear — shufflex 4→3, window
+    // 2→1 (the bucket-size gate window remains), agg 4→2
+    "d2_minhash_lsh" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=3 scans=1 pushed=0 agg=2 objagg=2 sortagg=0 window=1 wgl=0",
     "d4_ngram_jaccard" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=0 pushed=0 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
     // t10 regenerated after the r11 rework (filter-before-explode bench
     // dictionary + one-pass marked-left-join counts): window 3→2 (the
@@ -68,9 +73,12 @@ class PlanGoldenSpec extends AnyFunSuite {
     "t35_perplexity_filter" -> "bhj=3 smj=0 shj=0 bnlj=1 cart=0 bcastx=4 shufflex=10 scans=5 pushed=4 agg=12 objagg=0 sortagg=0 window=4 wgl=0",
     // m8/m9 fingerprint PAST the CC localCheckpoint (the iterative rounds
     // truncate lineage), so they pin the post-CC canonical-pick join and
-    // that no window sort reappears in the final assembly
-    "m8_image_dedup" -> "bhj=0 smj=1 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=4 scans=1 pushed=1 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
-    "m9_audio_dedup" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=1 pushed=1 agg=4 objagg=0 sortagg=0 window=0 wgl=0",
+    // that no window sort reappears in the final assembly. scans=0 since
+    // r12: the codec+hash frame is pinned once (it used to re-run the
+    // PNG/WAV decode kernel per consumer — 3-4 evaluations), so the final
+    // assembly reads the pinned blocks, not a fresh parquet scan
+    "m8_image_dedup" -> "bhj=0 smj=1 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=4 scans=0 pushed=0 agg=2 objagg=0 sortagg=0 window=0 wgl=0",
+    "m9_audio_dedup" -> "bhj=1 smj=0 shj=0 bnlj=0 cart=0 bcastx=1 shufflex=3 scans=0 pushed=0 agg=4 objagg=0 sortagg=0 window=0 wgl=0",
     // d23 pins the d18-family shape: shj=1 is the shuffle-hash bucket
     // GATE semi-join (hinted — sort-merge would re-introduce the gram
     // sort the gate exists to avoid), objagg=2 the compiled pair

@@ -348,3 +348,70 @@ object CdcChunkFps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }
+
+/** Word n-gram shingles straight from the TOKEN array in one compiled
+  * pass: each output element is `n` consecutive tokens space-joined —
+  * byte-identical to both prior shingling forms (the row-local
+  * `transform(sequence…, i => concat_ws(" ", slice(toks, i, n)))` HOF and
+  * the posexplode + window-`lead` assembly), whose costs this node
+  * removes: the HOF evaluates its lambda INTERPRETED with a slice copy
+  * per position, and the window form pays a full doc-keyed exchange of
+  * every token row just to see neighboring tokens — on a corpus pass
+  * that exchange is the whole corpus shuffled once per shingling.
+  *
+  * Fewer than `n` tokens → empty array (the [[graft.functions.
+  * TextFunctions.shingles]] contract; explode callers get no rows, the
+  * window form's behavior). Null array → null; null TOKENS are treated
+  * as empty strings (a case `TextFunctions.tokens` can never produce).
+  */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_shingles requires array<string> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TokenShingles.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_shingles"
+}
+
+object TokenShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code (one call per row). */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val t = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      t(i) = if (toks.isNullAt(i)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](len - n + 1)
+    val parts = new Array[UTF8String](n)
+    i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { parts(j) = t(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

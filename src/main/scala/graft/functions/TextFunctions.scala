@@ -56,32 +56,30 @@ object TextFunctions {
 
   /** Word n-gram shingles over the token array (n consecutive tokens,
     * space-joined). Documents shorter than n tokens yield an empty array.
+    * Compiled ([[graft.expressions.TokenShingles]], r12): the former
+    * `transform`+`slice` HOF evaluated its lambda interpreted with a
+    * slice copy per position — byte-identical output, one codegen loop.
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TokenShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), n))
 
-  /** Long-form word n-gram shingles: (idCol, shingle) rows via
-    * posexplode + window lead — the codegen'd shingling path. The
-    * row-local [[shingles]] HOF (`transform`+`slice`) evaluates
-    * INTERPRETED and dominates wall-clock once the shingle column is
-    * actually materialized (the same lesson as the minhash pipeline in
-    * operators/Dedup); per-doc aggregations downstream reuse this frame's
-    * doc_id exchange. Documents with fewer than n tokens contribute no
-    * rows — restore them with a left join from the doc base if needed.
+  /** Long-form word n-gram shingles: (idCol, shingle) rows — one
+    * compiled row-local pass ([[graft.expressions.TokenShingles]]) plus
+    * an explode. Until r12 this was a posexplode + window-`lead`
+    * assembly, defended against the interpreted HOF form; the compiled
+    * kernel beats both and drops the window's doc-keyed exchange of
+    * every token row — on a corpus pass that exchange was the whole
+    * corpus shuffled once per shingling, and downstream per-doc
+    * aggregates are better served by map-side partial aggregation over
+    * the exploded stream than by reusing a pre-aggregation exchange.
+    * Documents with fewer than n tokens contribute no rows — restore
+    * them with a left join from the doc base if needed.
     */
-  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val leads = (1 until n).map(k => lead(col("__tok"), k).over(w))
-    docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-      .withColumn("shingle",
-        when(leads.lastOption.map(_.isNotNull).getOrElse(lit(true)),
-          concat_ws(" ", (col("__tok") +: leads): _*)))
-      .filter(col("shingle").isNotNull)
-      .select(col(idCol), col("shingle"))
-  }
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(shingles(tokens(col(textCol)), n)).as("shingle"))
 
   /** Multiset count of tokens in a fixed word set — a codegen hash-probe
     * per token ([[graft.expressions.CountInSet]]); the HOF form

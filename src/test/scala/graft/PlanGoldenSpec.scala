@@ -51,7 +51,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     // dictionary + one-pass marked-left-join counts): window 3→2 (the
     // full-corpus explode no longer re-runs per consumer), shuffle 5→4,
     // agg 10→6 (one doc aggregate instead of two joined back)
-    "t10_decontaminate" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=3 pushed=3 agg=6 objagg=0 sortagg=0 window=2 wgl=0",
+    // r12: window 2→0 — both shingle explodes now run the compiled
+    // row-local TokenShingles kernel, no doc-keyed token exchange
+    "t10_decontaminate" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=3 pushed=3 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
     "t22_tfidf_terms" -> "bhj=0 smj=0 shj=0 bnlj=1 cart=0 bcastx=1 shufflex=5 scans=2 pushed=0 agg=4 objagg=0 sortagg=0 window=2 wgl=2",
     "s3_time_filter" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=1 pushed=1 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
     // det4's render is the bounded TopKPayloadAggregator (objagg=2 partial+
@@ -70,7 +72,12 @@ class PlanGoldenSpec extends AnyFunSuite {
     // 2 explode passes × 2 window ops each; bnlj=1 is the one-row
     // smoothing-constant broadcast (PlanDiscipline-allowlisted); bhj=3 =
     // the two gram-keyed LM joins + the lang join-back.
-    "t35_perplexity_filter" -> "bhj=3 smj=0 shj=0 bnlj=1 cart=0 bcastx=4 shufflex=10 scans=5 pushed=4 agg=12 objagg=0 sortagg=0 window=4 wgl=0",
+    // r12 regen: the two explode passes run the compiled TokenShingles
+    // kernel — window 4→0, shufflex 10→7 (the filter-before-explode
+    // property this golden pinned still holds: the lang filter precedes
+    // the reference slice's shingling, now row-local). t35 measured
+    // 2.0 → 1.1 s at sf0.1 on the swap.
+    "t35_perplexity_filter" -> "bhj=3 smj=0 shj=0 bnlj=1 cart=0 bcastx=4 shufflex=7 scans=5 pushed=4 agg=12 objagg=0 sortagg=0 window=0 wgl=0",
     // m8/m9 fingerprint PAST the CC localCheckpoint (the iterative rounds
     // truncate lineage), so they pin the post-CC canonical-pick join and
     // that no window sort reappears in the final assembly. scans=0 since

@@ -125,6 +125,9 @@ object Bench {
     (1 to warmThreads).foreach { _ =>
       pool.submit(new Runnable {
         def run(): Unit = {
+          // job group is thread-local: every warmup job lands in "warmup"
+          // so a hung one can be cancelled before the timed pass starts
+          spark.sparkContext.setJobGroup("warmup", "bench warmup", true)
           var q = warmQueue.poll()
           while (q != null) {
             if (warmOne(q._2)) warmedOk.incrementAndGet() else warmFailed.add(q)
@@ -134,13 +137,32 @@ object Bench {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(warmBudgetSec + 120, java.util.concurrent.TimeUnit.SECONDS)
+    // a hung warmup query must NOT overlap the timed pass (its jobs would
+    // contend for cores and leak shuffle bytes into early queries'
+    // ShuffleMeter deltas, which assume strict sequentiality): on timeout,
+    // cancel the warmup job group and hard-stop the pool before timing
+    val warmDrained = pool.awaitTermination(
+      warmBudgetSec + 120, java.util.concurrent.TimeUnit.SECONDS)
+    if (!warmDrained) {
+      System.err.println("[bench] WARNING: warmup pool timed out; cancelling " +
+        "outstanding warmup jobs before the timed pass")
+      try spark.sparkContext.cancelJobGroup("warmup") catch { case _: Throwable => }
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+    }
     // heal races: anything that failed under concurrency gets one quiet
     // sequential attempt inside the same budget
     warmFailed.forEach { q => if (warmOne(q._2)) warmedOk.incrementAndGet() }
     val warmed = warmedOk.get
     System.err.println(s"[bench] warmed $warmed/${selected.size} queries in " +
       f"${(System.nanoTime() - warmStart) / 1e9}%.1f s ($warmThreads threads)")
+    // full warm coverage is part of the timing methodology (a cold-timed
+    // ≥2.5 s query reads 2-10× its warm time): under-coverage is loud,
+    // and only a deadline overrun can excuse it — a query that throws in
+    // warmup will throw in the timed pass too and fail the run there
+    if (warmed < selected.size && System.nanoTime() < warmDeadline)
+      System.err.println(s"[bench] WARNING: ${selected.size - warmed} queries " +
+        "failed warmup inside the budget; expect them to error in the timed pass")
     try {
       spark.catalog.clearCache()
       spark.catalog.listTables().collect()
@@ -157,7 +179,13 @@ object Bench {
     } catch { case _: Throwable => }
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+    // a query that throws is a FAILED RUN, not a near-instant timing: the
+    // error is recorded per query, rides the artifact, and forces a
+    // nonzero exit after the artifact is printed (r12's silent catch let
+    // a bench-SF-only failure read as a ~0 s success with rc 0)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  gc: Boolean = true): Double = {
       val t0 = System.nanoTime()
       // time a noop-sink write, not .count(): under a count aggregate
@@ -165,7 +193,11 @@ object Bench {
       // pruning drops projections, so sorted/projected queries would be
       // timed cheaper than they run when their full result is consumed
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          (e.getClass.getName + ": " + Option(e.getMessage).getOrElse(""))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       sweep(gc)
       dt
@@ -175,14 +207,21 @@ object Bench {
     // numbers — shuffle volume is plan-determined, not run-jittered)
     var shuffleMb = Map.empty[String, Double]
     var spillMb = Map.empty[String, Double]
-    val firstPass = selected.map { case (name, fn) =>
-      val (r0, w0, s0) = meter.snapshot
-      val dt = timeOnce(fn)
-      val (r1, w1, s1) = meter.snapshot
-      shuffleMb += name -> ((r1 - r0) + (w1 - w0)) / 1048576.0
-      spillMb += name -> (s1 - s0) / 1048576.0
-      name -> dt
-    }
+    // System.gc() every query cost more bench wall-clock than the jitter
+    // it removed (226 full GCs ≈ minutes at 32 cores) and is one of the
+    // fixed per-query overheads that made the sf0.1 suite SLOWER at 32
+    // cores than at 8 (VERDICT r12): sweep state every query, full GC
+    // every 8th — the ContextCleaner still reaps between GCs, and the
+    // min-of-2 retime absorbs the residual jitter.
+    val firstPass: Seq[(String, Double)] =
+      selected.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+        val (r0, w0, s0) = meter.snapshot
+        val dt = timeOnce(name, fn, gc = i % 8 == 7)
+        val (r1, w1, s1) = meter.snapshot
+        shuffleMb += name -> ((r1 - r0) + (w1 - w0)) / 1048576.0
+        spillMb += name -> (s1 - s0) / 1048576.0
+        name -> dt
+      }
     // Stage-scheduling + GC jitter dominates small queries and is NOT
     // amortized by the big ones either: back-to-back identical runs of
     // the heavy composites swing 2-5× in this single-JVM 226-query run
@@ -199,17 +238,17 @@ object Bench {
     // gc=false on the retime pass: a full System.gc() per query costs
     // more wall-clock than the jitter it removes on the SECOND sample
     // (the first pass already swept)
-    val results = firstPass.map { case (name, dt) =>
-      name -> math.min(dt, timeOnce(selected(name), gc = false))
+    val results: Seq[(String, Double)] = firstPass.map { case (name, dt) =>
+      name -> math.min(dt, timeOnce(name, selected(name), gc = false))
     }
-    def fmt(m: Map[String, Double]) =
+    def fmt(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }.mkString("{", ",", "}")
     val qs = fmt(results)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // BOTH series in the artifact: "queries" = min-of-2 (the r5-compatible
     // headline), "queries_first" = single-pass (r1–r4-comparable) — so
     // cross-round ratios never mix timing methodologies again
-    val firstTotal = if (firstPass.nonEmpty) firstPass.values.sum else 0.0
+    val firstTotal = if (firstPass.nonEmpty) firstPass.map(_._2).sum else 0.0
     // shuffle discipline, quantified: total MB moved per query (read+write,
     // so one shuffled MB counts twice), plus any query that spilled. At
     // bench SF nothing should spill; at 100 TB the same ranking predicts
@@ -218,21 +257,74 @@ object Bench {
     val totalSpillMb = spillMb.values.sum
     val spilled = spillMb.filter(_._2 > 0.5)
     val exclJson = exclude.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // the ensure*-layout queries build their bucketed/partitioned tables
+    // ONCE per JVM: their first-pass sample carries that one-time write,
+    // the min-of-2 headline is the steady-state (post-layout) time —
+    // declared per query here so cross-round ratios are read correctly
+    val resultKeys = results.map(_._1).toSet
+    val layoutQueries = Seq("c8_bucketed_join", "c9_partition_pruning",
+      "c10_dynamic_pruning").filter(resultKeys.contains)
+    val layoutJson = layoutQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""first_pass_total":$firstTotal,"queries_first":${fmt(firstPass)},""" +
       f""""shuffle_mb_total":$totalShuffleMb%.1f,"spill_mb_total":$totalSpillMb%.1f,""" +
       s""""shuffle_mb":${fmt(shuffleMb)},"spilled_queries":${fmt(spilled)},""" +
-      s""""n_universe":${SparkEntry.queries.size},"excluded":$exclJson,"sf":"$sfDir"}""")
-    // The full line above is ~5 KB — longer than the harness's 2000-char
-    // stdout tail, so its leading total was unparseable in r2/r3. Repeat
-    // the headline numbers (plus the 10 slowest queries) as a compact
-    // FINAL line that always fits inside the tail window.
+      s""""errors":$errJson,"layout_queries":$layoutJson,""" +
+      s""""layout_timing":"headline is steady-state; one-time layout build is in queries_first",""" +
+      s""""n_universe":${SparkEntry.queries.size},"excluded":$exclJson,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The full line above is ~20 KB at 226 queries — longer than the
+    // harness's stdout-tail window, so the per-query map was unparseable
+    // from stdout alone for two rounds (PERF r11/r12: n_common = 0). The
+    // full artifact therefore ALSO lands in a file the driver can read…
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))
+      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact written to ${p.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not write bench_queries.json: $e")
+    }
+    // …and the per-query timings stream as ≤2000-char JSON chunk lines
+    // (each self-contained: {"metric":"queries_chunk","i":k,"queries":{…}})
+    // before the compact final line, for tail parsers that read lines.
+    def chunkLines(metric: String, m: Seq[(String, Double)]): Unit = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur = new StringBuilder
+      m.foreach { case (k, v) =>
+        val ent = "\"" + k + f"""":$v%.4f"""
+        if (cur.nonEmpty && cur.length + ent.length > 1800) {
+          buf += cur.toString; cur = new StringBuilder
+        }
+        if (cur.nonEmpty) cur.append(",")
+        cur.append(ent)
+      }
+      if (cur.nonEmpty) buf += cur.toString
+      buf.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"$metric","i":$i,"n":${buf.size},"queries":{$c}}""")
+      }
+    }
+    chunkLines("queries_chunk", results.toSeq)
+    // compact FINAL line that always fits inside the tail window: headline
+    // numbers plus the 10 slowest queries
     val slow = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       f""""mean_sec_per_query":${if (results.isEmpty) 0.0 else total / results.size}%.4f,""" +
       f""""first_pass_total":$firstTotal%.2f,"shuffle_mb_total":$totalShuffleMb%.1f,""" +
-      f""""spill_mb_total":$totalSpillMb%.1f,"slowest":$slow,"sf":"$sfDir"}""")
+      f""""spill_mb_total":$totalSpillMb%.1f,"n_errors":${errors.size},""" +
+      f""""slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
+    // any per-query exception is a failed run: the artifact above still
+    // carries every number (and the errors map), but rc must be nonzero
+    // so a regression can never hide as a fast timing
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] FAILED: ${errors.size} queries threw: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -308,9 +308,15 @@ object CurateApp {
     val survivors = s3.join(resolved.filter(col("near_canonical")), Seq("doc_id"))
     val contaminated = contamGate match {
       case "overlap" =>
-        val sh3 = explodedShingles(
+        // per-doc distinct computed row-locally (r13): the old
+        // explodedShingles(...).distinct() shuffled the whole exploded
+        // survivor corpus on (doc_id, shingle) just to dedup within each
+        // doc — array_distinct inside the row emits the same row set with
+        // zero exchange, and the count aggregate below then runs map-side
+        // over the scan partitioning
+        val sh3 = explodedDistinctShingles(
           survivors.select(col("doc_id"), col("text")),
-          "doc_id", "text", 3).distinct()
+          "doc_id", "text", 3)
         // benchmark side is 1/benchMod of the corpus — small enough that
         // the row-local (interpreted) shingle HOF beats the window-explode
         // path's extra exchange; the shingle strings are byte-identical to

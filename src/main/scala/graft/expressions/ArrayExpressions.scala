@@ -361,8 +361,14 @@ object CdcChunkFps {
   *
   * Fewer than `n` tokens → empty array (the [[graft.functions.
   * TextFunctions.shingles]] contract; explode callers get no rows, the
-  * window form's behavior). Null array → null; null TOKENS are treated
-  * as empty strings (a case `TextFunctions.tokens` can never produce).
+  * window form's behavior). Null array → null (nullIntolerant) — a
+  * DIFFERENCE from the old HOF `shingles`, whose size(null) = −1 routed
+  * a null token array to the otherwise-branch and returned an EMPTY
+  * array; `TextFunctions.tokens` never produces null, and every current
+  * call site feeds this node from it, so the divergence is unreachable
+  * today — callers feeding nullable arrays directly must coalesce.
+  * Null TOKENS are treated as empty strings (also unreachable via
+  * `tokens`).
   */
 case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -387,6 +393,92 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_token_shingles"
+}
+
+/** SimHash signature straight from the TOKEN array in one compiled pass —
+  * the signature head of the whole simhash family (d3/d3v/d6/d12/d13/
+  * d13v and every `nearDupMethod = simhash` pipeline). Bit-identical to
+  * the exploded aggregate form it replaces (`Dedup.simhashOf`'s
+  * posexplode → 16 hex-digit projections → `bits` conditional-sum votes →
+  * Σ 2^b reassembly): per token, bit `b` of md5(token) (hex nibble b/4,
+  * bit b%4 within the nibble, nibbles in hex-string order) votes ±1;
+  * signature bit `b` is 1 iff the vote sum is strictly positive. At
+  * bits = 64 the top bit is the long's sign bit — the same exact
+  * two's-complement value the aggregate form built by adding 1L << 63.
+  *
+  * What the swap removes is not the vote aggregate's exchange (partial
+  * aggregation made that small) but the per-token row machinery: the
+  * explode materializing one row per token, 16 substring/ascii digit
+  * projections, and a 32/64-column hash-aggregate update per token row —
+  * here it is one digest and one tight vote loop per token inside the
+  * row. The corpus never leaves its scan partitioning.
+  *
+  * The aggregate form merged duplicate ids into ONE signature over the
+  * union of their tokens (a groupBy property no caller used — every
+  * consumer feeds unique-id frames); this node is one signature per ROW.
+  * Zero tokens → all votes 0 → signature 0; `Dedup.simhashOf` keeps its
+  * docs-with-≥1-token output contract with an explicit filter. Null
+  * array → null (unreachable via `tokens`).
+  */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits % 4 == 0 && bits >= 4 && bits <= 64, s"bits=$bits")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_sig requires array<string> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashSig.compute(input.asInstanceOf[ArrayData], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.SimhashSig.compute($a, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash_sig"
+}
+
+object SimhashSig {
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Shared by interpreted eval and generated code (one call per row). */
+  def compute(toks: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val md = tlMd.get()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      if (!toks.isNullAt(i)) md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var b = 0
+      while (b < bits) {
+        // hex nibble b/4 of the digest string: even nibbles are a byte's
+        // high 4 bits (hex prints high nibble first), odd its low 4
+        val nib = b >> 2
+        val byteV = d(nib >> 1) & 0xff
+        val v = if ((nib & 1) == 0) byteV >>> 4 else byteV & 0xf
+        if (((v >> (b & 3)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
 }
 
 object TokenShingles {

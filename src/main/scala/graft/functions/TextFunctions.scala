@@ -81,6 +81,21 @@ object TextFunctions {
     docs.select(col(idCol),
       explode(shingles(tokens(col(textCol)), n)).as("shingle"))
 
+  /** Per-document DISTINCT shingles: identical row set to
+    * `explodedShingles(...).distinct()` — the id column rides every row,
+    * so that global distinct only ever deduped WITHIN a document — but
+    * deduped ROW-LOCALLY (`array_distinct` before the explode), which
+    * deletes the corpus-wide (id, shingle) exchange the distinct paid.
+    * At 100 TB that exchange was the whole exploded corpus shuffled once
+    * per consumer (the single biggest frame of the overlap-gate
+    * pipelines); downstream per-doc aggregates run map-side over the
+    * scan partitioning instead.
+    */
+  def explodedDistinctShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("shingle"))
+
   /** Multiset count of tokens in a fixed word set — a codegen hash-probe
     * per token ([[graft.expressions.CountInSet]]); the HOF form
     * `size(filter(toks, isin))` runs interpreted with an O(|words|) scan

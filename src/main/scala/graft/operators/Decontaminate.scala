@@ -205,10 +205,12 @@ object Decontaminate {
     // that differ only in which docs they prune to; a side-tagged union
     // shares all of it, and the per-side row counts the verify gates
     // need come from one grouped aggregate over the pinned blocks
-    // instead of two count() jobs. The shingle window partitions on a
-    // (side, doc_id) STRUCT key, not doc_id — the operator contract
-    // does not promise the two inputs' id spaces are disjoint, and a
-    // collision would interleave two documents' tokens in one window.
+    // instead of two count() jobs. The doc key is a (is_train, id)
+    // STRUCT, not the bare id — the operator contract does not promise
+    // the two inputs' id spaces are disjoint, and the side tag keeps a
+    // colliding train/bench doc_id's shingles separate through the
+    // shared distinct() and correctly routed by the sid.is_train
+    // filters below.
     val sides = train
       .join(gate(pairs.select(col("doc_id")).distinct(), nDocT),
         Seq("doc_id"), "left_semi")
@@ -219,8 +221,13 @@ object Decontaminate {
           Seq("doc_id"), "left_semi")
         .select(struct(lit(false).as("is_train"), col("doc_id").as("id")).as("sid"),
           col("text")))
-    val allSh = graft.functions.TextFunctions.explodedShingles(
-        sides, "sid", "text", 3).distinct()
+    // per-(side, doc) distinct computed row-locally (r13, the
+    // explodedDistinctShingles rationale): the struct id rides every
+    // row, so the old global distinct only deduped within a document —
+    // array_distinct inside the row emits the same row set without the
+    // (sid, shingle) exchange, and the checkpoint pins the same blocks
+    val allSh = graft.functions.TextFunctions.explodedDistinctShingles(
+        sides, "sid", "text", 3)
       .localCheckpoint(true)
     val shCounts = allSh.groupBy(col("sid.is_train")).agg(count(lit(1)))
       .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap

@@ -73,8 +73,8 @@ object PipelineQueries {
     "d24_lsh_recall" -> ((s, dir) => {
       val sample = Catalog.documents(s, dir)
         .filter(sampleBucket(col("doc_id")) < 30)
-      val sh0 = explodedShingles(
-        sample.select(col("doc_id"), col("text")), "doc_id", "text", 3).distinct()
+      val sh0 = explodedDistinctShingles(
+        sample.select(col("doc_id"), col("text")), "doc_id", "text", 3)
       // pinned: the shingle frame feeds df, counts and the pair join
       val sh = sh0.join(
           sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -651,8 +651,8 @@ object PipelineQueries {
       // the CurateApp stage-5 shape.
       val docs = Catalog.documents(s, dir)
       val train = graft.functions.TextFunctions
-        .explodedShingles(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 3)
-        .distinct()
+        .explodedDistinctShingles(docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", 3) // row-local per-doc dedup: no corpus exchange
       val benchShingles = graft.functions.TextFunctions
         .explodedShingles(docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 3)
         .select(col("shingle")).distinct()
@@ -689,8 +689,9 @@ object PipelineQueries {
       // window per reference (6 scans / 7 windows → 3 / 3, the t36
       // lesson)
       val train = graft.functions.TextFunctions
-        .explodedShingles(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 3)
-        .distinct().localCheckpoint(true)
+        .explodedDistinctShingles(docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", 3) // row-local per-doc dedup: no corpus exchange
+        .localCheckpoint(true)
       val bench = docs.filter(col("doc_id") % 50 === 0)
       val suiteShingles = graft.functions.TextFunctions
         .explodedShingles(bench, "doc_id", "text", 3)

@@ -465,17 +465,41 @@ class PipelineSpec extends AnyFunSuite {
     edges.toDF("doc1", "doc2")
   }
 
-  test("lshBandsLocal (codegen MinhashSig kernel) is bit-identical to batch lshBands on edge-case docs") {
+  test("lshBandsLocal (codegen MinhashSig kernel) is bit-identical to the SQL-expression reference pipeline on edge-case docs") {
+    // The batch (posexplode + window-lead + 12 min-aggregate) lshBands is
+    // gone — lshBands IS lshBandsLocal since r12 — so the equivalence pin
+    // is a from-scratch reference built here out of ordinary SQL
+    // expressions: HOF shingles → contentHash → per-permutation
+    // min((a·h+b) mod m) aggregates → band structs. Nothing in it touches
+    // the MinhashSig kernel, so a kernel bug cannot cancel out.
     val docs = docsDf(Seq(
       1L -> base, 2L -> (base + " postscript"), // the planted near-dup pair
       3L -> "only two", // < ShingleSize tokens: no signature in either form
       4L -> "", // empty text
       5L -> "  spaced   out   tokens   here  ", // separator runs
       6L -> base.toUpperCase)) // distinct content, same length
-    val local = Dedup.lshBandsLocal(docs)
-    val batch = Dedup.lshBands(docs)
-    assert(local.exceptAll(batch).count() == 0)
-    assert(batch.exceptAll(local).count() == 0)
+    val perms = Dedup.permsFor(Dedup.NumPerms)
+    val rows = Dedup.NumPerms / Dedup.NumBands
+    val mins = perms.zipWithIndex.map { case ((a, b), p) =>
+      min((lit(a) * col("h") + lit(b)) % Dedup.HashMod).as(s"m$p")
+    }
+    val bands = (0 until Dedup.NumBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rows).map(r =>
+          col(s"m${b * rows + r}").cast("string")): _*).as("bs"))
+    }
+    val reference = docs
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col("text")),
+          Dedup.ShingleSize)).as("s"))
+      .withColumn("h", Dedup.contentHash(col("s")))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bs").as("sig"))
+    val local = Dedup.lshBands(docs)
+    assert(local.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(local).count() == 0)
     // docs 3 and 4 produce no bands at all
     assert(local.filter(col("doc_id").isin(3L, 4L)).count() == 0)
   }

@@ -53,7 +53,11 @@ class PlanGoldenSpec extends AnyFunSuite {
     // agg 10→6 (one doc aggregate instead of two joined back)
     // r12: window 2→0 — both shingle explodes now run the compiled
     // row-local TokenShingles kernel, no doc-keyed token exchange
-    "t10_decontaminate" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=3 pushed=3 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
+    // r13: shufflex 4→3, agg 6→4 — the train side's per-doc shingle
+    // dedup is row-local (array_distinct before the explode,
+    // explodedDistinctShingles): the corpus-wide (doc_id, shingle)
+    // distinct exchange disappears; identical row set by construction
+    "t10_decontaminate" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=3 scans=3 pushed=3 agg=4 objagg=0 sortagg=0 window=0 wgl=0",
     "t22_tfidf_terms" -> "bhj=0 smj=0 shj=0 bnlj=1 cart=0 bcastx=1 shufflex=5 scans=2 pushed=0 agg=4 objagg=0 sortagg=0 window=2 wgl=2",
     "s3_time_filter" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=1 scans=1 pushed=1 agg=0 objagg=0 sortagg=0 window=0 wgl=0",
     // det4's render is the bounded TopKPayloadAggregator (objagg=2 partial+

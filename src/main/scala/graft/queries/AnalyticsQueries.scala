@@ -33,8 +33,20 @@ object AnalyticsQueries {
     * for direct testing with synthetic degenerate baskets.
     */
   def copurchasePairs(lineitem: DataFrame, maxBasket: Int = MaxBasketSize): DataFrame = {
+    // ONE basket-keyed exchange feeds the whole pair stage (r13): the
+    // dedup used to plan its own hash(ok, pk) exchange, after which the
+    // size gate and both self-join sides re-shuffled everything on ok —
+    // repartitioning on ok FIRST makes the distinct, the groupBy(ok)
+    // gate, the semi-join and the pair self-join all reuse the same
+    // partitioning (HashPartitioning(ok) clusters (ok, pk) too), so the
+    // only other full exchange left is the irreducible pair aggregate.
+    // Trade (documented): the ok-keyed exchange carries pre-dedup rows —
+    // (ok, pk) is essentially unique in an order-lines table, so there
+    // is no map-side-combine volume to lose; a heavily duplicated
+    // corpus would want the dedup-below-exchange shape back.
     val op = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(col("ok")).distinct()
     // basket-size gate as a fixed-width count + shuffle-hash semi-join
     // (not a window count: window partitioning SORTS the whole basket
     // stream to size buckets it is mostly about to keep anyway), and

@@ -1452,8 +1452,14 @@ object PipelineQueries {
     // M4: image near-dup candidates — 4×16-bit aHash bands bucket-join
     // (one shuffle, SimHash-style recall trade), exact Hamming verify.
     "m4_image_neardup" -> ((s, dir) => {
+      // pinned (r13): imageNearDupPairs consumes the hash frame THREE
+      // times (bucket-size gate + both self-join sides), and unpinned
+      // each reference re-runs the PNG-synth + imageio-decode + aHash
+      // kernel over every image — the m8/m9/m10 re-evaluation hazard.
+      // One (media_id, ahash) row per image — bounded.
       val hashes = Multimodal.imageHashes(
         Multimodal.gradientImagesFromDocuments(Catalog.documents(s, dir)))
+        .localCheckpoint(true)
       Multimodal.imageNearDupPairs(hashes, maxHamming = 12)
         .orderBy(col("id1"), col("id2"))
     }),
@@ -1591,8 +1597,15 @@ object PipelineQueries {
     // m10f (query) fingerprint goldens independently.
     "m10_audio_match" -> ((s, dir) => {
       val docs = Catalog.documents(s, dir)
+      // pinned (r13): audioMatches consumes the index TWICE (the
+      // maxBucket fp-count gate and the vote join), and unpinned each
+      // reference re-runs the WAV-synth + FFT constellation kernel over
+      // every clip — the exact m8/m9 re-evaluation hazard. One
+      // (media_id, frame_idx, fp) row per peak — bounded. The query
+      // side feeds a single consumer, so it needs no pin.
       val index = Multimodal.audioFingerprints(
         Multimodal.toneAudioFromDocuments(docs))
+        .localCheckpoint(true)
       val queries = Multimodal.audioFingerprints(
         Multimodal.toneQueriesFromDocuments(docs))
       Multimodal.audioMatches(queries, index)

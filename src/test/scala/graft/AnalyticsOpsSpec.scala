@@ -127,6 +127,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(base.zip(mutated).count { case (a, b) => a != b } <= 2)
   }
 
+  test("diffTables matches exceptAll-per-direction multiset semantics") {
+    import spark.implicits._
+    // duplicates on both sides, asymmetric multiplicity, null keys:
+    // a holds (1,x)×3 (2,y)×1 (null,z)×1; b holds (1,x)×1 (3,w)×2 (null,z)×1
+    val a = Seq((Some(1L), "x"), (Some(1L), "x"), (Some(1L), "x"),
+      (Some(2L), "y"), (None: Option[Long], "z")).toDF("k", "s")
+    val b = Seq((Some(1L), "x"), (Some(3L), "w"), (Some(3L), "w"),
+      (None: Option[Long], "z")).toDF("k", "s")
+    def sortedRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse("NULL"),
+        r.getString(1), r.getString(2))).sorted.toSeq
+    val got = sortedRows(
+      graft.operators.Integrity.diffTables(a, b, Seq("k", "s")))
+    // the reference semantics the one-exchange form must reproduce
+    val ref = sortedRows(
+      a.exceptAll(b).withColumn("side", lit("only_in_a"))
+        .unionByName(b.exceptAll(a).withColumn("side", lit("only_in_b"))))
+    assert(got == ref)
+    // spot values: (1,x) surfaces twice as only_in_a; (3,w) twice as b
+    assert(got.count(_ == ("1", "x", "only_in_a")) == 2)
+    assert(got.count(_ == ("3", "w", "only_in_b")) == 2)
+    // identical multisets diff to nothing (null keys compare equal)
+    assert(graft.operators.Integrity.diffTables(a, a, Seq("k", "s")).count() == 0)
+  }
+
   test("qualityReport accepts rule names with dots/spaces") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, null.asInstanceOf[String]), (-1L, "y")).toDF("k", "s")

@@ -22,19 +22,17 @@ class CuratePlanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   private val goldens = Map(
-    // overlap combos regenerated in r12: explodedShingles is now the
-    // compiled row-local TokenShingles kernel — the contamination
-    // shingle pass loses its token-row doc_id window exchange (window
-    // 7→6) and the following distinct plans its own PARTIAL-AGGREGATED
-    // exchange instead of reusing the window's raw-token one (shufflex
-    // 12→13, but the exchanged rows are per-(doc, shingle) partials,
-    // not every token occurrence)
-    ("score", "overlap") -> "bhj=5 smj=2 shj=0 bnlj=0 cart=0 bcastx=5 shufflex=13 scans=6 pushed=5 agg=10 objagg=0 sortagg=0 window=6 wgl=0",
-    ("gopher", "overlap") -> "bhj=5 smj=2 shj=0 bnlj=0 cart=0 bcastx=5 shufflex=13 scans=6 pushed=5 agg=10 objagg=0 sortagg=0 window=6 wgl=0",
+    // overlap combos regenerated in r13: the contamination pass dedups
+    // shingles ROW-LOCALLY (array_distinct before the explode,
+    // explodedDistinctShingles) instead of a corpus-wide distinct() —
+    // the distinct's partial+final HashAggregate pair and its
+    // (doc, shingle) exchange leave the DAG (shufflex 13→12, agg 10→8)
+    ("score", "overlap") -> "bhj=5 smj=2 shj=0 bnlj=0 cart=0 bcastx=5 shufflex=12 scans=6 pushed=5 agg=8 objagg=0 sortagg=0 window=6 wgl=0",
+    ("gopher", "overlap") -> "bhj=5 smj=2 shj=0 bnlj=0 cart=0 bcastx=5 shufflex=12 scans=6 pushed=5 agg=8 objagg=0 sortagg=0 window=6 wgl=0",
     // perplexity adds ONE join against the checkpointed LM verdict
     // (smj over a LogicalRDD) to the score shape — scans=6 pins that
     // the LM itself never re-evaluates in the DAG
-    ("perplexity", "overlap") -> "bhj=6 smj=7 shj=0 bnlj=0 cart=0 bcastx=6 shufflex=20 scans=6 pushed=5 agg=10 objagg=0 sortagg=0 window=6 wgl=0",
+    ("perplexity", "overlap") -> "bhj=6 smj=7 shj=0 bnlj=0 cart=0 bcastx=6 shufflex=20 scans=6 pushed=5 agg=8 objagg=0 sortagg=0 window=6 wgl=0",
     // fuzzy swaps the shingle-overlap contamination subtree for a join
     // against Decontaminate's checkpointed verdict frame. The broadcasts
     // here are MEASURED-gated (Decontaminate.BroadcastRowCap): at this

@@ -68,8 +68,10 @@ class PlanGoldenSpec extends AnyFunSuite {
     // survivor set is domain-bounded at 4×2^16 rows): window=0 pins the
     // absence of the full-stream window sort, shufflex=4 pins that the
     // banded stream is never exchanged just to apply the gate (the old
-    // shuffle_hash hint cost two extra full exchanges)
-    "m4_image_neardup" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=4 scans=4 pushed=4 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
+    // shuffle_hash hint cost two extra full exchanges). scans=0 (r13)
+    // pins the hash-frame checkpoint: the PNG-synth + decode + aHash
+    // kernel runs ONCE, not once per consumer (gate + two join sides).
+    "m4_image_neardup" -> "bhj=3 smj=0 shj=0 bnlj=0 cart=0 bcastx=3 shufflex=4 scans=0 pushed=0 agg=6 objagg=0 sortagg=0 window=0 wgl=0",
     // t35 pins the filter-BEFORE-window shape: the reference-slice lang
     // filter precedes its own shingle explode (the after-window form
     // measured 19.3 s / 3034 MB vs 13.9 s / 1873 MB at 100×). window=4 =
@@ -102,8 +104,12 @@ class PlanGoldenSpec extends AnyFunSuite {
     "j14_asof_tolerance" -> "bhj=0 smj=0 shj=0 bnlj=0 cart=0 bcastx=0 shufflex=2 scans=2 pushed=2 agg=0 objagg=0 sortagg=0 window=1 wgl=0",
     // m10 pins the constellation-match shape: one fp equi-join (the
     // query side broadcasts) + map-side-combined vote aggregate + a
-    // WindowGroupLimit top-1 per query — never a cross join
-    "m10_audio_match" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=3 pushed=3 agg=4 objagg=0 sortagg=0 window=1 wgl=2",
+    // WindowGroupLimit top-1 per query — never a cross join. scans=1
+    // (r13) pins the index checkpoint: the WAV-synth + FFT kernel runs
+    // once for the index (not once per consumer — the maxBucket gate
+    // and the vote join) plus once for the un-pinned single-consumer
+    // query side (the surviving scan).
+    "m10_audio_match" -> "bhj=2 smj=0 shj=0 bnlj=0 cart=0 bcastx=2 shufflex=4 scans=1 pushed=1 agg=4 objagg=0 sortagg=0 window=1 wgl=2",
     // t36 fingerprints PAST the pinned pairs/shingle checkpoints (the
     // m8/m9 convention): scans=1 pins that the band join and the two
     // shingle explodes run ONCE (the unpinned form re-evaluated them per

@@ -214,7 +214,20 @@ object CurateApp {
     // branch triples the scan+tokenize cost (the r4 bench's slowest query)
     def sharedStage(df: DataFrame): DataFrame =
       if (!persistShared) df
-      else { val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); shared += p; p }
+      else {
+        // lazy localCheckpoint, not persist (r13): a persisted stage
+        // KEEPS its lineage, so every downstream action re-optimizes the
+        // full upstream subtree inside the InMemoryRelation (the c5
+        // report runs ~15 actions over 3 shared stages — measured ~1.5 s
+        // of inter-job planning gaps at sf0.1). The checkpoint truncates
+        // each consumer's plan at a LogicalRDD (same MEMORY_AND_DISK
+        // blocks, materialized by the first consuming job, same
+        // spill-to-disk behavior); release() still frees the blocks via
+        // the checkpointed RDD handle below.
+        val p = df.localCheckpoint(false)
+        shared += p
+        p
+      }
 
     // the semantic near-dup method reads embeddings where the text
     // methods read shingle signatures — demand the column up front, with
@@ -389,6 +402,15 @@ object CurateApp {
           .otherwise(col("n_chars")))
       .drop("surgery_text", "surgery_removed")
     else frame0
-    (frame, () => shared.foreach(_.unpersist()))
+    // release frees the checkpointed stages' MEMORY_AND_DISK blocks: a
+    // Dataset-level unpersist is a CacheManager no-op for a checkpoint,
+    // so unpersist the LogicalRDD's backing RDD handles directly (the
+    // same blocks the ContextCleaner would eventually reap on GC — this
+    // just makes the release deterministic for long-lived sessions)
+    (frame, () => shared.foreach { p =>
+      p.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
+    })
   }
 }

@@ -82,6 +82,21 @@ class CurateAppSpec extends AnyFunSuite {
       info(s"localCheckpoint blocks still draining after 30s: ${leaked.keySet}")
   }
 
+  test("release() synchronously frees the shared checkpointed stages") {
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    val (frame, release) = CurateApp.taggedCached(spark, sfDir)
+    frame.groupBy(col("stage")).count().collect() // materialize the stages
+    val mid = (spark.sparkContext.getPersistentRDDs.keySet -- pre).toSet
+    assert(mid.nonEmpty, "expected the shared stages to be materialized")
+    release()
+    val post = (spark.sparkContext.getPersistentRDDs.keySet -- pre).toSet
+    // the shared stages' blocks are gone the moment release() returns —
+    // no GC/ContextCleaner window needed (inner operator checkpoints,
+    // e.g. the LSH verify pin, are cleaner-owned and may linger)
+    assert((mid -- post).nonEmpty,
+      s"release() freed nothing: before=$mid after=$post")
+  }
+
   test("qualityGate switch: quality-stage verdicts match each gate's own query") {
     import graft.operators.PerplexityGate
     import graft.functions.TextFunctions.{gopherFlags, tokens}

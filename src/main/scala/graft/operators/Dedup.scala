@@ -181,9 +181,12 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
     // the pair list feeds the doc-set prune, the clone-collapse mapping,
-    // and the final expansion; cache it (it's the small post-LSH set) so
-    // minhashing runs once
-    val cands = lshCandidatePairs(df).cache()
+    // and the final expansion; pin it (it's the small post-LSH set) so
+    // minhashing runs once. localCheckpoint, not cache (r13): cache
+    // keeps the LSH band-generation lineage, so every downstream action
+    // re-optimizes that whole subtree — the checkpoint truncates each
+    // consumer's plan at a LogicalRDD (the CurateApp sharedStage lesson)
+    val cands = lshCandidatePairs(df).localCheckpoint(false)
     val docsInPairs = cands.select(col("doc1").as("doc_id"))
       .union(cands.select(col("doc2").as("doc_id"))).distinct()
     // Clone collapse: the expensive part of the verify is shipping each
@@ -198,7 +201,8 @@ object Dedup {
     // corpus this cuts the array-join volume ~100×; on a clone-free one
     // it adds three small-key shuffles over the bounded pair set.
     val fps = df.join(docsInPairs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), md5(col("text")).as("fp")).cache()
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint(false) // same lineage-truncation rationale as cands
     // adaptive: one tiny aggregate over the (LSH-bounded) paired-doc set
     // decides whether the collapse machinery pays for its three extra
     // shuffles. The win is quadratic in clone-GROUP size, so a corpus

@@ -969,7 +969,13 @@ object Dedup {
       else explode(array_distinct(gramsArr))
     val keyed = df.filter(length(col("text")) >= k)
       .select(col("doc_id"), gramCol.as("g"))
-    sharedGramPairs(keyed, maxBucket, minShared)
+    // widthExpansion 32: EVERY gram position is keyed (~L−k+1 rows/doc
+    // of ~10 B vs the docs frame's ~L-byte estimate the optimizer sees),
+    // so the gram stream and the doc-list aggregate state run ~50× the
+    // input estimate — measured 2.2 GB written off a 44 MB estimate at
+    // 100×, and a 44-wide doc-list aggregate externalized 25.8 GB there
+    // where the 192-wide shape spills nothing.
+    sharedGramPairs(keyed, maxBucket, minShared, widthExpansion = 32)
   }
 
   /** Winnowed production form of [[exactSubstringSpans]] (d11 → d18, the
@@ -1004,7 +1010,11 @@ object Dedup {
           graft.expressions.WinnowedGramHashes(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k, w)))
           .as("g"))
-    sharedGramPairs(keyed, maxBucket, minShared)
+    // widthExpansion 8: winnowing keeps ~2/(w+1) of the gram positions,
+    // so the keyed stream runs ~8× the docs-frame byte estimate
+    // (measured 360 MB written off a 44 MB estimate at 100×) — 1/6 of
+    // exactSubstringSpans' density, hence the narrower width.
+    sharedGramPairs(keyed, maxBucket, minShared, widthExpansion = 8)
   }
 
   /** Per-document duplicated-span fraction — the PAIR-FREE span-dup
@@ -1088,7 +1098,7 @@ object Dedup {
             org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k, w)))
           .as("g"))
     val perDoc = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    sharedGramPairs(keyed, maxBucket, minShared)
+    sharedGramPairs(keyed, maxBucket, minShared, widthExpansion = 8)
       .join(perDoc.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(perDoc.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("containment_a", round(col("shared_grams") / col("n_a"), 6))
@@ -1099,7 +1109,7 @@ object Dedup {
   }
 
   private def sharedGramPairs(keyed: DataFrame, maxBucket: Int,
-      minShared: Int): DataFrame = {
+      minShared: Int, widthExpansion: Int = 8): DataFrame = {
     // compiled pair expansion ([[graft.expressions.PairCombinations]]) —
     // the flatten(transform(slice…)) HOF form was the dominant cost at
     // 10⁸ pairs (boxed elements, interpreted lambdas, a slice copy per
@@ -1137,8 +1147,12 @@ object Dedup {
     //    maps trivially fit) the explicit exchanges are pure overhead
     //    and the plain partial-aggregate shapes run instead — identical
     //    rows either way.
+    // the regime GATE keeps its measured factor-4 calibration (the
+    // sf0.1 / 100× boundary); the WIDTH uses the caller's gram-density
+    // factor — the two answer different questions (when to widen vs how
+    // wide), and the boundary measurements pre-date the width change
     val small = graft.plans.AdaptiveWidth.isSmallInput(keyed, expansionFactor = 4)
-    val n8 = graft.plans.AdaptiveWidth.widened(keyed)
+    val n8 = graft.plans.AdaptiveWidth.widened(keyed, expansionFactor = widthExpansion)
     def wideBy(df: DataFrame, cols: Column*): DataFrame =
       if (small) df else df.repartition(n8, cols: _*)
     val shared = wideBy(keyed, col("g"))

@@ -71,12 +71,44 @@ object AdaptiveWidth {
     isSmall(df, conf.numShufflePartitions * perTask / expansionFactor)
   }
 
-  /** Exchange width for the large regime: `factor` × the session's
-    * shuffle parallelism. 6 keeps the local default (32) under
-    * spark.shuffle.sort.bypassMergeThreshold (200), retaining the
-    * spill-free bypass-merge shuffle writer; at cluster scale the
-    * threshold is moot either way.
+  /** Target bytes of (pre-expansion) input per widened partition.
+    * Calibrated on the 100× natural fixture: the winnowed-gram pair
+    * pipeline at 4 MiB/partition lands at ~44 partitions — within
+    * measurement noise of the empirically fastest width (48, found by
+    * the 8-core scaling probe) — while the old cores×6 rule produced
+    * 192 partitions and ran 2.7× SLOWER at the same thread count
+    * (18-21 s vs 6.8-7.5 s, A/B'd at local[32] with only
+    * spark.sql.shuffle.partitions varied). Per-partition payloads of
+    * 1-2 MB are below the regime where the bypass-merge writer and
+    * per-task constant costs amortize (guide §2.2: fewer, larger
+    * partitions).
     */
-  def widened(df: DataFrame, factor: Int = 6): Int =
-    df.sparkSession.sessionState.conf.numShufflePartitions * factor
+  val WidthTargetBytesKey = "spark.graft.adaptiveWidth.widthTargetBytes"
+  val DefaultWidthTargetBytes: Long = 4L << 20
+
+  /** Exchange width for the large regime — derived from the DATA SIZE
+    * the optimizer already estimated, not from a core-count multiple
+    * (r13; previously `factor` × shuffle parallelism, a constant tuned
+    * at local[32] that over-partitioned 40 MB of grams into 192 × 2 MB
+    * slivers): `estimate × expansionFactor / widthTargetBytes`
+    * partitions, clamped to [session parallelism, factor × session
+    * parallelism]. The lower clamp keeps every core busy; the upper
+    * clamp bounds task count exactly like the old rule (and keeps the
+    * local default under spark.shuffle.sort.bypassMergeThreshold = 200,
+    * retaining the spill-free bypass-merge writer). `expansionFactor`
+    * is the site's output-per-input-byte multiple — the same knob the
+    * isSmallInput gate takes — so a quadratic pair expansion widens
+    * proportionally harder than a distinct. Unknown estimates
+    * (Long.MaxValue-ish) hit the upper clamp: the old width, the safe
+    * side.
+    */
+  def widened(df: DataFrame, factor: Int = 6, expansionFactor: Int = 1): Int = {
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.getConfString(WidthTargetBytesKey,
+      DefaultWidthTargetBytes.toString).toLong
+    val lo = BigInt(conf.numShufflePartitions)
+    val hi = lo * factor
+    val byData = (estimatedBytes(df) * expansionFactor + target - 1) / target
+    byData.max(lo).min(hi).toInt
+  }
 }

@@ -33,20 +33,24 @@ object AnalyticsQueries {
     * for direct testing with synthetic degenerate baskets.
     */
   def copurchasePairs(lineitem: DataFrame, maxBasket: Int = MaxBasketSize): DataFrame = {
-    // ONE basket-keyed exchange feeds the whole pair stage (r13): the
-    // dedup used to plan its own hash(ok, pk) exchange, after which the
-    // size gate and both self-join sides re-shuffled everything on ok —
-    // repartitioning on ok FIRST makes the distinct, the groupBy(ok)
-    // gate, the semi-join and the pair self-join all reuse the same
-    // partitioning (HashPartitioning(ok) clusters (ok, pk) too), so the
-    // only other full exchange left is the irreducible pair aggregate.
-    // Trade (documented): the ok-keyed exchange carries pre-dedup rows —
-    // (ok, pk) is essentially unique in an order-lines table, so there
-    // is no map-side-combine volume to lose; a heavily duplicated
-    // corpus would want the dedup-below-exchange shape back.
-    val op = lineitem
+    // SMALL regime (r13): ONE basket-keyed exchange feeds the whole
+    // pair stage — repartitioning on ok FIRST makes the distinct, the
+    // groupBy(ok) gate, the semi-join and the pair self-join all reuse
+    // the same partitioning (HashPartitioning(ok) clusters (ok, pk)
+    // too), so the only other full exchange left is the irreducible
+    // pair aggregate. Measured 1.8 → 1.0 s at sf0.1.
+    // LARGE regime: that same fusion is a SPILL TRAP — co-partitioning
+    // everything lets Spark fuse the dedup hash map, the gate build,
+    // the semi-join build and the pair expansion into one stage's
+    // memory (measured 9-21 GB of spill at the 100× fixture at every
+    // width tried), so past the AdaptiveWidth boundary the stages stay
+    // SEPARATED exactly as in r12: dedup below its own (ok, pk)
+    // exchange (map-side partial combine), then a widened ok re-key
+    // for the gate/self-join — 0 spill at 100×.
+    val op0 = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .repartition(col("ok")).distinct()
+    val small = graft.plans.AdaptiveWidth.isSmallInput(op0)
+    val op = (if (small) op0.repartition(col("ok")) else op0).distinct()
     // basket-size gate as a fixed-width count + shuffle-hash semi-join
     // (not a window count: window partitioning SORTS the whole basket
     // stream to size buckets it is mostly about to keep anyway), and
@@ -70,17 +74,21 @@ object AnalyticsQueries {
     // plain partial-aggregate plan is spill-safe and ~2.5× cheaper (no
     // pre/post exchanges), so the widening only engages when the input
     // estimate says the expansion can outgrow per-task hash maps.
-    val small = graft.plans.AdaptiveWidth.isSmallInput(op)
+    // small: no kept re-key — op is already ok-partitioned and the
+    // semi-join preserves it, so both self-join sides reuse that one
+    // exchange. large: the r12 widened re-key (see the regime note).
     val keptBase = op.join(sized.hint("shuffle_hash"), Seq("ok"), "left_semi")
     val kept =
       if (small) keptBase
-      else keptBase.repartition(graft.plans.AdaptiveWidth.widened(op), col("ok"))
+      else keptBase.repartition(graft.plans.AdaptiveWidth.widened(op0), col("ok"))
     val pairs = kept.as("a").join(kept.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
     val wide =
       if (small) pairs
-      else pairs.repartition(graft.plans.AdaptiveWidth.widened(op), col("p1"), col("p2"))
+      else pairs.repartition(
+        graft.plans.AdaptiveWidth.widened(op0, expansionFactor = 4),
+        col("p1"), col("p2"))
     wide.groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("p1"), col("p2"))
   }

@@ -64,11 +64,24 @@ class AdaptiveWidthSpec extends AnyFunSuite {
     }
   }
 
-  test("widened = factor x session shuffle parallelism") {
+  test("widened derives from the data estimate, clamped to [parallelism, factor x parallelism]") {
     val li = Catalog.lineitem(spark, SparkTestSession.sfDir)
     val base = spark.sessionState.conf.numShufflePartitions
-    assert(AdaptiveWidth.widened(li) == base * 6)
-    assert(AdaptiveWidth.widened(li, factor = 8) == base * 8)
+    // a tiny fixture estimate hits the LOWER clamp: never narrower than
+    // the session's parallelism (every core stays busy)
+    assert(AdaptiveWidth.widened(li) == base)
+    // the width scales with estimate x expansionFactor / target bytes…
+    val est = AdaptiveWidth.estimatedBytes(li)
+    val target = AdaptiveWidth.DefaultWidthTargetBytes
+    val wantRaw = (est * 1000 + target - 1) / target
+    assert(AdaptiveWidth.widened(li, expansionFactor = 1000) ==
+      wantRaw.max(base).min(base * 6).toInt)
+    // …and a huge expansion hits the UPPER clamp: factor x parallelism,
+    // the pre-r13 width (also what an unknown Long.MaxValue-ish
+    // estimate lands on — the safe side)
+    assert(AdaptiveWidth.widened(li, expansionFactor = Int.MaxValue) == base * 6)
+    assert(AdaptiveWidth.widened(li, factor = 8,
+      expansionFactor = Int.MaxValue) == base * 8)
   }
 
   test("an unknown (huge) estimate chooses the wide plan") {

@@ -1010,11 +1010,15 @@ object Dedup {
           graft.expressions.WinnowedGramHashes(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k, w)))
           .as("g"))
-    // widthExpansion 8: winnowing keeps ~2/(w+1) of the gram positions,
-    // so the keyed stream runs ~8× the docs-frame byte estimate
-    // (measured 360 MB written off a 44 MB estimate at 100×) — 1/6 of
-    // exactSubstringSpans' density, hence the narrower width.
-    sharedGramPairs(keyed, maxBucket, minShared, widthExpansion = 8)
+    // widthExpansion 4: winnowing keeps ~2/(w+1) of the gram positions
+    // (~8× the docs-frame byte estimate on the wire — measured 360 MB
+    // written off a 44 MB estimate at 100×, 1/6 of exactSubstringSpans'
+    // density), but the EMPIRICAL width optimum sits at ~half that
+    // density factor: the 100× A/B measured 44-wide ≈ 48-wide (the
+    // 8-core probe's fastest) < 85-wide < 192-wide, spill-free
+    // throughout — the doc-list aggregate state, not the wire bytes,
+    // is what the width must bound, and winnowed buckets are small.
+    sharedGramPairs(keyed, maxBucket, minShared, widthExpansion = 4)
   }
 
   /** Per-document duplicated-span fraction — the PAIR-FREE span-dup
@@ -1098,7 +1102,7 @@ object Dedup {
             org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k, w)))
           .as("g"))
     val perDoc = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    sharedGramPairs(keyed, maxBucket, minShared, widthExpansion = 8)
+    sharedGramPairs(keyed, maxBucket, minShared, widthExpansion = 4)
       .join(perDoc.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(perDoc.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("containment_a", round(col("shared_grams") / col("n_a"), 6))
